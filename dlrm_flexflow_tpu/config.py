@@ -1,0 +1,161 @@
+"""Runtime configuration + CLI parsing.
+
+TPU-native analog of the reference's FFConfig (reference: include/config.h:98-154,
+defaults src/runtime/model.cc:2212-2235, parser src/runtime/model.cc:2282+).
+Legion `-ll:*` resource flags have no TPU meaning; their role (how many devices,
+how much device memory) is played by mesh flags here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class FFConfig:
+    # --- training loop (reference: config.h:112-120) ---
+    epochs: int = 1
+    batch_size: int = 64
+    print_freq: int = 10
+    # --- optimizer defaults (consumed by SGDOptimizer ctor) ---
+    learning_rate: float = 0.01
+    weight_decay: float = 0.0001
+    # --- dataset ---
+    dataset_path: str = ""
+    # --- devices / mesh (replaces -ll:gpu/-ll:cpu/--nodes) ---
+    num_nodes: int = 1
+    devices_per_node: int = -1  # -1 => all local devices
+    mesh_shape: Optional[Tuple[int, ...]] = None  # overrides (nodes, chips)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    # --- auto-parallelization search (reference: config.h:125-130) ---
+    search_budget: int = 0
+    search_alpha: float = 0.05
+    search_overlap_backward_update: bool = False
+    enable_parameter_parallel: bool = False
+    enable_attribute_parallel: bool = False
+    enable_propagation: bool = False
+    import_strategy_file: str = ""
+    export_strategy_file: str = ""
+    export_strategy_task_graph_file: str = ""
+    # --- simulator / machine model (reference: config.h:133-139) ---
+    machine_model_version: int = 0
+    machine_model_file: str = ""
+    simulator_segment_size: int = 16777216
+    simulator_max_num_segments: int = 1
+    # --- execution knobs ---
+    profiling: bool = False
+    perform_fusion: bool = False  # XLA fuses; flag kept for parity/reporting
+    allow_tensor_op_math: bool = True  # => bf16 matmuls on MXU
+    compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
+    seed: int = 42
+    # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
+    seq_length: int = -1
+
+    @property
+    def num_devices(self) -> int:
+        import jax
+
+        if self.mesh_shape is not None:
+            n = 1
+            for d in self.mesh_shape:
+                n *= d
+            return n
+        per_node = self.devices_per_node
+        if per_node == -1:
+            return len(jax.devices())
+        return self.num_nodes * per_node
+
+    @staticmethod
+    def parse_args(argv: Optional[Sequence[str]] = None) -> "FFConfig":
+        cfg = FFConfig()
+        cfg.update_from_args(argv)
+        return cfg
+
+    def update_from_args(self, argv: Optional[Sequence[str]] = None) -> List[str]:
+        """Consume known flags (reference flag spelling, model.cc:2282); return the rest."""
+        import sys
+
+        args = list(sys.argv[1:] if argv is None else argv)
+        rest: List[str] = []
+        i = 0
+
+        def take() -> str:
+            nonlocal i
+            i += 1
+            return args[i]
+
+        while i < len(args):
+            a = args[i]
+            if a in ("-e", "--epochs"):
+                self.epochs = int(take())
+            elif a in ("-b", "--batch-size"):
+                self.batch_size = int(take())
+            elif a in ("--lr", "--learning-rate"):
+                self.learning_rate = float(take())
+            elif a in ("--wd", "--weight-decay"):
+                self.weight_decay = float(take())
+            elif a in ("-p", "--print-freq"):
+                self.print_freq = int(take())
+            elif a in ("-d", "--dataset"):
+                self.dataset_path = take()
+            elif a == "--budget" or a == "--search-budget":
+                self.search_budget = int(take())
+            elif a == "--alpha" or a == "--search-alpha":
+                self.search_alpha = float(take())
+            elif a == "--search-overlap-backward-update":
+                self.search_overlap_backward_update = True
+            elif a == "--import" or a == "--import-strategy":
+                self.import_strategy_file = take()
+            elif a == "--export" or a == "--export-strategy":
+                self.export_strategy_file = take()
+            elif a == "--taskgraph" or a == "--export-strategy-task-graph-file":
+                self.export_strategy_task_graph_file = take()
+            elif a == "--enable-parameter-parallel":
+                self.enable_parameter_parallel = True
+            elif a == "--enable-attribute-parallel":
+                self.enable_attribute_parallel = True
+            elif a == "--enable-propagation":
+                self.enable_propagation = True
+            elif a == "--nodes":
+                self.num_nodes = int(take())
+            elif a == "--devices-per-node" or a == "-ll:gpu":
+                self.devices_per_node = int(take())
+            elif a == "--mesh":
+                self.mesh_shape = tuple(int(x) for x in take().split("x"))
+            elif a == "--profiling":
+                self.profiling = True
+            elif a == "--fusion":
+                self.perform_fusion = True
+            elif a == "--allow-tensor-op-math":
+                self.allow_tensor_op_math = True
+            elif a == "--compute-dtype":
+                self.compute_dtype = take()
+            elif a == "--machine-model-version":
+                self.machine_model_version = int(take())
+            elif a == "--machine-model-file":
+                self.machine_model_file = take()
+            elif a == "--simulator-segment-size":
+                self.simulator_segment_size = int(take())
+            elif a == "--simulator-max-num-segments":
+                self.simulator_max_num_segments = int(take())
+            elif a == "--seed":
+                self.seed = int(take())
+            else:
+                rest.append(a)
+            i += 1
+        return rest
+
+
+@dataclasses.dataclass
+class FFIterationConfig:
+    """Per-iteration runtime knobs (reference: include/config.h:156-161).
+
+    seq_length < 0 means "use full tensor extents". Consumed by BatchMatmul
+    and attention-adjacent ops exactly like the reference's
+    iter_config.seq_length (src/ops/batch_matmul.cu:21-43).
+    """
+
+    seq_length: int = -1
+
+    def reset(self) -> None:
+        self.seq_length = -1

@@ -1,0 +1,486 @@
+"""FFModel: graph-builder facade + compile-to-jit pipeline.
+
+TPU-native analog of the reference FFModel (reference: include/model.h:283-588,
+src/runtime/model.cc). The builder methods mirror the reference API name-for-
+name (dense/embedding/concat/..., model.h:293-455). `compile` plays the role
+of FFModel::compile (model.cc:1567): instead of creating Legion partitions,
+fusing ops, and building NCCL communicators, it
+  1. optionally runs the sharding autotuner (reference: strategy search,
+     model.cc:1578-1584),
+  2. binds a ShardingPlan + Mesh,
+  3. builds pure jitted train/eval step functions where XLA performs fusion
+     (reference: apply_fusion, model.cc:1488) and inserts collectives
+     (reference: NCCL allreduce / Legion region copies).
+The train-loop verbs (forward/backward/update/zero_gradients) exist for API
+parity but delegate to the fused step — on TPU splitting them would defeat
+XLA; `fit`/`eval` are the Keras-style loops (reference:
+python/flexflow/keras/models/base_model.py:127-424).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FFConfig, FFIterationConfig
+from ..ffconst import (
+    ActiMode,
+    AggrMode,
+    DataType,
+    LossType,
+    MetricsType,
+    OperatorType,
+    PoolType,
+)
+from ..training import losses as losses_lib
+from ..training import metrics as metrics_lib
+from ..training.optimizer import Optimizer, SGDOptimizer
+from .graph import Graph, InputOp, Op, OpContext
+from .tensor import TensorSpec
+
+
+class FFModel:
+    def __init__(self, config: Optional[FFConfig] = None):
+        self.config = config or FFConfig()
+        self.graph = Graph()
+        self.iter_config = FFIterationConfig()
+        self.label_tensor: Optional[TensorSpec] = None
+        # populated by compile()
+        self.optimizer: Optional[Optimizer] = None
+        self.loss_type: Optional[LossType] = None
+        self.metrics_mask: MetricsType = MetricsType.METRICS_NONE
+        self.mesh = None
+        self.plan = None
+        self._params = None
+        self._opt_state = None
+        self._metrics_total = None
+        self._train_step = None
+        self._eval_step = None
+        self._forward_fn = None
+        self._step_count = 0
+        self._compiled = False
+
+    # ------------------------------------------------------------------ build
+    def create_tensor(
+        self,
+        dims: Sequence[int],
+        dtype: DataType = DataType.DT_FLOAT,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        """reference: FFModel::create_tensor (model.cc:831). dims are C-order,
+        batch first (reference C++ API convention, e.g. dlrm.cc:90)."""
+        name = self.graph.unique_name(name or "input")
+        op = InputOp(name, tuple(int(d) for d in dims), dtype)
+        self.graph.add_op(op)
+        return op.outputs[0]
+
+    def _add(self, op: Op) -> Op:
+        return self.graph.add_op(op)
+
+    # --- dense / embedding / interaction --------------------------------------
+    def dense(
+        self,
+        input: TensorSpec,
+        out_dim: int,
+        activation=ActiMode.AC_MODE_NONE,
+        use_bias: bool = True,
+        kernel_initializer=None,
+        bias_initializer=None,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.dense import Dense
+
+        op = Dense(
+            self.graph.unique_name(name or "dense"),
+            input,
+            out_dim,
+            activation,
+            use_bias,
+            kernel_initializer,
+            bias_initializer,
+        )
+        return self._add(op).outputs[0]
+
+    def embedding(
+        self,
+        input: TensorSpec,
+        num_entries: int,
+        out_dim: int,
+        aggr: AggrMode = AggrMode.AGGR_MODE_SUM,
+        kernel_initializer=None,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.embedding import Embedding
+
+        op = Embedding(
+            self.graph.unique_name(name or "embedding"),
+            input,
+            num_entries,
+            out_dim,
+            aggr,
+            kernel_initializer,
+        )
+        return self._add(op).outputs[0]
+
+    def dot_interaction(
+        self,
+        inputs: Sequence[TensorSpec],
+        self_interaction: bool = False,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.interaction import DotInteraction
+
+        op = DotInteraction(
+            self.graph.unique_name(name or "dot_interaction"), inputs, self_interaction
+        )
+        return self._add(op).outputs[0]
+
+    # --- shape ops -------------------------------------------------------------
+    def concat(
+        self, tensors: Sequence[TensorSpec], axis: int, name: Optional[str] = None
+    ) -> TensorSpec:
+        from ..ops.shape_ops import Concat
+
+        op = Concat(self.graph.unique_name(name or "concat"), tensors, axis)
+        return self._add(op).outputs[0]
+
+    def split(
+        self,
+        input: TensorSpec,
+        sizes,
+        axis: int,
+        name: Optional[str] = None,
+    ) -> List[TensorSpec]:
+        from ..ops.shape_ops import Split
+
+        if isinstance(sizes, int):
+            assert input.shape[axis] % sizes == 0
+            sizes = [input.shape[axis] // sizes] * sizes
+        op = Split(self.graph.unique_name(name or "split"), input, sizes, axis)
+        return list(self._add(op).outputs)
+
+    def flat(self, input: TensorSpec, name: Optional[str] = None) -> TensorSpec:
+        from ..ops.shape_ops import Flat
+
+        return self._add(Flat(self.graph.unique_name(name or "flat"), input)).outputs[0]
+
+    def reshape(
+        self, input: TensorSpec, shape: Sequence[int], name: Optional[str] = None
+    ) -> TensorSpec:
+        from ..ops.shape_ops import Reshape
+
+        op = Reshape(self.graph.unique_name(name or "reshape"), input, shape)
+        return self._add(op).outputs[0]
+
+    def transpose(
+        self, input: TensorSpec, perm: Sequence[int], name: Optional[str] = None
+    ) -> TensorSpec:
+        from ..ops.shape_ops import Transpose
+
+        op = Transpose(self.graph.unique_name(name or "transpose"), input, perm)
+        return self._add(op).outputs[0]
+
+    def reverse(
+        self, input: TensorSpec, axis: int, name: Optional[str] = None
+    ) -> TensorSpec:
+        from ..ops.shape_ops import Reverse
+
+        op = Reverse(self.graph.unique_name(name or "reverse"), input, axis)
+        return self._add(op).outputs[0]
+
+    # --- elementwise -------------------------------------------------------------
+    def _binary(self, t: OperatorType, x, y, name=None) -> TensorSpec:
+        from ..ops.elementwise import ElementBinary
+
+        base = t.name.lower().replace("op_ew_", "")
+        op = ElementBinary(self.graph.unique_name(name or base), t, x, y)
+        return self._add(op).outputs[0]
+
+    def _unary(self, t: OperatorType, x, scalar=0.0, name=None) -> TensorSpec:
+        from ..ops.elementwise import ElementUnary
+
+        base = t.name.lower().replace("op_", "")
+        op = ElementUnary(self.graph.unique_name(name or base), t, x, scalar)
+        return self._add(op).outputs[0]
+
+    def add(self, x, y, name=None):
+        return self._binary(OperatorType.OP_EW_ADD, x, y, name)
+
+    def subtract(self, x, y, name=None):
+        return self._binary(OperatorType.OP_EW_SUB, x, y, name)
+
+    def multiply(self, x, y, name=None):
+        return self._binary(OperatorType.OP_EW_MUL, x, y, name)
+
+    def divide(self, x, y, name=None):
+        return self._binary(OperatorType.OP_EW_DIV, x, y, name)
+
+    def exp(self, x, name=None):
+        return self._unary(OperatorType.OP_EXP, x, name=name)
+
+    def relu(self, x, name=None):
+        return self._unary(OperatorType.OP_RELU, x, name=name)
+
+    def sigmoid(self, x, name=None):
+        return self._unary(OperatorType.OP_SIGMOID, x, name=name)
+
+    def tanh(self, x, name=None):
+        return self._unary(OperatorType.OP_TANH, x, name=name)
+
+    def elu(self, x, name=None):
+        return self._unary(OperatorType.OP_ELU, x, name=name)
+
+    def gelu(self, x, name=None):
+        return self._unary(OperatorType.OP_GELU, x, name=name)
+
+    def identity(self, x, name=None):
+        return self._unary(OperatorType.OP_IDENTITY, x, name=name)
+
+    def scalar_multiply(self, x, scalar, name=None):
+        return self._unary(OperatorType.OP_SCALAR_MULTIPLY, x, scalar, name)
+
+    def scalar_add(self, x, scalar, name=None):
+        return self._unary(OperatorType.OP_SCALAR_ADD, x, scalar, name)
+
+    def scalar_sub(self, x, scalar, name=None):
+        return self._unary(OperatorType.OP_SCALAR_SUB, x, scalar, name)
+
+    def scalar_truediv(self, x, scalar, name=None):
+        return self._unary(OperatorType.OP_SCALAR_TRUE_DIV, x, scalar, name)
+
+    # --- regularizers ---------------------------------------------------------
+    def softmax(self, input: TensorSpec, name: Optional[str] = None) -> TensorSpec:
+        from ..ops.regularizers import Softmax
+
+        return self._add(
+            Softmax(self.graph.unique_name(name or "softmax"), input)
+        ).outputs[0]
+
+    def dropout(
+        self, input: TensorSpec, rate: float, seed: int = 0, name=None
+    ) -> TensorSpec:
+        from ..ops.regularizers import Dropout
+
+        op = Dropout(self.graph.unique_name(name or "dropout"), input, rate, seed)
+        return self._add(op).outputs[0]
+
+    # ------------------------------------------------------------------ compile
+    def compile(
+        self,
+        optimizer: Optional[Optimizer] = None,
+        loss_type: LossType = LossType.LOSS_MEAN_SQUARED_ERROR_AVG_REDUCE,
+        metrics: Sequence[MetricsType] = (),
+        comp_mode=None,
+        mesh=None,
+        plan=None,
+        seed: Optional[int] = None,
+        donate: bool = True,
+    ) -> None:
+        """reference: FFModel::compile(optimizer, loss, metrics)
+        (src/runtime/model.cc:1567). See module docstring for the mapping."""
+        self.optimizer = optimizer or SGDOptimizer(
+            lr=self.config.learning_rate, weight_decay=self.config.weight_decay
+        )
+        self.loss_type = loss_type
+        mask = MetricsType.METRICS_NONE
+        for m in metrics:
+            mask |= m
+        self.metrics_mask = mask
+        self.mesh = mesh
+        self.plan = plan
+
+        final = self.graph.compute_ops[-1]
+        out_spec = final.outputs[0]
+        self.label_tensor = TensorSpec(
+            self._label_shape(out_spec), DataType.DT_FLOAT, "label"
+        )
+        binary_acc = out_spec.shape[-1] == 1  # DLRM-style 0.5-threshold accuracy
+
+        key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
+        params = self.graph.init_params(key)
+        opt_state = self.optimizer.init(params)
+
+        compute_dtype = jnp.dtype(self.config.compute_dtype)
+        graph = self.graph
+        loss_t = self.loss_type
+        opt = self.optimizer
+        metrics_mask = self.metrics_mask
+        profiling = self.config.profiling
+
+        def forward_only(params, feeds, training, rng):
+            ctx = OpContext(
+                training=training,
+                rng=rng,
+                compute_dtype=compute_dtype,
+                seq_length=self.iter_config.seq_length,
+                mesh=mesh,
+                plan=plan,
+                profiling=profiling,
+            )
+            (out,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
+            return out
+
+        def loss_and_metrics(params, feeds, labels, rng):
+            logits = forward_only(params, feeds, True, rng)
+            loss = losses_lib.compute_loss(loss_t, logits, labels)
+            step_metrics = metrics_lib.compute_perf_metrics(
+                metrics_mask, logits, labels, binary_acc
+            )
+            return loss, step_metrics
+
+        def train_step(params, opt_state, metrics_total, feeds, labels, rng):
+            (loss, step_metrics), grads = jax.value_and_grad(
+                loss_and_metrics, has_aux=True
+            )(params, feeds, labels, rng)
+            params, opt_state = opt.update(grads, opt_state, params)
+            metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
+            return params, opt_state, metrics_total, loss
+
+        def eval_step(params, metrics_total, feeds, labels):
+            logits = forward_only(params, feeds, False, None)
+            loss = losses_lib.compute_loss(loss_t, logits, labels)
+            step_metrics = metrics_lib.compute_perf_metrics(
+                metrics_mask, logits, labels, binary_acc
+            )
+            return metrics_lib.accumulate(metrics_total, step_metrics), loss
+
+        donate_args = (0, 1, 2) if donate else ()
+        if mesh is not None and plan is not None:
+            params = plan.shard_params(params, self.graph, mesh)
+            opt_state = jax.tree_util.tree_map(
+                lambda x: x, opt_state
+            )  # opt state shards follow params via jit propagation
+        self._params = params
+        self._opt_state = opt_state
+        self._metrics_total = metrics_lib.zero_perf_metrics(
+            with_auc=bool(metrics_mask & MetricsType.METRICS_AUC_ROC)
+        )
+        self._train_step = jax.jit(train_step, donate_argnums=donate_args)
+        self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
+        self._forward_fn = jax.jit(forward_only, static_argnums=(2,))
+        self._step_count = 0
+        self._compiled = True
+
+    @staticmethod
+    def _label_shape(out_spec: TensorSpec) -> Tuple[int, ...]:
+        return (out_spec.shape[0], out_spec.shape[-1] if len(out_spec.shape) > 1 else 1)
+
+    # ------------------------------------------------------------------ verbs
+    def forward(self, feeds: Dict[str, Any], training: bool = False):
+        """reference: FFModel::forward (model.cc:1416). Runs inference-style
+        forward; for training use train_batch (fused fwd+bwd+update)."""
+        assert self._compiled
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
+        return self._forward_fn(self._params, feeds, training, rng)
+
+    def train_batch(self, feeds: Dict[str, Any], labels) -> float:
+        """One fused step = reference forward+zero_gradients+backward+update
+        (the reference hot loop, dlrm.cc:162-183)."""
+        assert self._compiled
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
+        self._params, self._opt_state, self._metrics_total, loss = self._train_step(
+            self._params, self._opt_state, self._metrics_total, feeds, labels, rng
+        )
+        self._step_count += 1
+        return loss
+
+    def eval_batch(self, feeds: Dict[str, Any], labels) -> float:
+        assert self._compiled
+        self._metrics_total, loss = self._eval_step(
+            self._params, self._metrics_total, feeds, labels
+        )
+        return loss
+
+    def reset_metrics(self) -> None:
+        """reference: FFModel::reset_metrics (model.h:508)."""
+        self._metrics_total = metrics_lib.zero_perf_metrics(
+            with_auc=bool(self.metrics_mask & MetricsType.METRICS_AUC_ROC)
+        )
+
+    def get_metrics(self) -> Dict[str, float]:
+        """reference: FFModel::get_metrics (model.h:513) + PerfMetrics print."""
+        return metrics_lib.summarize(
+            jax.tree_util.tree_map(np.asarray, self._metrics_total), self.metrics_mask
+        )
+
+    # ------------------------------------------------------------------ loops
+    def fit(
+        self,
+        feeds: Dict[str, np.ndarray],
+        labels: np.ndarray,
+        epochs: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        verbose: bool = True,
+    ) -> Dict[str, float]:
+        """Keras-style loop (reference: base_model.py:195-424): slice host
+        arrays into batches, run fused steps, print PerfMetrics per
+        print_freq, report throughput after a warmup epoch like the
+        reference's DLRM driver (dlrm.cc:150-194)."""
+        assert self._compiled
+        epochs = epochs or self.config.epochs
+        bs = batch_size or self.config.batch_size
+        n = labels.shape[0]
+        steps = n // bs
+        assert steps > 0, "dataset smaller than one batch"
+        history: Dict[str, float] = {}
+        warm_time = None
+        for epoch in range(epochs):
+            self.reset_metrics()
+            t0 = time.time()
+            for i in range(steps):
+                sl = slice(i * bs, (i + 1) * bs)
+                batch = {k: v[sl] for k, v in feeds.items()}
+                loss = self.train_batch(batch, labels[sl])
+                if verbose and (i % max(self.config.print_freq, 1) == 0):
+                    m = self.get_metrics()
+                    msg = " ".join(f"{k}={v:.6g}" for k, v in m.items())
+                    print(f"epoch {epoch} step {i}/{steps} loss={float(loss):.6g} {msg}")
+            jax.block_until_ready(self._params)
+            dt = time.time() - t0
+            if epoch == 0:
+                warm_time = dt
+            history = self.get_metrics()
+            history["epoch_time_s"] = dt
+            history["throughput"] = steps * bs / dt
+            if verbose:
+                print(
+                    f"epoch {epoch} done in {dt:.2f}s "
+                    f"throughput={history['throughput']:.1f} samples/s"
+                )
+        if warm_time is not None:
+            history["first_epoch_time_s"] = warm_time
+        return history
+
+    def evaluate(
+        self,
+        feeds: Dict[str, np.ndarray],
+        labels: np.ndarray,
+        batch_size: Optional[int] = None,
+    ) -> Dict[str, float]:
+        assert self._compiled
+        bs = batch_size or self.config.batch_size
+        n = labels.shape[0]
+        steps = n // bs
+        self.reset_metrics()
+        for i in range(steps):
+            sl = slice(i * bs, (i + 1) * bs)
+            batch = {k: v[sl] for k, v in feeds.items()}
+            self.eval_batch(batch, labels[sl])
+        return self.get_metrics()
+
+    # ------------------------------------------------------------------ state IO
+    def get_parameters(self):
+        return self._params
+
+    def set_parameters(self, params) -> None:
+        """reference: Parameter::set_weights numpy round trip
+        (src/runtime/model.cu:338-467)."""
+        self._params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def set_iteration_config_sequence_length(self, seq_length: int) -> None:
+        """reference: model.h:551. Changing it triggers a re-trace (new static
+        shapes), the XLA analog of the reference's runtime extent adjustment."""
+        self.iter_config.seq_length = seq_length

@@ -1,0 +1,88 @@
+"""EmbeddingBag op (single table).
+
+TPU-native analog of the reference Embedding (reference: src/ops/embedding.cu
+fwd gather+pool kernel at 166-190, bwd atomicAdd scatter at 192-217; AVX2 CPU
+variant src/ops/embedding.cc:23-319). Here the fused lookup+pool runs either
+as XLA gather+reduce (always available) or through the Pallas fused kernel
+(ops/pallas/embedding_bag.py) on TPU. Backward is jax.grad of the gather —
+XLA emits a sorted scatter-add, replacing the CUDA atomicAdd kernel.
+
+Semantics: input int indices [B] or [B, bag]; entries < 0 are padding
+(masked out — extension over the reference, which assumes dense bags,
+examples/cpp/DLRM/dlrm.cc:101). aggr in {none, sum, avg}.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ffconst import AggrMode, DataType, OperatorType
+from ..core.graph import Op
+from ..core.initializers import GlorotUniform
+from ..core.tensor import TensorSpec
+
+
+class Embedding(Op):
+    op_type = OperatorType.OP_EMBEDDING
+
+    def __init__(
+        self,
+        name: str,
+        input: TensorSpec,
+        num_entries: int,
+        out_dim: int,
+        aggr: AggrMode = AggrMode.AGGR_MODE_SUM,
+        kernel_initializer=None,
+    ):
+        super().__init__(name, [input])
+        assert input.dtype in (DataType.DT_INT32, DataType.DT_INT64), (
+            f"embedding input must be integer indices, got {input.dtype}"
+        )
+        self.num_entries = int(num_entries)
+        self.out_dim = int(out_dim)
+        self.aggr = aggr
+        batch = input.shape[0]
+        if aggr is AggrMode.AGGR_MODE_NONE:
+            assert input.num_dims == 1 or input.shape[1] == 1
+            self._out((batch, out_dim))
+        else:
+            self._out((batch, out_dim))
+        self._param(
+            "weight",
+            (self.num_entries, self.out_dim),
+            kernel_initializer or GlorotUniform(),
+        )
+
+    def forward(self, params, inputs, ctx):
+        (idx,) = inputs
+        return [embedding_bag(params["weight"], idx, self.aggr)]
+
+    def cost_stats(self):
+        idx = self.inputs[0]
+        lookups = idx.volume
+        row_bytes = 4.0 * self.out_dim
+        return {
+            "flops": float(lookups * self.out_dim),
+            "bytes": row_bytes * lookups * 2.0 + 4.0 * lookups,
+            "param_bytes": 4.0 * self.num_entries * self.out_dim,
+        }
+
+
+def embedding_bag(table, idx, aggr: AggrMode):
+    """Pooled lookup with negative-index padding. Pure-XLA path; the Pallas
+    fused path (used by the DLRM embedding collection) lives in
+    ops/pallas/embedding_bag.py."""
+    idx = idx.astype(jnp.int32)
+    squeeze_bag = idx.ndim == 1
+    if squeeze_bag:
+        idx = idx[:, None]
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+    rows = jnp.take(table, safe, axis=0)  # [B, bag, D]
+    rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        return rows[:, 0, :] if squeeze_bag else rows
+    pooled = jnp.sum(rows, axis=1)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        pooled = pooled / count.astype(pooled.dtype)
+    return pooled

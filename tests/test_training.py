@@ -1,0 +1,140 @@
+"""Training-service tests: losses, metrics, optimizers, end-to-end convergence.
+
+Accuracy-gate style follows the reference CI (reference:
+tests/accuracy_tests.sh + keras callbacks VerifyMetrics thresholds) — a tiny
+model must clear a metric threshold to pass.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlrm_flexflow_tpu import (
+    AdamOptimizer,
+    FFConfig,
+    LossType,
+    MetricsType,
+    SGDOptimizer,
+)
+from dlrm_flexflow_tpu.training import losses, metrics
+from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+
+def test_bce_loss_matches_numpy():
+    p = jnp.asarray([[0.9], [0.1], [0.5]], jnp.float32)
+    y = jnp.asarray([[1.0], [0.0], [1.0]], jnp.float32)
+    got = float(losses.compute_loss(LossType.LOSS_BINARY_CROSSENTROPY, p, y))
+    expect = -np.mean([np.log(0.9), np.log(0.9), np.log(0.5)])
+    assert abs(got - expect) < 1e-5
+
+
+def test_mse_loss_grad_scale():
+    """AVG_REDUCE gradient must be 2*(p-y)/batch (reference scale_factor
+    semantics, include/loss_functions.h:47-49)."""
+    p = jnp.asarray(np.random.rand(8, 3), jnp.float32)
+    y = jnp.asarray(np.random.rand(8, 3), jnp.float32)
+    g = jax.grad(
+        lambda q: losses.compute_loss(LossType.LOSS_MEAN_SQUARED_ERROR_AVG_REDUCE, q, y)
+    )(p)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * (np.asarray(p) - np.asarray(y)) / 8, rtol=1e-5)
+
+
+def test_sparse_cce_matches_dense_cce():
+    probs = jax.nn.softmax(jnp.asarray(np.random.rand(6, 5), jnp.float32))
+    idx = jnp.asarray([0, 3, 2, 4, 1, 1], jnp.int32)
+    onehot = jax.nn.one_hot(idx, 5)
+    a = losses.compute_loss(LossType.LOSS_SPARSE_CATEGORICAL_CROSSENTROPY, probs, idx)
+    b = losses.compute_loss(LossType.LOSS_CATEGORICAL_CROSSENTROPY, probs, onehot)
+    assert abs(float(a) - float(b)) < 1e-5
+
+
+def test_auc_histogram_exact_on_separable():
+    scores = jnp.asarray(np.concatenate([np.full(50, 0.9), np.full(50, 0.1)]), jnp.float32)[:, None]
+    labels = jnp.asarray(np.concatenate([np.ones(50), np.zeros(50)]), jnp.float32)[:, None]
+    m = metrics.compute_perf_metrics(MetricsType.METRICS_AUC_ROC, scores, labels, True)
+    auc = metrics.auc_from_histograms(m["auc_pos_hist"], m["auc_neg_hist"])
+    assert auc == pytest.approx(1.0, abs=1e-6)
+
+
+def test_auc_histogram_near_sklearn_style_reference():
+    rng = np.random.default_rng(0)
+    n = 4000
+    y = rng.integers(0, 2, n).astype(np.float32)
+    s = np.clip(0.3 * y + 0.35 + 0.25 * rng.random(n), 0, 1).astype(np.float32)
+    m = metrics.compute_perf_metrics(
+        MetricsType.METRICS_AUC_ROC, jnp.asarray(s[:, None]), jnp.asarray(y[:, None]), True
+    )
+    got = metrics.auc_from_histograms(m["auc_pos_hist"], m["auc_neg_hist"])
+    # exact pairwise AUC
+    pos, neg = s[y == 1], s[y == 0]
+    exact = (
+        (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    ) / (len(pos) * len(neg))
+    assert abs(got - exact) < 2e-3
+
+
+def test_sgd_momentum_and_nesterov():
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    grads = {"w": jnp.asarray([0.5, 0.5])}
+    opt = SGDOptimizer(lr=0.1, momentum=0.9)
+    st = opt.init(params)
+    p1, st = opt.update(grads, st, params)
+    np.testing.assert_allclose(np.asarray(p1["w"]), [0.95, 1.95], rtol=1e-6)
+    p2, st = opt.update(grads, st, p1)
+    # v = 0.9*0.5+0.5 = 0.95
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p1["w"]) - 0.1 * 0.95, rtol=1e-6)
+
+
+def test_adam_step_matches_reference_formula():
+    params = {"w": jnp.asarray([1.0])}
+    grads = {"w": jnp.asarray([0.1])}
+    opt = AdamOptimizer(alpha=0.01, beta1=0.9, beta2=0.999, epsilon=1e-8)
+    st = opt.init(params)
+    p1, st = opt.update(grads, st, params)
+    m = 0.1 * 0.1
+    v = 0.001 * 0.01
+    alpha_t = 0.01 * np.sqrt(1 - 0.999) / (1 - 0.9)
+    expect = 1.0 - alpha_t * m / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(np.asarray(p1["w"]), [expect], rtol=1e-6)
+
+
+def test_tiny_dlrm_learns_synthetic_signal():
+    """End-to-end accuracy gate (reference analog: accuracy_tests.sh)."""
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[1000, 1000],
+        embedding_bag_size=2,
+        mlp_bot=[4, 32, 8],
+        mlp_top=[24, 32, 1],
+        arch_interaction_op="cat",
+        batch_size=64,
+    )
+    ffc = FFConfig(batch_size=64, compute_dtype="float32", seed=3)
+    model = make_dlrm_model(cfg, ffc)
+    model.compile(
+        AdamOptimizer(alpha=0.01),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY, MetricsType.METRICS_AUC_ROC],
+    )
+    feeds, labels = random_batches(cfg, 64 * 30, seed=7)
+    model.fit(feeds, labels, epochs=10, verbose=False)
+    final = model.get_metrics()
+    assert final["auc"] > 0.85, final
+
+
+def test_dot_interaction_dlrm_builds_and_steps():
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[100, 100, 100],
+        mlp_bot=[4, 8],
+        mlp_top=[6 + 8, 8, 1],
+        arch_interaction_op="dot",
+        batch_size=16,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=16, compute_dtype="float32"))
+    model.compile(SGDOptimizer(lr=0.01), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 32, seed=0)
+    l0 = model.train_batch({k: v[:16] for k, v in feeds.items()}, labels[:16])
+    assert np.isfinite(float(l0))
