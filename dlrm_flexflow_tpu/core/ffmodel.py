@@ -291,6 +291,21 @@ class FFModel:
         self.metrics_mask = mask
         self.mesh = mesh
         self.plan = plan
+        if mesh is not None and plan is not None:
+            # planner pass: fuse per-table embeddings into a sharded
+            # collection (reference analog: compile-time partitioning +
+            # table placement, model.cc:1629-1646 + dlrm_strategy.py)
+            if plan.embedding_mode == "table_parallel":
+                from ..parallel.passes import fuse_embedding_tables
+
+                fuse_embedding_tables(
+                    self.graph, plan, mesh.shape[plan.batch_axis]
+                )
+            self._input_shardings = plan.input_shardings(self.graph, mesh)
+            self._label_sharding = plan.label_sharding(mesh)
+        else:
+            self._input_shardings = None
+            self._label_sharding = None
 
         final = self.graph.compute_ops[-1]
         out_spec = final.outputs[0]
@@ -350,9 +365,9 @@ class FFModel:
         donate_args = (0, 1, 2) if donate else ()
         if mesh is not None and plan is not None:
             params = plan.shard_params(params, self.graph, mesh)
-            opt_state = jax.tree_util.tree_map(
-                lambda x: x, opt_state
-            )  # opt state shards follow params via jit propagation
+            # optimizer state mirrors parameter shardings (reference analog:
+            # Adam m/v replica regions partitioned like the weight)
+            opt_state = self.optimizer.init(params)
         self._params = params
         self._opt_state = opt_state
         self._metrics_total = metrics_lib.zero_perf_metrics(
@@ -369,10 +384,23 @@ class FFModel:
         return (out_spec.shape[0], out_spec.shape[-1] if len(out_spec.shape) > 1 else 1)
 
     # ------------------------------------------------------------------ verbs
+    def _stage(self, feeds: Dict[str, Any], labels=None):
+        """Host->device batch staging (reference analog: ZCM full tensor ->
+        partitioned device batch copies in next_batch, dlrm.cc:482). With a
+        mesh, arrays are placed batch-sharded across it."""
+        if self._input_shardings is not None:
+            feeds = {
+                k: jax.device_put(v, self._input_shardings[k]) for k, v in feeds.items()
+            }
+            if labels is not None:
+                labels = jax.device_put(labels, self._label_sharding)
+        return feeds, labels
+
     def forward(self, feeds: Dict[str, Any], training: bool = False):
         """reference: FFModel::forward (model.cc:1416). Runs inference-style
         forward; for training use train_batch (fused fwd+bwd+update)."""
         assert self._compiled
+        feeds, _ = self._stage(feeds)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
         return self._forward_fn(self._params, feeds, training, rng)
 
@@ -380,6 +408,7 @@ class FFModel:
         """One fused step = reference forward+zero_gradients+backward+update
         (the reference hot loop, dlrm.cc:162-183)."""
         assert self._compiled
+        feeds, labels = self._stage(feeds, labels)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
         self._params, self._opt_state, self._metrics_total, loss = self._train_step(
             self._params, self._opt_state, self._metrics_total, feeds, labels, rng
@@ -389,6 +418,7 @@ class FFModel:
 
     def eval_batch(self, feeds: Dict[str, Any], labels) -> float:
         assert self._compiled
+        feeds, labels = self._stage(feeds, labels)
         self._metrics_total, loss = self._eval_step(
             self._params, self._metrics_total, feeds, labels
         )

@@ -1,0 +1,91 @@
+"""Graph op wrapping a sharded embedding collection.
+
+Created by the planner pass (parallel/passes.py) which fuses the graph's
+individual Embedding ops into one collection — our analog of the reference
+compile pipeline creating per-op partitions + the mapper placing table i on
+device i%N (FFModel::compile, model.cc:1629-1646 + dlrm_strategy.py). Without
+a mesh it falls back to per-table replicated lookups, so the same graph runs
+single-chip.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from ..ffconst import AggrMode, OperatorType
+from ..core.graph import Op
+from ..core.initializers import GlorotUniform
+from ..core.tensor import TensorSpec
+from ..parallel.embedding_collection import (
+    ShardedEmbeddingLayout,
+    sharded_embedding_lookup,
+)
+
+
+class EmbeddingCollection(Op):
+    op_type = OperatorType.OP_EMBEDDING
+
+    def __init__(
+        self,
+        name: str,
+        inputs: Sequence[TensorSpec],  # T index tensors [B, H] (or [B])
+        layout: ShardedEmbeddingLayout,
+        aggr: AggrMode = AggrMode.AGGR_MODE_SUM,
+        per_table_initializer=None,
+        adopt_outputs: Sequence[TensorSpec] = None,
+    ):
+        super().__init__(name, inputs)
+        self.layout = layout
+        self.aggr = aggr
+        per_table_init = per_table_initializer or GlorotUniform()
+        batch = inputs[0].shape[0]
+        if adopt_outputs is not None:
+            # take over the fused Embedding ops' output specs so downstream
+            # consumers stay wired (fusion-pass path)
+            for i, t in enumerate(adopt_outputs):
+                t.owner_op = self
+                t.owner_idx = i
+                self.outputs.append(t)
+        else:
+            for i in range(layout.num_tables):
+                self._out((batch, layout.dim), idx=i)
+
+        def pool_init(key, shape, dtype):
+            assert tuple(shape) == layout.param_shape()
+            return layout.init_params(key, per_table_init, dtype)
+
+        self._param("pool", layout.param_shape(), pool_init)
+
+    def forward(self, params, inputs, ctx):
+        idx = jnp.stack(
+            [x if x.ndim == 2 else x[:, None] for x in inputs], axis=1
+        )  # [B, T, H]
+        pool = params["pool"]
+        if ctx.mesh is not None and ctx.mesh.shape.get("data", 1) > 1:
+            out = sharded_embedding_lookup(
+                self.layout,
+                pool,
+                idx,
+                ctx.mesh,
+                self.aggr,
+                compute_dtype=None,
+            )  # [B, T, D]
+        else:
+            from ..ops.embedding import embedding_bag
+
+            outs = [
+                embedding_bag(self.layout.extract_table(pool, t), idx[:, t], self.aggr)
+                for t in range(self.layout.num_tables)
+            ]
+            out = jnp.stack(outs, axis=1)
+        return [out[:, t] for t in range(self.layout.num_tables)]
+
+    def cost_stats(self):
+        lookups = sum(t.volume for t in self.inputs)
+        d = self.layout.dim
+        return {
+            "flops": float(lookups * d),
+            "bytes": 8.0 * lookups * d,
+            "param_bytes": 4.0 * self.layout.num_shards * self.layout.r_pad * d,
+        }

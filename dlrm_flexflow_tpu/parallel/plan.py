@@ -1,0 +1,178 @@
+"""ShardingPlan: the per-op parallelization strategy container.
+
+TPU-native analog of the reference's per-op ParallelConfig map (reference:
+include/config.h:47-73 — device type + n-dim partition + explicit device
+ids). On TPU a strategy is a PartitionSpec over named mesh axes per op
+output/parameter, plus the embedding-table placement vector. The plan is
+what the MCMC autotuner mutates (reference: FFModel::optimize,
+src/runtime/model.cc:1928) and what gets exported/imported as a strategy
+file (reference: src/runtime/strategy.cc:95-189).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .embedding_collection import (
+    ShardedEmbeddingLayout,
+    greedy_assignment,
+    round_robin_assignment,
+)
+
+
+def _spec_to_list(spec: P) -> list:
+    return [list(x) if isinstance(x, tuple) else x for x in spec]
+
+
+def _list_to_spec(lst) -> P:
+    return P(*[tuple(x) if isinstance(x, list) else x for x in lst])
+
+
+@dataclasses.dataclass
+class OpShardSpec:
+    """Per-op strategy entry (≅ one ParallelConfig)."""
+
+    # one PartitionSpec per op output
+    output_specs: Optional[List[P]] = None
+    # param key -> PartitionSpec (e.g. dense kernel column-sharded for TP)
+    param_specs: Optional[Dict[str, P]] = None
+
+    def to_json(self):
+        return {
+            "outputs": [_spec_to_list(s) for s in (self.output_specs or [])],
+            "params": {k: _spec_to_list(v) for k, v in (self.param_specs or {}).items()},
+        }
+
+    @staticmethod
+    def from_json(d) -> "OpShardSpec":
+        return OpShardSpec(
+            output_specs=[_list_to_spec(s) for s in d.get("outputs", [])] or None,
+            param_specs={k: _list_to_spec(v) for k, v in d.get("params", {}).items()}
+            or None,
+        )
+
+
+@dataclasses.dataclass
+class ShardingPlan:
+    """The full strategy: mesh geometry + per-op specs + table placement."""
+
+    mesh_axes: Tuple[str, ...] = ("data",)
+    batch_axis: str = "data"
+    # "table_parallel" shards embedding tables over batch_axis devices with
+    # all-to-all exchange; "replicated" keeps tables replicated (pure DP).
+    embedding_mode: str = "table_parallel"
+    # table index (graph embedding order) -> shard; None => auto
+    table_assignment: Optional[List[int]] = None
+    # "round_robin" (reference parity) | "greedy" (HBM balancing)
+    assignment_policy: str = "greedy"
+    op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------ exec
+    def batch_spec(self, ndim: int) -> P:
+        return P(self.batch_axis, *([None] * (ndim - 1)))
+
+    def input_shardings(self, graph, mesh: Mesh) -> Dict[str, NamedSharding]:
+        """Batch-sharded shardings for every graph input (the data-loader
+        contract; reference analog: dataloader next_batch index launches
+        copying into partitioned batch tensors, dlrm.cc:482)."""
+        out = {}
+        for iop in graph.inputs:
+            nd = len(iop.outputs[0].shape)
+            out[iop.name] = NamedSharding(mesh, self.batch_spec(nd))
+        return out
+
+    def label_sharding(self, mesh: Mesh, ndim: int = 2) -> NamedSharding:
+        return NamedSharding(mesh, self.batch_spec(ndim))
+
+    def constrain_outputs(self, op, ys, mesh: Mesh):
+        """Apply explicit per-op constraints (reference analog: the mapper
+        enacting each op's ParallelConfig, mapper.cc:346-438). Ops without an
+        entry are left to GSPMD propagation."""
+        entry = self.op_specs.get(op.name)
+        if entry is None or entry.output_specs is None:
+            return ys
+        out = []
+        for y, spec in zip(ys, entry.output_specs):
+            out.append(jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec)))
+        out.extend(ys[len(out):])
+        return out
+
+    def shard_params(self, params, graph, mesh: Mesh):
+        """Place initialized parameters onto the mesh: embedding pools on
+        their table axis, per-op overrides, everything else replicated."""
+        by_op = {op.name: op for op in graph.compute_ops}
+        out = {}
+        for op_name, sub in params.items():
+            op = by_op.get(op_name)
+            entry = self.op_specs.get(op_name)
+            new_sub = {}
+            for key, val in sub.items():
+                spec = P()
+                if entry is not None and entry.param_specs and key in entry.param_specs:
+                    spec = entry.param_specs[key]
+                elif key == "pool" and hasattr(op, "layout"):
+                    spec = op.layout.param_spec(self.batch_axis)
+                new_sub[key] = jax.device_put(val, NamedSharding(mesh, spec))
+            out[op_name] = new_sub
+        return out
+
+    # ------------------------------------------------------------------ build
+    def make_layout(
+        self, vocab_sizes: Sequence[int], dim: int, num_shards: int
+    ) -> ShardedEmbeddingLayout:
+        assignment = self.table_assignment
+        if assignment is None:
+            if self.assignment_policy == "round_robin":
+                assignment = round_robin_assignment(len(vocab_sizes), num_shards)
+            else:
+                assignment = greedy_assignment(vocab_sizes, num_shards)
+            self.table_assignment = assignment
+        assert len(assignment) == len(vocab_sizes)
+        return ShardedEmbeddingLayout(list(vocab_sizes), dim, num_shards, assignment)
+
+    # ------------------------------------------------------------------ file IO
+    def save(self, path: str) -> None:
+        """Export the strategy (reference: save_strategies_to_file,
+        strategy.cc:150; export flag --export)."""
+        doc = {
+            "version": 1,
+            "mesh_axes": list(self.mesh_axes),
+            "batch_axis": self.batch_axis,
+            "embedding_mode": self.embedding_mode,
+            "assignment_policy": self.assignment_policy,
+            "table_assignment": self.table_assignment,
+            "ops": {k: v.to_json() for k, v in self.op_specs.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+
+    @staticmethod
+    def load(path: str) -> "ShardingPlan":
+        """Import a strategy (reference: load_strategies_from_file,
+        strategy.cc:95; --import flag consumed at compile, model.cc:1575)."""
+        with open(path) as f:
+            doc = json.load(f)
+        return ShardingPlan(
+            mesh_axes=tuple(doc["mesh_axes"]),
+            batch_axis=doc["batch_axis"],
+            embedding_mode=doc["embedding_mode"],
+            assignment_policy=doc.get("assignment_policy", "greedy"),
+            table_assignment=doc.get("table_assignment"),
+            op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
+        )
+
+
+def data_parallel_plan() -> ShardingPlan:
+    """Pure DP baseline (reference: get_basic_data_parallel_config,
+    model.cc:500 — the search's starting point)."""
+    return ShardingPlan(embedding_mode="replicated")
+
+
+def dlrm_hybrid_plan(policy: str = "greedy") -> ShardingPlan:
+    """The DLRM default: dense DP + table-parallel embeddings (reference:
+    the hand-crafted dlrm strategy, dlrm_strategy.py:26-47)."""
+    return ShardingPlan(embedding_mode="table_parallel", assignment_policy=policy)

@@ -1,0 +1,179 @@
+"""Sharded-execution tests on the fake 8-device CPU mesh.
+
+This is the capability the reference never had in CI (SURVEY §4: multi-GPU
+correctness needed 8 real GPUs) — we verify table-parallel embedding
+exchange and hybrid-parallel DLRM training on a simulated slice.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dlrm_flexflow_tpu import AdamOptimizer, FFConfig, LossType, MetricsType, SGDOptimizer
+from dlrm_flexflow_tpu.core.graph import OpContext
+from dlrm_flexflow_tpu.data.synthetic import random_batches
+from dlrm_flexflow_tpu.ffconst import AggrMode
+from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+from dlrm_flexflow_tpu.ops.embedding import embedding_bag
+from dlrm_flexflow_tpu.parallel.embedding_collection import (
+    ShardedEmbeddingLayout,
+    greedy_assignment,
+    round_robin_assignment,
+    sharded_embedding_lookup,
+)
+from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+from dlrm_flexflow_tpu.parallel.plan import ShardingPlan, dlrm_hybrid_plan
+from dlrm_flexflow_tpu.core.initializers import GlorotUniform
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_greedy_assignment_balances_rows():
+    vocabs = [1000, 10, 10, 10, 990, 500, 500, 10]
+    owner = greedy_assignment(vocabs, 4)
+    load = [0] * 4
+    for v, o in zip(vocabs, owner):
+        load[o] += v
+    assert max(load) <= 1010  # near-perfect balance (ideal 1010 on 4 shards)
+
+
+@pytest.mark.parametrize("policy", ["round_robin", "greedy"])
+@pytest.mark.parametrize("aggr", [AggrMode.AGGR_MODE_SUM, AggrMode.AGGR_MODE_AVG])
+def test_sharded_lookup_matches_per_table(mesh, policy, aggr):
+    n = 8
+    vocabs = [50, 1000, 30, 77, 400, 12, 260, 99, 31, 500, 8]
+    d = 8
+    owner = (
+        round_robin_assignment(len(vocabs), n)
+        if policy == "round_robin"
+        else greedy_assignment(vocabs, n)
+    )
+    layout = ShardedEmbeddingLayout(vocabs, d, n, owner)
+    pool = layout.init_params(jax.random.PRNGKey(0), GlorotUniform())
+    pool = jax.device_put(pool, NamedSharding(mesh, layout.param_spec()))
+    rng = np.random.default_rng(0)
+    b, h = 16, 3
+    idx = np.stack(
+        [rng.integers(0, v, size=(b, h)) for v in vocabs], axis=1
+    ).astype(np.int32)
+    idx[0, 0, 1:] = -1
+    idx[3, 5, :] = -1  # fully-empty bag
+    idxj = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P("data", None, None)))
+    out = jax.jit(
+        lambda p, i: sharded_embedding_lookup(layout, p, i, mesh, aggr)
+    )(pool, idxj)
+    ref = np.stack(
+        [
+            np.asarray(embedding_bag(layout.extract_table(pool, t), jnp.asarray(idx[:, t]), aggr))
+            for t in range(len(vocabs))
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_lookup_grad_matches(mesh):
+    n = 8
+    vocabs = [40, 200, 64, 33, 100, 8, 90, 55]
+    layout = ShardedEmbeddingLayout(vocabs, 4, n, greedy_assignment(vocabs, n))
+    pool = jax.device_put(
+        layout.init_params(jax.random.PRNGKey(1), GlorotUniform()),
+        NamedSharding(mesh, layout.param_spec()),
+    )
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(
+        np.stack([rng.integers(0, v, size=(16, 2)) for v in vocabs], axis=1), jnp.int32
+    )
+    idx = jax.device_put(idx, NamedSharding(mesh, P("data", None, None)))
+    w = jnp.asarray(rng.normal(size=(16, len(vocabs), 4)), jnp.float32)
+
+    g = jax.jit(
+        jax.grad(lambda p: jnp.sum(sharded_embedding_lookup(layout, p, idx, mesh) * w))
+    )(pool)
+
+    def ref_loss(p):
+        outs = [
+            embedding_bag(layout.extract_table(p, t), idx[:, t], AggrMode.AGGR_MODE_SUM)
+            for t in range(len(vocabs))
+        ]
+        return jnp.sum(jnp.stack(outs, axis=1) * w)
+
+    g_ref = jax.grad(ref_loss)(pool)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def _tiny_cfg():
+    return DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[300, 1000, 50, 120, 700, 90, 33, 410, 64, 256],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[88, 16, 1],
+        arch_interaction_op="cat",
+        batch_size=64,
+    )
+
+
+def test_sharded_dlrm_forward_matches_unsharded(mesh):
+    """The compiled hybrid-parallel DLRM must produce the same logits as
+    the identical graph run without a mesh, given the same params."""
+    cfg = _tiny_cfg()
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32"))
+    plan = dlrm_hybrid_plan()
+    model.compile(
+        SGDOptimizer(lr=0.1),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY],
+        mesh=mesh,
+        plan=plan,
+    )
+    # graph got rewritten: embedding ops fused into one collection
+    names = [type(op).__name__ for op in model.graph.compute_ops]
+    assert "EmbeddingCollection" in names
+    assert "Embedding" not in names
+
+    feeds, labels = random_batches(cfg, 64, seed=5)
+    sharded_out = np.asarray(model.forward(feeds))
+
+    params = model.get_parameters()
+    ctx = OpContext(training=False, compute_dtype=jnp.float32, mesh=None, plan=None)
+    final = model.graph.compute_ops[-1]
+    (unsharded_out,) = model.graph.execute(params, {k: jnp.asarray(v) for k, v in feeds.items()}, ctx, fetch=final.outputs)
+    np.testing.assert_allclose(sharded_out, np.asarray(unsharded_out), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_dlrm_trains(mesh):
+    cfg = _tiny_cfg()
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32", seed=11))
+    model.compile(
+        AdamOptimizer(alpha=0.01),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY, MetricsType.METRICS_AUC_ROC],
+        mesh=mesh,
+        plan=dlrm_hybrid_plan(),
+    )
+    feeds, labels = random_batches(cfg, 64 * 20, seed=9)
+    model.fit(feeds, labels, epochs=6, verbose=False)
+    final = model.get_metrics()
+    assert final["auc"] > 0.8, final
+
+
+def test_plan_save_load_roundtrip(tmp_path, mesh):
+    plan = dlrm_hybrid_plan()
+    plan.make_layout([100, 200, 300], 8, 8)
+    from dlrm_flexflow_tpu.parallel.plan import OpShardSpec
+
+    plan.op_specs["dense_0"] = OpShardSpec(
+        output_specs=[P("data", None)], param_specs={"kernel": P(None, "data")}
+    )
+    path = str(tmp_path / "strategy.json")
+    plan.save(path)
+    loaded = ShardingPlan.load(path)
+    assert loaded.table_assignment == plan.table_assignment
+    assert loaded.embedding_mode == "table_parallel"
+    assert loaded.op_specs["dense_0"].output_specs == [P("data", None)]
+    assert loaded.op_specs["dense_0"].param_specs == {"kernel": P(None, "data")}
