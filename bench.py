@@ -1,0 +1,158 @@
+"""Benchmark driver: DLRM training throughput (examples/sec).
+
+Protocol mirrors the reference's measurement (reference:
+examples/cpp/DLRM/dlrm.cc:150-194 — warmup epoch, fence-bracketed timer,
+THROUGHPUT = samples/s): warmup steps to compile + settle, then timed steps
+on device-resident batches (input pipeline measured separately so the number
+is the compute+exchange path, like the reference's ZCM-staged batches).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Round-1 anchor measured on 1x TPU v5e (this framework, first working build):
+# kaggle-config DLRM, bf16 compute, SGD, batch 8192, sparse embedding updates
+# -> 902,918 examples/s. Later rounds are measured against this so
+# vs_baseline tracks progression; the reference repo publishes no numbers
+# (BASELINE.md).
+BASELINE_EXAMPLES_PER_SEC = 900_000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="kaggle", choices=["tiny", "kaggle", "mlperf"])
+    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--mesh", action="store_true", help="use all devices with hybrid plan")
+    args = ap.parse_args()
+    if args.quick:
+        args.steps, args.warmup = 10, 3
+
+    import jax
+
+    from dlrm_flexflow_tpu import SGDOptimizer, FFConfig, LossType, MetricsType
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import (
+        kaggle_config,
+        make_dlrm_model,
+        mlperf_config,
+        tiny_config,
+    )
+
+    cfg = {
+        "tiny": tiny_config,
+        "kaggle": kaggle_config,
+        "mlperf": lambda batch_size: mlperf_config(batch_size=batch_size, num_tables=8),
+    }[args.config](batch_size=args.batch_size)
+
+    ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
+    model = make_dlrm_model(cfg, ffc)
+
+    mesh = plan = None
+    n_dev = len(jax.devices())
+    if args.mesh and n_dev > 1:
+        from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+        from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+        mesh = make_mesh()
+        plan = dlrm_hybrid_plan()
+
+    model.compile(
+        SGDOptimizer(lr=0.01),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY],
+        mesh=mesh,
+        plan=plan,
+    )
+
+    # Pre-stage device-resident batches (ZCM analog), stacked with a leading
+    # round-robin axis so the whole timed run is ONE dispatch: per-call launch
+    # latency through the runtime must not pollute device throughput, so we
+    # lax.scan the train step on device (standard TPU practice).
+    import jax.numpy as jnp
+
+    n_batches = 4
+    feeds_np, labels_np = random_batches(
+        cfg, args.batch_size * n_batches, seed=0, learnable=False
+    )
+    stacked_feeds = {
+        k: v.reshape((n_batches, args.batch_size) + v.shape[1:])
+        for k, v in feeds_np.items()
+    }
+    stacked_labels = labels_np.reshape(n_batches, args.batch_size, -1)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def stage(v):
+            spec = P(None, plan.batch_axis, *([None] * (v.ndim - 2)))
+            return jax.device_put(v, NamedSharding(mesh, spec))
+    else:
+        stage = jax.device_put
+    stacked_feeds = {k: stage(v) for k, v in stacked_feeds.items()}
+    stacked_labels = stage(stacked_labels)
+
+    rng0 = jax.random.PRNGKey(0)
+    params, opt_state, totals = model._params, model._opt_state, model._metrics_total
+    step_fn = model._train_step_raw  # unjitted; we scan it ourselves
+
+    def multi_step(n, params, opt_state, totals):
+        def body(carry, i):
+            params, opt_state, totals = carry
+            j = jax.lax.rem(i, n_batches)
+            f = {k: v[j] for k, v in stacked_feeds.items()}
+            l = stacked_labels[j]
+            params, opt_state, totals, loss = step_fn(
+                params, opt_state, totals, f, l, jax.random.fold_in(rng0, i)
+            )
+            return (params, opt_state, totals), loss
+        (params, opt_state, totals), losses = jax.lax.scan(
+            body, (params, opt_state, totals), jnp.arange(n)
+        )
+        return params, opt_state, totals, losses[-1]
+
+    run = jax.jit(multi_step, static_argnums=0, donate_argnums=(1, 2, 3))
+    # warmup with the SAME static step count so the timed call reuses the
+    # compiled executable (scan length is static)
+    params, opt_state, totals, loss = run(args.steps, params, opt_state, totals)
+    _ = float(loss)  # force completion (readback, not just block_until_ready)
+
+    t0 = time.perf_counter()
+    params, opt_state, totals, loss = run(args.steps, params, opt_state, totals)
+    loss_val = float(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec = args.steps * args.batch_size / dt
+    loss = loss_val
+    per_chip = examples_per_sec / max(n_dev if args.mesh else 1, 1)
+    print(
+        f"# config={args.config} bs={args.batch_size} steps={args.steps} "
+        f"dt={dt:.3f}s devices={n_dev} mesh={'yes' if mesh else 'no'} "
+        f"examples/s={examples_per_sec:,.0f} per-chip={per_chip:,.0f} "
+        f"loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"dlrm_{args.config}_train_examples_per_sec",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

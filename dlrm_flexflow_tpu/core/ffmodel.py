@@ -316,7 +316,6 @@ class FFModel:
 
         key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
         params = self.graph.init_params(key)
-        opt_state = self.optimizer.init(params)
 
         compute_dtype = jnp.dtype(self.config.compute_dtype)
         graph = self.graph
@@ -324,6 +323,22 @@ class FFModel:
         opt = self.optimizer
         metrics_mask = self.metrics_mask
         profiling = self.config.profiling
+
+        # Sparse-embedding-gradient path: embedding ops whose indices come
+        # straight from graph inputs get their pooled-output gradient applied
+        # as a row scatter fused with the optimizer — no dense [vocab, dim]
+        # gradient (TPU analog of the reference's scatter-into-the-region
+        # backward, src/ops/embedding.cu:192-217). Requires a row-local
+        # optimizer rule (plain SGD / row-wise AdaGrad).
+        sparse_ops = []
+        if opt.supports_sparse:
+            for op in graph.compute_ops:
+                if hasattr(op, "sparse_update") and op.inputs and all(
+                    isinstance(t.owner_op, InputOp) for t in op.inputs
+                ):
+                    sparse_ops.append(op)
+        sparse_names = {op.name for op in sparse_ops}
+        self._sparse_names = sparse_names
 
         def forward_only(params, feeds, training, rng):
             ctx = OpContext(
@@ -338,8 +353,18 @@ class FFModel:
             (out,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             return out
 
-        def loss_and_metrics(params, feeds, labels, rng):
-            logits = forward_only(params, feeds, True, rng)
+        def loss_and_metrics(params, feeds, labels, rng, overrides=None):
+            ctx = OpContext(
+                training=True,
+                rng=rng,
+                compute_dtype=compute_dtype,
+                seq_length=self.iter_config.seq_length,
+                mesh=mesh,
+                plan=plan,
+                profiling=profiling,
+                overrides=overrides,
+            )
+            (logits,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             loss = losses_lib.compute_loss(loss_t, logits, labels)
             step_metrics = metrics_lib.compute_perf_metrics(
                 metrics_mask, logits, labels, binary_acc
@@ -347,12 +372,52 @@ class FFModel:
             return loss, step_metrics
 
         def train_step(params, opt_state, metrics_total, feeds, labels, rng):
-            (loss, step_metrics), grads = jax.value_and_grad(
-                loss_and_metrics, has_aux=True
-            )(params, feeds, labels, rng)
-            params, opt_state = opt.update(grads, opt_state, params)
+            if not sparse_ops:
+                (loss, step_metrics), grads = jax.value_and_grad(
+                    loss_and_metrics, has_aux=True
+                )(params, feeds, labels, rng)
+                params, opt_state = opt.update(grads, opt_state, params)
+                metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
+                return params, opt_state, metrics_total, loss
+
+            # split path: lookups outside the diff region, pooled outputs
+            # differentiated, rows updated by scatter
+            ctx0 = OpContext(
+                training=True,
+                rng=rng,
+                compute_dtype=compute_dtype,
+                mesh=mesh,
+                plan=plan,
+            )
+            overrides = {}
+            sparse_xs = {}
+            for op in sparse_ops:
+                xs = [feeds[t.owner_op.name] for t in op.inputs]
+                sparse_xs[op.name] = xs
+                overrides[op.name] = op.forward(params[op.name], xs, ctx0)
+            dense_params = {k: v for k, v in params.items() if k not in sparse_names}
+
+            def split_loss(dense_params, overrides):
+                return loss_and_metrics(dense_params, feeds, labels, rng, overrides)
+
+            (loss, step_metrics), (g_dense, g_over) = jax.value_and_grad(
+                split_loss, argnums=(0, 1), has_aux=True
+            )(dense_params, overrides)
+            new_dense, dstate = opt.update(g_dense, opt_state["dense"], dense_params)
+            new_params = dict(new_dense)
+            sstates = dict(opt_state["sparse"])
+            for op in sparse_ops:
+                upd, sstates[op.name] = op.sparse_update(
+                    params[op.name],
+                    sparse_xs[op.name],
+                    g_over[op.name],
+                    opt,
+                    sstates[op.name],
+                    ctx0,
+                )
+                new_params[op.name] = upd
             metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
-            return params, opt_state, metrics_total, loss
+            return new_params, {"dense": dstate, "sparse": sstates}, metrics_total, loss
 
         def eval_step(params, metrics_total, feeds, labels):
             logits = forward_only(params, feeds, False, None)
@@ -365,16 +430,32 @@ class FFModel:
         donate_args = (0, 1, 2) if donate else ()
         if mesh is not None and plan is not None:
             params = plan.shard_params(params, self.graph, mesh)
-            # optimizer state mirrors parameter shardings (reference analog:
-            # Adam m/v replica regions partitioned like the weight)
-            opt_state = self.optimizer.init(params)
+        # optimizer state mirrors parameter shardings (reference analog:
+        # Adam m/v replica regions partitioned like the weight)
+        if sparse_ops:
+            dense_init = {k: v for k, v in params.items() if k not in sparse_names}
+            sstates = {}
+            for op in sparse_ops:
+                st = op.sparse_state_init(opt)
+                if st is not None and mesh is not None and hasattr(op, "layout"):
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    st = jax.device_put(
+                        st, NamedSharding(mesh, P(plan.batch_axis, None))
+                    )
+                sstates[op.name] = st
+            opt_state = {"dense": opt.init(dense_init), "sparse": sstates}
+        else:
+            opt_state = opt.init(params)
         self._params = params
         self._opt_state = opt_state
         self._metrics_total = metrics_lib.zero_perf_metrics(
             with_auc=bool(metrics_mask & MetricsType.METRICS_AUC_ROC)
         )
+        self._train_step_raw = train_step  # unjitted, for scanned multi-step
         self._train_step = jax.jit(train_step, donate_argnums=donate_args)
         self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
+        self._forward_fn_raw = forward_only  # unjitted, for embedding/export
         self._forward_fn = jax.jit(forward_only, static_argnums=(2,))
         self._step_count = 0
         self._compiled = True

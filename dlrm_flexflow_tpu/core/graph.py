@@ -39,6 +39,10 @@ class OpContext:
     profiling: bool = False
     # activations captured for inspection when profiling / debugging
     taps: Optional[Dict[str, jax.Array]] = None
+    # op name -> precomputed output list; execute() uses these instead of
+    # calling op.forward (the sparse-embedding-grad path recomputes lookups
+    # outside the differentiated region and injects them here)
+    overrides: Optional[Dict[str, List[jax.Array]]] = None
 
     def op_rng(self, op: "Op") -> Optional[jax.Array]:
         if self.rng is None:
@@ -193,9 +197,12 @@ class Graph:
             env[(iop.guid, 0)] = feeds[iop.name]
 
         for op in self.compute_ops:
-            xs = [env[(t.owner_op.guid, t.owner_idx)] for t in op.inputs]
-            op_params = params.get(op.name, {})
-            ys = op.forward(op_params, xs, ctx)
+            if ctx.overrides is not None and op.name in ctx.overrides:
+                ys = list(ctx.overrides[op.name])
+            else:
+                xs = [env[(t.owner_op.guid, t.owner_idx)] for t in op.inputs]
+                op_params = params.get(op.name, {})
+                ys = op.forward(op_params, xs, ctx)
             if ctx.plan is not None and ctx.mesh is not None:
                 ys = ctx.plan.constrain_outputs(op, ys, ctx.mesh)
             if ctx.taps is not None:

@@ -56,6 +56,19 @@ class Embedding(Op):
         (idx,) = inputs
         return [embedding_bag(params["weight"], idx, self.aggr)]
 
+    # ---- sparse-gradient path (see FFModel.compile) -------------------------
+    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx):
+        """Apply the pooled-output gradient directly to touched rows: the TPU
+        analog of the reference backward scatter (embedding.cu:192-217) fused
+        with the optimizer step — no dense [vocab, dim] gradient exists."""
+        (idx,) = inputs
+        rows, grads = bag_row_grads(idx, g_out_list[0], self.aggr, self.num_entries)
+        table, sstate = optimizer.sparse_row_update(params["weight"], sstate, rows, grads)
+        return {"weight": table}, sstate
+
+    def sparse_state_init(self, optimizer):
+        return optimizer.sparse_init((self.num_entries, self.out_dim))
+
     def cost_stats(self):
         idx = self.inputs[0]
         lookups = idx.volume
@@ -86,3 +99,21 @@ def embedding_bag(table, idx, aggr: AggrMode):
         count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
         pooled = pooled / count.astype(pooled.dtype)
     return pooled
+
+
+def bag_row_grads(idx, g_pooled, aggr: AggrMode, num_entries: int):
+    """Expand a pooled-output gradient [B, D] into per-row scatter operands:
+    rows [B*H] (out-of-range marks padding, to be dropped by scatter) and
+    row_grads [B*H, D]. For AVG pooling each member gets g/count."""
+    idx = idx.astype(jnp.int32)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    b, h = idx.shape
+    valid = idx >= 0
+    g = g_pooled.astype(jnp.float32)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        g = g / count.astype(g.dtype)
+    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
+    grads = jnp.broadcast_to(g[:, None, :], (b, h, g.shape[-1])).reshape(b * h, -1)
+    return rows, grads

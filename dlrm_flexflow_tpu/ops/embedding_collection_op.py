@@ -81,6 +81,47 @@ class EmbeddingCollection(Op):
             out = jnp.stack(outs, axis=1)
         return [out[:, t] for t in range(self.layout.num_tables)]
 
+    # ---- sparse-gradient path (see FFModel.compile) -------------------------
+    def sparse_state_init(self, optimizer):
+        return optimizer.sparse_init(self.layout.param_shape())
+
+    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx):
+        idx = jnp.stack(
+            [x if x.ndim == 2 else x[:, None] for x in inputs], axis=1
+        )  # [B, T, H]
+        g_pooled = jnp.stack(g_out_list, axis=1)  # [B, T, D]
+        pool = params["pool"]
+        if ctx.mesh is not None and ctx.mesh.shape.get("data", 1) > 1:
+            from ..parallel.embedding_collection import (
+                sharded_embedding_sparse_update,
+            )
+
+            pool, sstate = sharded_embedding_sparse_update(
+                self.layout, pool, sstate, idx, g_pooled, ctx.mesh, optimizer, self.aggr
+            )
+            return {"pool": pool}, sstate
+        # unsharded fallback: one scatter over the flattened pool
+        lay = self.layout
+        n, r, d = lay.param_shape()
+        b, t, h = idx.shape
+        idx32 = idx.astype(jnp.int32)
+        valid = idx32 >= 0
+        base = jnp.asarray(
+            [lay.owner[i] * r + int(lay.row_offset[i]) for i in range(t)], jnp.int32
+        )  # [T]
+        rows = jnp.where(valid, idx32 + base[None, :, None], n * r).reshape(b * t * h)
+        g = g_pooled.astype(jnp.float32)
+        if self.aggr.value == "avg":
+            count = jnp.maximum(jnp.sum(valid, axis=2, keepdims=True), 1)
+            g = g / count.astype(g.dtype)
+        grads = jnp.broadcast_to(g[:, :, None, :], (b, t, h, d)).reshape(b * t * h, d)
+        flat = pool.reshape(n * r, d)
+        sflat = sstate.reshape(n * r) if sstate is not None else None
+        flat, sflat = optimizer.sparse_row_update(flat, sflat, rows, grads)
+        pool = flat.reshape(n, r, d)
+        sstate = sflat.reshape(n, r) if sflat is not None else None
+        return {"pool": pool}, sstate
+
     def cost_stats(self):
         lookups = sum(t.volume for t in self.inputs)
         d = self.layout.dim

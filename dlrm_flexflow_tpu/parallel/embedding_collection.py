@@ -202,6 +202,91 @@ def sharded_embedding_lookup(
     )(pool, indices)
 
 
+def sharded_embedding_sparse_update(
+    layout: ShardedEmbeddingLayout,
+    pool: jax.Array,  # [N, R_pad, D]
+    sstate,  # [N, R_pad] optimizer row state or None
+    indices: jax.Array,  # [B, T, H] batch-sharded
+    g_pooled: jax.Array,  # [B, T, D] batch-sharded pooled-output grads
+    mesh: Mesh,
+    optimizer,
+    aggr: AggrMode = AggrMode.AGGR_MODE_SUM,
+    axis: str = "data",
+):
+    """Backward mirror of sharded_embedding_lookup with the optimizer fused
+    in: exchange pooled grads to table owners (one all-to-all; same volume as
+    the forward pooled exchange), expand over bag members, scatter-apply the
+    row update locally. No dense table gradient is ever materialized.
+    """
+    n = layout.num_shards
+    t_max = layout.t_max
+
+    slot_table = jnp.asarray(layout.slot_table, jnp.int32)
+    slot_offset = jnp.asarray(
+        np.where(layout.slot_table >= 0, layout.row_offset[np.maximum(layout.slot_table, 0)], 0),
+        jnp.int32,
+    )
+    r_pad = layout.r_pad
+    has_state = sstate is not None
+
+    def local_fn(pool_local, sstate_local, idx_local, g_local):
+        b_loc, _, h = idx_local.shape
+        idx_local = idx_local.astype(jnp.int32)
+        safe_slot = jnp.maximum(slot_table, 0)
+        is_real = (slot_table >= 0)[None, :, None]
+        gathered = jnp.take(idx_local, safe_slot, axis=1)
+        valid_entry = gathered >= 0
+        remapped = gathered + slot_offset[None, :, None]
+        by_owner = jnp.where(valid_entry & is_real, remapped, -1)
+        sent_idx = jax.lax.all_to_all(
+            by_owner, axis, split_axis=1, concat_axis=0, tiled=True
+        )  # [N*B_loc, t_max, H]
+
+        g_by_slot = jnp.take(g_local, safe_slot, axis=1)  # [B_loc, N*t_max, D]
+        g_by_slot = jnp.where(is_real, g_by_slot, jnp.zeros((), g_by_slot.dtype))
+        sent_g = jax.lax.all_to_all(
+            g_by_slot, axis, split_axis=1, concat_axis=0, tiled=True
+        )  # [N*B_loc, t_max, D]
+
+        nb = n * b_loc
+        valid = sent_idx >= 0  # [nb, t_max, H]
+        g = sent_g.astype(jnp.float32)
+        if aggr is AggrMode.AGGR_MODE_AVG:
+            count = jnp.maximum(jnp.sum(valid, axis=2, keepdims=True), 1)
+            g = g / count.astype(g.dtype)
+        rows = jnp.where(valid, sent_idx, r_pad).reshape(nb * t_max * h)
+        grads = jnp.broadcast_to(
+            g[:, :, None, :], (nb, t_max, h, g.shape[-1])
+        ).reshape(nb * t_max * h, -1)
+        st = sstate_local[0] if has_state else None
+        table, st = optimizer.sparse_row_update(pool_local[0], st, rows, grads)
+        if has_state:
+            return table[None], st[None]
+        return table[None]
+
+    if has_state:
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                layout.param_spec(axis),
+                P(axis, None),
+                P(axis, None, None),
+                P(axis, None, None),
+            ),
+            out_specs=(layout.param_spec(axis), P(axis, None)),
+            check_vma=False,
+        )(pool, sstate, indices, g_pooled)
+    out = jax.shard_map(
+        lambda p, i, g: local_fn(p, None, i, g),
+        mesh=mesh,
+        in_specs=(layout.param_spec(axis), P(axis, None, None), P(axis, None, None)),
+        out_specs=layout.param_spec(axis),
+        check_vma=False,
+    )(pool, indices, g_pooled)
+    return out, None
+
+
 def replicated_embedding_lookup(pool_tables, indices, aggr=AggrMode.AGGR_MODE_SUM):
     """Single-device / replicated fallback used when no mesh is bound:
     pool_tables is a list of [vocab, D]; indices [B, T, H]."""

@@ -23,11 +23,27 @@ import jax.numpy as jnp
 
 
 class Optimizer:
+    # Sparse-row support: embedding tables get their gradients applied as
+    # scatter updates over only the touched rows, never materializing a
+    # dense [vocab, dim] gradient (the TPU analog of the reference's
+    # atomicAdd scatter + in-place SGD on the table region). Optimizers
+    # that can express their update row-locally set supports_sparse=True.
+    supports_sparse: bool = False
+
     def init(self, params) -> Any:
         raise NotImplementedError
 
     def update(self, grads, state, params):
         """returns (new_params, new_state)"""
+        raise NotImplementedError
+
+    def sparse_init(self, pool_shape, dtype=jnp.float32):
+        """Per-embedding-pool slot state for the sparse path (None if none)."""
+        return None
+
+    def sparse_row_update(self, table, state, rows, row_grads):
+        """Apply row-wise update: `rows` [K] int32 (out-of-range = dropped),
+        `row_grads` [K, D]. Returns (new_table, new_state)."""
         raise NotImplementedError
 
 
@@ -39,6 +55,22 @@ class SGDOptimizer(Optimizer):
     momentum: float = 0.0
     nesterov: bool = False
     weight_decay: float = 0.0
+
+    @property
+    def supports_sparse(self) -> bool:
+        # momentum would need dense velocity state; plain SGD is row-local
+        return self.momentum == 0.0
+
+    def sparse_row_update(self, table, state, rows, row_grads):
+        if self.weight_decay != 0.0:
+            # lazy decoupled decay on touched rows only (duplicates decay
+            # once per occurrence; matches common sparse-SGD practice)
+            decay = jnp.take(table, jnp.minimum(rows, table.shape[0] - 1), axis=0)
+            row_grads = row_grads + self.weight_decay * decay
+        new_table = table.at[rows].add(
+            (-self.lr * row_grads).astype(table.dtype), mode="drop"
+        )
+        return new_table, state
 
     def init(self, params):
         if self.momentum == 0.0:
@@ -113,3 +145,56 @@ class AdamOptimizer(Optimizer):
         new_m = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is_triple)
         new_v = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=is_triple)
         return new_params, {"step": step, "m": new_m, "v": new_v}
+
+
+@dataclasses.dataclass
+class RowWiseAdagradOptimizer(Optimizer):
+    """Row-wise AdaGrad — the industry-standard DLRM embedding optimizer
+    (one accumulator scalar per table row; not in the reference, which only
+    has SGD/Adam). Dense parameters get ordinary AdaGrad semantics with a
+    per-row (first-dim) accumulator.
+    """
+
+    lr: float = 0.01
+    epsilon: float = 1e-10
+    initial_accumulator: float = 0.0
+
+    supports_sparse = True
+
+    def init(self, params):
+        def acc_like(w):
+            return jnp.full((w.shape[0],) if w.ndim > 0 else (), self.initial_accumulator, jnp.float32)
+
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "acc": jax.tree_util.tree_map(acc_like, params),
+        }
+
+    def update(self, grads, state, params):
+        def upd(w, g, a):
+            gsq = jnp.mean(
+                jnp.square(g.astype(jnp.float32)), axis=tuple(range(1, g.ndim))
+            ) if g.ndim > 1 else jnp.square(g.astype(jnp.float32))
+            a = a + gsq
+            scale = jax.lax.rsqrt(a + self.epsilon)
+            shaped = scale.reshape((-1,) + (1,) * (g.ndim - 1)) if g.ndim > 1 else scale
+            return w - self.lr * shaped * g, a
+
+        flat = jax.tree_util.tree_map(upd, params, grads, state["acc"])
+        is_pair = lambda x: isinstance(x, tuple)
+        new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is_pair)
+        new_acc = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is_pair)
+        return new_params, {"step": state["step"] + 1, "acc": new_acc}
+
+    def sparse_init(self, pool_shape, dtype=jnp.float32):
+        # one accumulator per row: [..., R] matching pool_shape[:-1]
+        return jnp.full(pool_shape[:-1], self.initial_accumulator, jnp.float32)
+
+    def sparse_row_update(self, table, acc, rows, row_grads):
+        g32 = row_grads.astype(jnp.float32)
+        gsq = jnp.mean(jnp.square(g32), axis=-1)  # [K]
+        acc = acc.at[rows].add(gsq, mode="drop")
+        a_rows = jnp.take(acc, jnp.minimum(rows, acc.shape[0] - 1), axis=0)
+        scaled = (-self.lr * jax.lax.rsqrt(a_rows + self.epsilon))[:, None] * g32
+        table = table.at[rows].add(scaled.astype(table.dtype), mode="drop")
+        return table, acc
