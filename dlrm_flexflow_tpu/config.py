@@ -45,6 +45,12 @@ class FFConfig:
     # --- execution knobs ---
     profiling: bool = False
     perform_fusion: bool = False  # XLA fuses; flag kept for parity/reporting
+    # Fuse same-dim tables into one pooled collection even without a mesh.
+    # Off by default on one chip: XLA's scatter/gather on a single
+    # [sum_vocab, small_D] pool relayouts to (8,128) tiles (8x padded copies
+    # for D=16), measured slower than per-table params; the sharded path
+    # always fuses (the all-to-all needs the collection).
+    fuse_embeddings: bool = False
     allow_tensor_op_math: bool = True  # => bf16 matmuls on MXU
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42

@@ -291,19 +291,23 @@ class FFModel:
         self.metrics_mask = mask
         self.mesh = mesh
         self.plan = plan
+        # planner pass: fuse per-table embeddings into one collection
+        # (reference analog: compile-time partitioning + table placement,
+        # model.cc:1629-1646 + dlrm_strategy.py). Also a single-chip win:
+        # one pooled gather/scatter instead of T separate ones.
         if mesh is not None and plan is not None:
-            # planner pass: fuse per-table embeddings into a sharded
-            # collection (reference analog: compile-time partitioning +
-            # table placement, model.cc:1629-1646 + dlrm_strategy.py)
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 
-                fuse_embedding_tables(
-                    self.graph, plan, mesh.shape[plan.batch_axis]
-                )
+                fuse_embedding_tables(self.graph, plan, mesh.shape[plan.batch_axis])
             self._input_shardings = plan.input_shardings(self.graph, mesh)
             self._label_sharding = plan.label_sharding(mesh)
         else:
+            if self.config.fuse_embeddings:
+                from ..parallel.passes import fuse_embedding_tables
+                from ..parallel.plan import dlrm_hybrid_plan
+
+                fuse_embedding_tables(self.graph, dlrm_hybrid_plan(), 1)
             self._input_shardings = None
             self._label_sharding = None
 

@@ -72,13 +72,23 @@ class EmbeddingCollection(Op):
                 compute_dtype=None,
             )  # [B, T, D]
         else:
+            # single flat gather over the whole pool: remap per-table indices
+            # to pool-global rows, one embedding_bag for all tables
             from ..ops.embedding import embedding_bag
 
-            outs = [
-                embedding_bag(self.layout.extract_table(pool, t), idx[:, t], self.aggr)
-                for t in range(self.layout.num_tables)
-            ]
-            out = jnp.stack(outs, axis=1)
+            lay = self.layout
+            n, r, d = lay.param_shape()
+            b, t, h = idx.shape
+            idx32 = idx.astype(jnp.int32)
+            base = jnp.asarray(
+                [lay.owner[i] * r + int(lay.row_offset[i]) for i in range(t)],
+                jnp.int32,
+            )
+            flat_idx = jnp.where(idx32 >= 0, idx32 + base[None, :, None], -1)
+            pooled = embedding_bag(
+                pool.reshape(n * r, d), flat_idx.reshape(b * t, h), self.aggr
+            )
+            out = pooled.reshape(b, t, d)
         return [out[:, t] for t in range(self.layout.num_tables)]
 
     # ---- sparse-gradient path (see FFModel.compile) -------------------------
