@@ -51,6 +51,9 @@ class FFConfig:
     # for D=16), measured slower than per-table params; the sharded path
     # always fuses (the all-to-all needs the collection).
     fuse_embeddings: bool = False
+    # Embedding tables with vocab <= this use one-hot MXU matmuls (stream
+    # the table) instead of HBM gathers; their grads stay dense. 0 = off.
+    onehot_embedding_threshold: int = 8192
     allow_tensor_op_math: bool = True  # => bf16 matmuls on MXU
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42

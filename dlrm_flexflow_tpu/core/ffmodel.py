@@ -327,6 +327,7 @@ class FFModel:
         opt = self.optimizer
         metrics_mask = self.metrics_mask
         profiling = self.config.profiling
+        onehot_thr = self.config.onehot_embedding_threshold
 
         # Sparse-embedding-gradient path: embedding ops whose indices come
         # straight from graph inputs get their pooled-output gradient applied
@@ -340,6 +341,9 @@ class FFModel:
                 if hasattr(op, "sparse_update") and op.inputs and all(
                     isinstance(t.owner_op, InputOp) for t in op.inputs
                 ):
+                    # small tables go through the one-hot matmul (dense grads)
+                    if 0 < getattr(op, "num_entries", 0) <= onehot_thr:
+                        continue
                     sparse_ops.append(op)
         sparse_names = {op.name for op in sparse_ops}
         self._sparse_names = sparse_names
@@ -353,6 +357,7 @@ class FFModel:
                 mesh=mesh,
                 plan=plan,
                 profiling=profiling,
+                onehot_threshold=onehot_thr,
             )
             (out,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             return out
@@ -367,6 +372,7 @@ class FFModel:
                 plan=plan,
                 profiling=profiling,
                 overrides=overrides,
+                onehot_threshold=onehot_thr,
             )
             (logits,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             loss = losses_lib.compute_loss(loss_t, logits, labels)
@@ -392,6 +398,7 @@ class FFModel:
                 compute_dtype=compute_dtype,
                 mesh=mesh,
                 plan=plan,
+                onehot_threshold=onehot_thr,
             )
             overrides = {}
             sparse_xs = {}

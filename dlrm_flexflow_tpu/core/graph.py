@@ -43,6 +43,9 @@ class OpContext:
     # calling op.forward (the sparse-embedding-grad path recomputes lookups
     # outside the differentiated region and injects them here)
     overrides: Optional[Dict[str, List[jax.Array]]] = None
+    # vocab size at or below which embedding ops use the one-hot MXU matmul
+    # path instead of gather (0 disables)
+    onehot_threshold: int = 0
 
     def op_rng(self, op: "Op") -> Optional[jax.Array]:
         if self.rng is None:

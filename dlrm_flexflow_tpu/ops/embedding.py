@@ -13,6 +13,7 @@ examples/cpp/DLRM/dlrm.cc:101). aggr in {none, sum, avg}.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ffconst import AggrMode, DataType, OperatorType
@@ -54,6 +55,13 @@ class Embedding(Op):
 
     def forward(self, params, inputs, ctx):
         (idx,) = inputs
+        thr = getattr(ctx, "onehot_threshold", 0)
+        if 0 < self.num_entries <= thr and self.aggr is not AggrMode.AGGR_MODE_NONE:
+            return [
+                embedding_bag_onehot(
+                    params["weight"], idx, self.aggr, ctx.compute_dtype
+                )
+            ]
         return [embedding_bag(params["weight"], idx, self.aggr)]
 
     # ---- sparse-gradient path (see FFModel.compile) -------------------------
@@ -99,6 +107,34 @@ def embedding_bag(table, idx, aggr: AggrMode):
         count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
         pooled = pooled / count.astype(pooled.dtype)
     return pooled
+
+
+def embedding_bag_onehot(table, idx, aggr: AggrMode, compute_dtype=jnp.bfloat16):
+    """Small-vocab pooled lookup as a one-hot matmul on the MXU.
+
+    For vocab up to a few thousand rows, streaming the whole table through
+    the systolic array beats random 64-byte gathers from HBM (the XLA gather
+    is latency-bound). Backward is a dense [V, D] matmul grad — cheap at
+    these sizes — so small tables stay on the dense autodiff/optimizer path.
+    Padding entries (idx < 0) one-hot to all-zeros for free.
+    """
+    idx = idx.astype(jnp.int32)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    b, h = idx.shape
+    v, d = table.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, h, v), 2)
+    onehot = (idx[:, :, None] == iota).astype(compute_dtype)
+    pooled = jnp.einsum(
+        "bhv,vd->bd", onehot, table.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(idx >= 0, axis=1, keepdims=True), 1)
+        pooled = pooled / count.astype(pooled.dtype)
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        raise ValueError("one-hot path requires pooling")
+    return pooled.astype(table.dtype)
 
 
 def bag_row_grads(idx, g_pooled, aggr: AggrMode, num_entries: int):

@@ -28,7 +28,10 @@ CFG = DLRMConfig(
 
 
 def _train(opt, steps=4, mesh=None, plan=None):
-    m = make_dlrm_model(CFG, FFConfig(batch_size=32, compute_dtype="float32", seed=5))
+    m = make_dlrm_model(
+        CFG,
+        FFConfig(batch_size=32, compute_dtype="float32", seed=5, onehot_embedding_threshold=0),
+    )
     m.compile(opt, LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False, mesh=mesh, plan=plan)
     feeds, labels = random_batches(CFG, 32 * steps, seed=3)
     losses = []
@@ -55,13 +58,17 @@ def test_sparse_sgd_matches_dense_sgd():
 
 def test_sparse_path_sharded_matches_unsharded():
     mesh = make_mesh()
-    m1 = make_dlrm_model(CFG, FFConfig(batch_size=32, compute_dtype="float32", seed=5))
+    m1 = make_dlrm_model(
+        CFG, FFConfig(batch_size=32, compute_dtype="float32", seed=5, onehot_embedding_threshold=0)
+    )
     m1.compile(
         SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY, [],
         donate=False, mesh=mesh, plan=dlrm_hybrid_plan(),
     )
     assert m1._sparse_names == {"embedding_collection"}
-    m2 = make_dlrm_model(CFG, FFConfig(batch_size=32, compute_dtype="float32", seed=5))
+    m2 = make_dlrm_model(
+        CFG, FFConfig(batch_size=32, compute_dtype="float32", seed=5, onehot_embedding_threshold=0)
+    )
     m2.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False)
     # graft m1's initial params onto m2 (dense names match; tables come out
     # of the collection pool) so trajectories are comparable
@@ -118,3 +125,30 @@ def test_rowwise_adagrad_sparse_matches_dense_formula():
     )
     # untouched rows unchanged
     np.testing.assert_allclose(np.asarray(new_table[0]), np.ones(4), rtol=0)
+
+
+def test_onehot_small_tables_match_gather():
+    """Small-vocab tables via one-hot MXU matmul must equal the gather path."""
+    import jax
+    from dlrm_flexflow_tpu.ops.embedding import embedding_bag, embedding_bag_onehot
+    from dlrm_flexflow_tpu.ffconst import AggrMode
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(500, 16)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 500, size=(32, 3)), jnp.int32)
+    idx = idx.at[0, 1:].set(-1)
+    for aggr in (AggrMode.AGGR_MODE_SUM, AggrMode.AGGR_MODE_AVG):
+        a = embedding_bag(table, idx, aggr)
+        b = embedding_bag_onehot(table, idx, aggr, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_threshold_routes_small_tables_dense():
+    m = make_dlrm_model(
+        CFG, FFConfig(batch_size=32, compute_dtype="float32", onehot_embedding_threshold=200)
+    )
+    m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False)
+    # vocab 100 and 64 go dense/one-hot; 300 and 450 stay sparse
+    assert m._sparse_names == {"table_0", "table_2"}
+    feeds, labels = random_batches(CFG, 32, seed=0)
+    assert np.isfinite(float(m.train_batch(feeds, labels)))
