@@ -267,6 +267,179 @@ class FFModel:
         op = Dropout(self.graph.unique_name(name or "dropout"), input, rate, seed)
         return self._add(op).outputs[0]
 
+    # --- linear algebra / CNN / attention --------------------------------------
+    def batch_matmul(
+        self,
+        A: TensorSpec,
+        B: TensorSpec,
+        a_seq_length_dim: int = -1,
+        b_seq_length_dim: int = -1,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.batch_matmul import BatchMatmul
+
+        op = BatchMatmul(
+            self.graph.unique_name(name or "batch_matmul"),
+            A, B, a_seq_length_dim, b_seq_length_dim,
+        )
+        return self._add(op).outputs[0]
+
+    def conv2d(
+        self,
+        input: TensorSpec,
+        out_channels: int,
+        kernel_h: int,
+        kernel_w: int,
+        stride_h: int = 1,
+        stride_w: int = 1,
+        padding_h: int = 0,
+        padding_w: int = 0,
+        activation=ActiMode.AC_MODE_NONE,
+        groups: int = 1,
+        use_bias: bool = True,
+        kernel_initializer=None,
+        bias_initializer=None,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.conv import Conv2D
+
+        op = Conv2D(
+            self.graph.unique_name(name or "conv2d"),
+            input, out_channels, kernel_h, kernel_w, stride_h, stride_w,
+            padding_h, padding_w, activation, groups, use_bias,
+            kernel_initializer, bias_initializer,
+        )
+        return self._add(op).outputs[0]
+
+    def pool2d(
+        self,
+        input: TensorSpec,
+        kernel_h: int,
+        kernel_w: int,
+        stride_h: int = 1,
+        stride_w: int = 1,
+        padding_h: int = 0,
+        padding_w: int = 0,
+        pool_type: PoolType = PoolType.POOL_MAX,
+        activation=ActiMode.AC_MODE_NONE,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.conv import Pool2D
+
+        op = Pool2D(
+            self.graph.unique_name(name or "pool2d"),
+            input, kernel_h, kernel_w, stride_h, stride_w,
+            padding_h, padding_w, pool_type, activation,
+        )
+        return self._add(op).outputs[0]
+
+    def batch_norm(
+        self, input: TensorSpec, relu: bool = True, name: Optional[str] = None
+    ) -> TensorSpec:
+        from ..ops.conv import BatchNorm
+
+        op = BatchNorm(self.graph.unique_name(name or "batch_norm"), input, relu)
+        return self._add(op).outputs[0]
+
+    def multihead_attention(
+        self,
+        query: TensorSpec,
+        key: TensorSpec,
+        value: TensorSpec,
+        embed_dim: int,
+        num_heads: int,
+        kdim: int = 0,
+        vdim: int = 0,
+        dropout: float = 0.0,
+        bias: bool = True,
+        add_bias_kv: bool = False,
+        add_zero_attn: bool = False,
+        kernel_initializer=None,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.attention import MultiHeadAttention
+
+        op = MultiHeadAttention(
+            self.graph.unique_name(name or "attention"),
+            query, key, value, embed_dim, num_heads, kdim, vdim,
+            dropout, bias, add_bias_kv, add_zero_attn, kernel_initializer,
+        )
+        return self._add(op).outputs[0]
+
+    # --- MoE --------------------------------------------------------------------
+    def top_k(
+        self, input: TensorSpec, k: int, sorted: bool = True, name: Optional[str] = None
+    ):
+        from ..ops.moe import TopK
+
+        op = TopK(self.graph.unique_name(name or "topk"), input, k, sorted)
+        self._add(op)
+        return op.outputs[0], op.outputs[1]
+
+    def group_by(
+        self,
+        data: TensorSpec,
+        assign: TensorSpec,
+        n: int,
+        alpha: float,
+        name: Optional[str] = None,
+    ):
+        from ..ops.moe import GroupBy
+
+        op = GroupBy(self.graph.unique_name(name or "group_by"), data, assign, n, alpha)
+        return list(self._add(op).outputs)
+
+    def aggregate(
+        self, inputs: Sequence[TensorSpec], n: int, lambda_bal: float = 0.0,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.moe import Aggregate
+
+        op = Aggregate(self.graph.unique_name(name or "aggregate"), inputs, n, lambda_bal)
+        return self._add(op).outputs[0]
+
+    def aggregate_spec(
+        self, inputs: Sequence[TensorSpec], n: int, lambda_bal: float = 0.0,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.moe import AggregateSpec
+
+        op = AggregateSpec(
+            self.graph.unique_name(name or "aggregate_spec"), inputs, n, lambda_bal
+        )
+        return self._add(op).outputs[0]
+
+    def cache(
+        self,
+        input: TensorSpec,
+        num_batches: int,
+        score_func=None,
+        name: Optional[str] = None,
+    ) -> TensorSpec:
+        from ..ops.cache import Cache
+
+        op = Cache(self.graph.unique_name(name or "cache"), input, num_batches, score_func)
+        return self._add(op).outputs[0]
+
+    def recompile_on_condition(self, recompile_state) -> bool:
+        """reference: FFModel::recompile_on_condition (model.cc:1424-1428):
+        call the user trigger; if it fires, apply alter_func and rebuild the
+        compiled step (XLA re-trace = Legion re-partition)."""
+        if recompile_state.trigger():
+            recompile_state.alter()
+            self.recompile()
+            return True
+        return False
+
+    def recompile(self) -> None:
+        """Rebuild jitted steps after a graph mutation, preserving state."""
+        assert self._compiled
+        params, opt_state, step_count = self._params, self._opt_state, self._step_count
+        totals = self._metrics_total
+        self.compile(**self._compile_args)
+        self._params, self._opt_state, self._step_count = params, opt_state, step_count
+        self._metrics_total = totals
+
     # ------------------------------------------------------------------ compile
     def compile(
         self,
@@ -281,6 +454,10 @@ class FFModel:
     ) -> None:
         """reference: FFModel::compile(optimizer, loss, metrics)
         (src/runtime/model.cc:1567). See module docstring for the mapping."""
+        self._compile_args = dict(
+            optimizer=optimizer, loss_type=loss_type, metrics=tuple(metrics),
+            comp_mode=comp_mode, mesh=mesh, plan=plan, seed=seed, donate=donate,
+        )
         self.optimizer = optimizer or SGDOptimizer(
             lr=self.config.learning_rate, weight_decay=self.config.weight_decay
         )
@@ -414,6 +591,7 @@ class FFModel:
             (loss, step_metrics), (g_dense, g_over) = jax.value_and_grad(
                 split_loss, argnums=(0, 1), has_aux=True
             )(dense_params, overrides)
+            lr = opt_state["dense"].get("lr") if isinstance(opt_state["dense"], dict) else None
             new_dense, dstate = opt.update(g_dense, opt_state["dense"], dense_params)
             new_params = dict(new_dense)
             sstates = dict(opt_state["sparse"])
@@ -425,6 +603,7 @@ class FFModel:
                     opt,
                     sstates[op.name],
                     ctx0,
+                    lr=lr,
                 )
                 new_params[op.name] = upd
             metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
@@ -536,6 +715,7 @@ class FFModel:
         epochs: Optional[int] = None,
         batch_size: Optional[int] = None,
         verbose: bool = True,
+        callbacks: Sequence = (),
     ) -> Dict[str, float]:
         """Keras-style loop (reference: base_model.py:195-424): slice host
         arrays into batches, run fused steps, print PerfMetrics per
@@ -549,7 +729,12 @@ class FFModel:
         assert steps > 0, "dataset smaller than one batch"
         history: Dict[str, float] = {}
         warm_time = None
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        stop = False
         for epoch in range(epochs):
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
             self.reset_metrics()
             t0 = time.time()
             for i in range(steps):
@@ -572,8 +757,14 @@ class FFModel:
                     f"epoch {epoch} done in {dt:.2f}s "
                     f"throughput={history['throughput']:.1f} samples/s"
                 )
+            for cb in callbacks:
+                stop = cb.on_epoch_end(self, epoch, history) or stop
+            if stop:
+                break
         if warm_time is not None:
             history["first_epoch_time_s"] = warm_time
+        for cb in callbacks:
+            cb.on_train_end(self, history)
         return history
 
     def evaluate(
@@ -601,6 +792,26 @@ class FFModel:
         """reference: Parameter::set_weights numpy round trip
         (src/runtime/model.cu:338-467)."""
         self._params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def set_learning_rate(self, lr: float) -> None:
+        """reference: Optimizer::set_learning_rate exposed to Keras LR
+        schedulers (callbacks.py:49-63). The rate lives in optimizer state,
+        so no recompilation happens."""
+        assert self._compiled
+        import jax.numpy as _jnp
+
+        st = dict(self._opt_state)
+        if "dense" in st and isinstance(st["dense"], dict) and "lr" in st["dense"]:
+            st["dense"] = {**st["dense"], "lr": _jnp.float32(lr)}
+        elif "lr" in st:
+            st["lr"] = _jnp.float32(lr)
+        self._opt_state = st
+
+    def get_learning_rate(self) -> float:
+        st = self._opt_state
+        if "dense" in st and isinstance(st["dense"], dict) and "lr" in st["dense"]:
+            return float(st["dense"]["lr"])
+        return float(st.get("lr", 0.0))
 
     def set_iteration_config_sequence_length(self, seq_length: int) -> None:
         """reference: model.h:551. Changing it triggers a re-trace (new static

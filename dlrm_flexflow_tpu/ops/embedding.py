@@ -65,13 +65,15 @@ class Embedding(Op):
         return [embedding_bag(params["weight"], idx, self.aggr)]
 
     # ---- sparse-gradient path (see FFModel.compile) -------------------------
-    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx):
+    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx, lr=None):
         """Apply the pooled-output gradient directly to touched rows: the TPU
         analog of the reference backward scatter (embedding.cu:192-217) fused
         with the optimizer step — no dense [vocab, dim] gradient exists."""
         (idx,) = inputs
         rows, grads = bag_row_grads(idx, g_out_list[0], self.aggr, self.num_entries)
-        table, sstate = optimizer.sparse_row_update(params["weight"], sstate, rows, grads)
+        table, sstate = optimizer.sparse_row_update(
+            params["weight"], sstate, rows, grads, lr=lr
+        )
         return {"weight": table}, sstate
 
     def sparse_state_init(self, optimizer):

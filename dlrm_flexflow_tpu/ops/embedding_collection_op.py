@@ -95,7 +95,7 @@ class EmbeddingCollection(Op):
     def sparse_state_init(self, optimizer):
         return optimizer.sparse_init(self.layout.param_shape())
 
-    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx):
+    def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx, lr=None):
         idx = jnp.stack(
             [x if x.ndim == 2 else x[:, None] for x in inputs], axis=1
         )  # [B, T, H]
@@ -107,7 +107,8 @@ class EmbeddingCollection(Op):
             )
 
             pool, sstate = sharded_embedding_sparse_update(
-                self.layout, pool, sstate, idx, g_pooled, ctx.mesh, optimizer, self.aggr
+                self.layout, pool, sstate, idx, g_pooled, ctx.mesh, optimizer,
+                self.aggr, lr=lr,
             )
             return {"pool": pool}, sstate
         # unsharded fallback: one scatter over the flattened pool
@@ -127,7 +128,7 @@ class EmbeddingCollection(Op):
         grads = jnp.broadcast_to(g[:, :, None, :], (b, t, h, d)).reshape(b * t * h, d)
         flat = pool.reshape(n * r, d)
         sflat = sstate.reshape(n * r) if sstate is not None else None
-        flat, sflat = optimizer.sparse_row_update(flat, sflat, rows, grads)
+        flat, sflat = optimizer.sparse_row_update(flat, sflat, rows, grads, lr=lr)
         pool = flat.reshape(n, r, d)
         sstate = sflat.reshape(n, r) if sflat is not None else None
         return {"pool": pool}, sstate

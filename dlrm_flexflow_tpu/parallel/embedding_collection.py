@@ -212,6 +212,7 @@ def sharded_embedding_sparse_update(
     optimizer,
     aggr: AggrMode = AggrMode.AGGR_MODE_SUM,
     axis: str = "data",
+    lr=None,
 ):
     """Backward mirror of sharded_embedding_lookup with the optimizer fused
     in: exchange pooled grads to table owners (one all-to-all; same volume as
@@ -259,7 +260,7 @@ def sharded_embedding_sparse_update(
             g[:, :, None, :], (nb, t_max, h, g.shape[-1])
         ).reshape(nb * t_max * h, -1)
         st = sstate_local[0] if has_state else None
-        table, st = optimizer.sparse_row_update(pool_local[0], st, rows, grads)
+        table, st = optimizer.sparse_row_update(pool_local[0], st, rows, grads, lr=lr)
         if has_state:
             return table[None], st[None]
         return table[None]

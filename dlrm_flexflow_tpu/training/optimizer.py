@@ -41,9 +41,10 @@ class Optimizer:
         """Per-embedding-pool slot state for the sparse path (None if none)."""
         return None
 
-    def sparse_row_update(self, table, state, rows, row_grads):
+    def sparse_row_update(self, table, state, rows, row_grads, lr=None):
         """Apply row-wise update: `rows` [K] int32 (out-of-range = dropped),
-        `row_grads` [K, D]. Returns (new_table, new_state)."""
+        `row_grads` [K, D]. `lr` overrides the static learning rate (used by
+        set_learning_rate / LR schedules). Returns (new_table, new_state)."""
         raise NotImplementedError
 
 
@@ -61,34 +62,33 @@ class SGDOptimizer(Optimizer):
         # momentum would need dense velocity state; plain SGD is row-local
         return self.momentum == 0.0
 
-    def sparse_row_update(self, table, state, rows, row_grads):
+    def sparse_row_update(self, table, state, rows, row_grads, lr=None):
+        lr = self.lr if lr is None else lr
         if self.weight_decay != 0.0:
             # lazy decoupled decay on touched rows only (duplicates decay
             # once per occurrence; matches common sparse-SGD practice)
             decay = jnp.take(table, jnp.minimum(rows, table.shape[0] - 1), axis=0)
             row_grads = row_grads + self.weight_decay * decay
         new_table = table.at[rows].add(
-            (-self.lr * row_grads).astype(table.dtype), mode="drop"
+            (-lr * row_grads).astype(table.dtype), mode="drop"
         )
         return new_table, state
 
     def init(self, params):
-        if self.momentum == 0.0:
-            return {"step": jnp.zeros((), jnp.int32)}
-        return {
-            "step": jnp.zeros((), jnp.int32),
-            "v": jax.tree_util.tree_map(jnp.zeros_like, params),
-        }
+        base = {"step": jnp.zeros((), jnp.int32), "lr": jnp.float32(self.lr)}
+        if self.momentum != 0.0:
+            base["v"] = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return base
 
     def update(self, grads, state, params):
-        lr = self.lr
+        lr = state.get("lr", self.lr)
         wd = self.weight_decay
 
         if self.momentum == 0.0:
             new_params = jax.tree_util.tree_map(
                 lambda w, g: w - lr * (g + wd * w), params, grads
             )
-            return new_params, {"step": state["step"] + 1}
+            return new_params, {**state, "step": state["step"] + 1}
 
         def upd(w, g, v):
             g = g + wd * w
@@ -102,7 +102,7 @@ class SGDOptimizer(Optimizer):
         flat = jax.tree_util.tree_map(upd, params, grads, state["v"])
         new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
         new_v = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
-        return new_params, {"step": state["step"] + 1, "v": new_v}
+        return new_params, {**state, "step": state["step"] + 1, "v": new_v}
 
 
 @dataclasses.dataclass
@@ -119,6 +119,7 @@ class AdamOptimizer(Optimizer):
     def init(self, params):
         return {
             "step": jnp.zeros((), jnp.int32),
+            "lr": jnp.float32(self.alpha),
             "m": jax.tree_util.tree_map(jnp.zeros_like, params),
             "v": jax.tree_util.tree_map(jnp.zeros_like, params),
         }
@@ -127,7 +128,7 @@ class AdamOptimizer(Optimizer):
         step = state["step"] + 1
         t = step.astype(jnp.float32)
         alpha_t = (
-            self.alpha
+            state.get("lr", self.alpha)
             * jnp.sqrt(1.0 - jnp.power(self.beta2, t))
             / (1.0 - jnp.power(self.beta1, t))
         )
@@ -144,7 +145,7 @@ class AdamOptimizer(Optimizer):
         new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is_triple)
         new_m = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is_triple)
         new_v = jax.tree_util.tree_map(lambda t: t[2], flat, is_leaf=is_triple)
-        return new_params, {"step": step, "m": new_m, "v": new_v}
+        return new_params, {**state, "step": step, "m": new_m, "v": new_v}
 
 
 @dataclasses.dataclass
@@ -167,10 +168,13 @@ class RowWiseAdagradOptimizer(Optimizer):
 
         return {
             "step": jnp.zeros((), jnp.int32),
+            "lr": jnp.float32(self.lr),
             "acc": jax.tree_util.tree_map(acc_like, params),
         }
 
     def update(self, grads, state, params):
+        lr = state.get("lr", self.lr)
+
         def upd(w, g, a):
             gsq = jnp.mean(
                 jnp.square(g.astype(jnp.float32)), axis=tuple(range(1, g.ndim))
@@ -178,23 +182,24 @@ class RowWiseAdagradOptimizer(Optimizer):
             a = a + gsq
             scale = jax.lax.rsqrt(a + self.epsilon)
             shaped = scale.reshape((-1,) + (1,) * (g.ndim - 1)) if g.ndim > 1 else scale
-            return w - self.lr * shaped * g, a
+            return w - lr * shaped * g, a
 
         flat = jax.tree_util.tree_map(upd, params, grads, state["acc"])
         is_pair = lambda x: isinstance(x, tuple)
         new_params = jax.tree_util.tree_map(lambda t: t[0], flat, is_leaf=is_pair)
         new_acc = jax.tree_util.tree_map(lambda t: t[1], flat, is_leaf=is_pair)
-        return new_params, {"step": state["step"] + 1, "acc": new_acc}
+        return new_params, {**state, "step": state["step"] + 1, "acc": new_acc}
 
     def sparse_init(self, pool_shape, dtype=jnp.float32):
         # one accumulator per row: [..., R] matching pool_shape[:-1]
         return jnp.full(pool_shape[:-1], self.initial_accumulator, jnp.float32)
 
-    def sparse_row_update(self, table, acc, rows, row_grads):
+    def sparse_row_update(self, table, acc, rows, row_grads, lr=None):
+        lr = self.lr if lr is None else lr
         g32 = row_grads.astype(jnp.float32)
         gsq = jnp.mean(jnp.square(g32), axis=-1)  # [K]
         acc = acc.at[rows].add(gsq, mode="drop")
         a_rows = jnp.take(acc, jnp.minimum(rows, acc.shape[0] - 1), axis=0)
-        scaled = (-self.lr * jax.lax.rsqrt(a_rows + self.epsilon))[:, None] * g32
+        scaled = (-lr * jax.lax.rsqrt(a_rows + self.epsilon))[:, None] * g32
         table = table.at[rows].add(scaled.astype(table.dtype), mode="drop")
         return table, acc
