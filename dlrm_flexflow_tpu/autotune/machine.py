@@ -1,0 +1,118 @@
+"""TPU machine models for the autotuner.
+
+Analog of the reference's MachineModel v0/v1 (reference:
+include/simulator.h:99-236, src/runtime/machine_model.cc, config format
+machine_config_example:1-50): v0-style built-in presets for TPU
+generations + a config-file override path, plus a measured-calibration
+hook (the reference's profile-then-simulate philosophy,
+Op::inner_measure_operator_cost, src/runtime/model.cu:20-64).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from .bindings import FFSimMachine
+
+
+@dataclasses.dataclass
+class MachineSpec:
+    name: str = "tpu_v5e"
+    num_chips: int = 1
+    chips_per_host: int = 4
+    mxu_tflops: float = 197.0  # bf16 peak per chip
+    hbm_gbps: float = 820.0
+    hbm_capacity_gb: float = 14.0  # usable of 16
+    ici_gbps: float = 45.0  # v5e per-link, one direction
+    ici_latency_us: float = 1.0
+    dcn_gbps: float = 25.0
+    dcn_latency_us: float = 10.0
+    gather_gbps: float = 4.0  # measured effective random-row gather bw
+    scatter_gbps: float = 4.0
+    step_overhead_us: float = 30.0
+
+    def to_native(self) -> FFSimMachine:
+        m = FFSimMachine()
+        for f in FFSimMachine._fields_:
+            setattr(m, f[0], getattr(self, f[0]))
+        return m
+
+    @staticmethod
+    def from_file(path: str) -> "MachineSpec":
+        """v1-style config file (JSON; ≅ --machine-model-file)."""
+        with open(path) as f:
+            doc = json.load(f)
+        return MachineSpec(**doc)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+
+def preset(name: str, num_chips: int = 1, chips_per_host: Optional[int] = None) -> MachineSpec:
+    """Built-in machine models (≅ SimpleMachineModel defaults)."""
+    presets = {
+        "tpu_v5e": MachineSpec(),
+        "tpu_v5p": MachineSpec(
+            name="tpu_v5p", mxu_tflops=459.0, hbm_gbps=2765.0,
+            hbm_capacity_gb=90.0, ici_gbps=100.0, chips_per_host=4,
+        ),
+        "tpu_v4": MachineSpec(
+            name="tpu_v4", mxu_tflops=275.0, hbm_gbps=1200.0,
+            hbm_capacity_gb=30.0, ici_gbps=50.0, chips_per_host=4,
+        ),
+        "cpu_sim": MachineSpec(
+            name="cpu_sim", mxu_tflops=0.2, hbm_gbps=20.0, hbm_capacity_gb=4.0,
+            ici_gbps=2.0, chips_per_host=8, gather_gbps=1.0, scatter_gbps=1.0,
+        ),
+    }
+    spec = dataclasses.replace(presets[name], num_chips=num_chips)
+    if chips_per_host is not None:
+        spec.chips_per_host = chips_per_host
+    return spec
+
+
+def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
+              batch: int = 8192, repeats: int = 20) -> MachineSpec:
+    """Measure effective gather/scatter bandwidth on the real device and
+    fold it into the spec (reference analog: measure_operator_cost running
+    real kernels 5 warmup + 10 timed, model.cu:20-64)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    table = jnp.zeros((vocab, dim), jnp.float32)
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(0, vocab, size=(batch,)), jnp.int32
+    )
+    g = jnp.ones((batch, dim), jnp.float32)
+
+    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum())
+    scatter = jax.jit(lambda t, i, g: t.at[i].add(g), donate_argnums=0)
+
+    _ = float(gather(table, idx))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        s = gather(table, idx)
+    _ = float(s)
+    g_time = (time.perf_counter() - t0) / repeats
+
+    table2 = jnp.zeros((vocab, dim), jnp.float32)
+    table2 = scatter(table2, idx, g)
+    _ = float(table2[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        table2 = scatter(table2, idx, g)
+    _ = float(table2[0, 0])
+    s_time = (time.perf_counter() - t0) / repeats
+
+    bytes_moved = batch * dim * 4
+    out = dataclasses.replace(
+        spec,
+        gather_gbps=max(bytes_moved / g_time / 1e9, 0.1),
+        scatter_gbps=max(bytes_moved / s_time / 1e9, 0.1),
+    )
+    return out

@@ -473,10 +473,24 @@ class FFModel:
         # model.cc:1629-1646 + dlrm_strategy.py). Also a single-chip win:
         # one pooled gather/scatter instead of T separate ones.
         if mesh is not None and plan is not None:
+            # strategy import (reference: --import consumed at compile,
+            # model.cc:1575)
+            if self.config.import_strategy_file:
+                from ..parallel.plan import ShardingPlan
+
+                plan = ShardingPlan.load(self.config.import_strategy_file)
+                self.plan = plan
+            # strategy search (reference: STRATEGY_SEARCH_TASK when
+            # --budget > 0, model.cc:1578-1584 + simulator.cu:71)
+            if self.config.search_budget > 0 and plan.table_assignment is None:
+                self._run_strategy_search(mesh, plan)
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 
                 fuse_embedding_tables(self.graph, plan, mesh.shape[plan.batch_axis])
+            # strategy export (reference: --export, strategy.cc:150)
+            if self.config.export_strategy_file:
+                plan.save(self.config.export_strategy_file)
             self._input_shardings = plan.input_shardings(self.graph, mesh)
             self._label_sharding = plan.label_sharding(mesh)
         else:
@@ -653,6 +667,37 @@ class FFModel:
     @staticmethod
     def _label_shape(out_spec: TensorSpec) -> Tuple[int, ...]:
         return (out_spec.shape[0], out_spec.shape[-1] if len(out_spec.shape) > 1 else 1)
+
+    def _run_strategy_search(self, mesh, plan) -> None:
+        """Cost-model-guided MCMC over table placement (native core)."""
+        import jax as _jax
+
+        from ..autotune.machine import MachineSpec, preset
+        from ..autotune.search import autotune_plan
+
+        n = mesh.shape[plan.batch_axis]
+        if self.config.machine_model_file:
+            machine = MachineSpec.from_file(self.config.machine_model_file)
+            machine.num_chips = n
+        else:
+            name = "tpu_v5e" if _jax.devices()[0].platform != "cpu" else "cpu_sim"
+            machine = preset(name, num_chips=n,
+                             chips_per_host=min(n, _jax.local_device_count()))
+        osf = 1.0 if getattr(self.optimizer, "sparse_init", None) and             self.optimizer.sparse_init((2, 2)) is not None else 0.0
+        owner, cost_us, report = autotune_plan(
+            self.graph, machine, self.config.batch_size,
+            budget=self.config.search_budget, alpha=self.config.search_alpha,
+            seed=self.config.seed, opt_state_factor=osf,
+        )
+        if owner:
+            plan.table_assignment = owner
+        self._search_report = report
+        if report:
+            print(
+                f"[autotune] predicted step {cost_us:.1f}us "
+                f"(round-robin {report['round_robin_us']:.1f}us, "
+                f"{report['improvement']:.2f}x)"
+            )
 
     # ------------------------------------------------------------------ verbs
     def _stage(self, feeds: Dict[str, Any], labels=None):

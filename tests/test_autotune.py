@@ -1,0 +1,133 @@
+"""Autotuner tests: native cost model, DAG scheduler, MCMC search, and the
+compile-time strategy-search integration.
+
+The reference had no simulator/search unit tests at all (SURVEY §4 gap) —
+these cover the capability directly.
+"""
+import numpy as np
+import pytest
+
+from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
+from dlrm_flexflow_tpu.autotune import bindings
+from dlrm_flexflow_tpu.autotune.machine import MachineSpec, preset
+from dlrm_flexflow_tpu.autotune.search import autotune_plan, graph_to_cost_spec
+from dlrm_flexflow_tpu.data.synthetic import random_batches
+from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+
+def machine8():
+    return preset("tpu_v5e", num_chips=8, chips_per_host=8)
+
+
+def embed_op(vocab, dim=16, lookups=8192.0):
+    return {
+        "kind": bindings.KIND_EMBED,
+        "table_rows": float(vocab),
+        "row_bytes": 4.0 * dim,
+        "lookups": lookups,
+    }
+
+
+def test_simulate_monotonic_in_load():
+    m = machine8().to_native()
+    ops = [embed_op(1e6) for _ in range(8)]
+    balanced = list(range(8))
+    skewed = [0] * 8
+    assert bindings.simulate(m, ops, balanced) < bindings.simulate(m, ops, skewed)
+
+
+def test_breakdown_sums_to_total():
+    m = machine8().to_native()
+    ops = [embed_op(1e6), {"kind": bindings.KIND_DENSE, "flops": 1e9, "bytes": 1e7, "param_bytes": 1e6}]
+    b = bindings.breakdown(m, ops, [0])
+    parts = sum(v for k, v in b.items() if k != "total_us")
+    assert parts == pytest.approx(b["total_us"], rel=1e-9)
+
+
+def test_mcmc_recovers_balanced_placement():
+    m = machine8().to_native()
+    # two huge tables + small ones: huge tables must land on distinct chips
+    ops = [embed_op(2e7), embed_op(2e7)] + [embed_op(100) for _ in range(6)]
+    owner, cost = bindings.mcmc_search(m, ops, [0] * 8, budget=5000, alpha=0.5, seed=3)
+    assert owner[0] != owner[1]
+    rr_cost = bindings.simulate(m, ops, [i % 8 for i in range(8)])
+    assert cost <= rr_cost * 1.001
+
+
+def test_mem_penalty_forces_spread():
+    # tables that do not fit on one chip must spread even if comm were free
+    spec = preset("tpu_v5e", num_chips=4, chips_per_host=4)
+    spec.hbm_capacity_gb = 1.0
+    m = spec.to_native()
+    # 4 x 4GB tables (1e7 rows x 100 floats)
+    ops = [embed_op(1e7, dim=100, lookups=1024.0) for _ in range(4)]
+    owner, cost = bindings.mcmc_search(m, ops, [0, 0, 0, 0], budget=4000, alpha=0.1, seed=0)
+    assert sorted(owner) == [0, 1, 2, 3], owner
+
+
+def test_dag_scheduler_chains_and_collectives():
+    # device0: 10us, device1: 20us, then a collective 5us on both
+    ms = bindings.schedule_dag(2, [10.0, 20.0, 5.0], [0, 1, -1], [(0, 2), (1, 2)])
+    assert ms == 25.0
+    # serial chain on one device
+    ms = bindings.schedule_dag(1, [3.0, 4.0], [0, 0], [(0, 1)])
+    assert ms == 7.0
+    # independent tasks on one device serialize
+    ms = bindings.schedule_dag(1, [3.0, 4.0], [0, 0], [])
+    assert ms == 7.0
+    # on two devices they overlap
+    ms = bindings.schedule_dag(2, [3.0, 4.0], [0, 1], [])
+    assert ms == 4.0
+
+
+def test_graph_to_cost_spec_covers_dlrm():
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[1000, 2000, 50],
+        mlp_bot=[4, 8],
+        mlp_top=[32, 8, 1],
+        batch_size=64,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64))
+    ops, names = graph_to_cost_spec(model.graph, 64)
+    assert len(names) == 3
+    kinds = [o["kind"] for o in ops]
+    assert kinds.count(bindings.KIND_EMBED) == 3
+    assert kinds.count(bindings.KIND_DENSE) == 3  # 1 bot + 2 top dense layers
+
+
+def test_compile_with_search_budget_sets_assignment():
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[500000, 400000, 10, 20, 300000, 40, 50, 60],
+        embedding_bag_size=1,
+        mlp_bot=[4, 8],
+        mlp_top=[72, 8, 1],
+        batch_size=64,
+    )
+    ffc = FFConfig(batch_size=64, compute_dtype="float32",
+                   search_budget=3000, search_alpha=0.5,
+                   onehot_embedding_threshold=0)
+    model = make_dlrm_model(cfg, ffc)
+    mesh = make_mesh()
+    plan = dlrm_hybrid_plan()
+    plan.table_assignment = None
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [], mesh=mesh, plan=plan)
+    assert plan.table_assignment is not None and len(plan.table_assignment) == 8
+    # the three big tables must be on three distinct shards
+    big = [plan.table_assignment[i] for i in (0, 1, 4)]
+    assert len(set(big)) == 3, plan.table_assignment
+    # and it still trains
+    feeds, labels = random_batches(cfg, 64, seed=0)
+    assert np.isfinite(float(model.train_batch(feeds, labels)))
+
+
+def test_machine_spec_file_roundtrip(tmp_path):
+    spec = preset("tpu_v5p", num_chips=16)
+    path = str(tmp_path / "machine.json")
+    spec.save(path)
+    loaded = MachineSpec.from_file(path)
+    assert loaded == spec
