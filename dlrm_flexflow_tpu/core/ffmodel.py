@@ -658,6 +658,25 @@ class FFModel:
         )
         self._train_step_raw = train_step  # unjitted, for scanned multi-step
         self._train_step = jax.jit(train_step, donate_argnums=donate_args)
+
+        def multi_step(params, opt_state, metrics_total, sfeeds, slabels, rng0):
+            # K train steps in one dispatch (reference analog: Legion trace
+            # replay around steady-state iterations, dlrm.cc:174-181)
+            k = slabels.shape[0]
+
+            def body(carry, xs):
+                p, o, t = carry
+                f, l, i = xs
+                p, o, t, loss = train_step(p, o, t, f, l, jax.random.fold_in(rng0, i))
+                return (p, o, t), loss
+
+            (params, opt_state, metrics_total), losses = jax.lax.scan(
+                body, (params, opt_state, metrics_total),
+                (sfeeds, slabels, jnp.arange(k)),
+            )
+            return params, opt_state, metrics_total, losses[-1]
+
+        self._multi_step = jax.jit(multi_step, donate_argnums=donate_args)
         self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
         self._forward_fn_raw = forward_only  # unjitted, for embedding/export
         self._forward_fn = jax.jit(forward_only, static_argnums=(2,))
@@ -732,6 +751,31 @@ class FFModel:
         self._step_count += 1
         return loss
 
+    def train_chunk(self, stacked_feeds: Dict[str, Any], stacked_labels) -> float:
+        """Run K steps in one dispatch: inputs are [K, B, ...] stacks."""
+        assert self._compiled
+        if self._input_shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def stage(v, name):
+                base = self._input_shardings[name].spec
+                return jax.device_put(
+                    v, NamedSharding(self.mesh, P(None, *base))
+                )
+
+            stacked_feeds = {k: stage(v, k) for k, v in stacked_feeds.items()}
+            stacked_labels = jax.device_put(
+                stacked_labels,
+                NamedSharding(self.mesh, P(None, *self._label_sharding.spec)),
+            )
+        rng0 = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
+        self._params, self._opt_state, self._metrics_total, loss = self._multi_step(
+            self._params, self._opt_state, self._metrics_total,
+            stacked_feeds, stacked_labels, rng0,
+        )
+        self._step_count += int(stacked_labels.shape[0])
+        return loss
+
     def eval_batch(self, feeds: Dict[str, Any], labels) -> float:
         assert self._compiled
         feeds, labels = self._stage(feeds, labels)
@@ -761,6 +805,8 @@ class FFModel:
         batch_size: Optional[int] = None,
         verbose: bool = True,
         callbacks: Sequence = (),
+        steps_per_call: int = 1,
+        shuffle: bool = False,
     ) -> Dict[str, float]:
         """Keras-style loop (reference: base_model.py:195-424): slice host
         arrays into batches, run fused steps, print PerfMetrics per
@@ -769,9 +815,10 @@ class FFModel:
         assert self._compiled
         epochs = epochs or self.config.epochs
         bs = batch_size or self.config.batch_size
-        n = labels.shape[0]
-        steps = n // bs
-        assert steps > 0, "dataset smaller than one batch"
+        from ..data.loader import DataLoader
+
+        loader = DataLoader(feeds, labels, bs, shuffle=shuffle, seed=self.config.seed)
+        steps = loader.steps_per_epoch
         history: Dict[str, float] = {}
         warm_time = None
         for cb in callbacks:
@@ -782,15 +829,25 @@ class FFModel:
                 cb.on_epoch_begin(self, epoch)
             self.reset_metrics()
             t0 = time.time()
-            for i in range(steps):
-                sl = slice(i * bs, (i + 1) * bs)
-                batch = {k: v[sl] for k, v in feeds.items()}
-                loss = self.train_batch(batch, labels[sl])
-                if verbose and (i % max(self.config.print_freq, 1) == 0):
-                    m = self.get_metrics()
-                    msg = " ".join(f"{k}={v:.6g}" for k, v in m.items())
-                    print(f"epoch {epoch} step {i}/{steps} loss={float(loss):.6g} {msg}")
-            jax.block_until_ready(self._params)
+            if steps_per_call > 1:
+                i = 0
+                for sfeeds, slabels in loader.stacked_epoch(steps_per_call):
+                    loss = self.train_chunk(sfeeds, slabels)
+                    i += slabels.shape[0]
+                    if verbose and (i // steps_per_call) % max(self.config.print_freq, 1) == 0:
+                        m = self.get_metrics()
+                        msg = " ".join(f"{k}={v:.6g}" for k, v in m.items())
+                        print(f"epoch {epoch} step {i}/{steps} loss={float(loss):.6g} {msg}")
+            else:
+                for i, (batch, lbl) in enumerate(loader.epoch()):
+                    loss = self.train_batch(batch, lbl)
+                    if verbose and (i % max(self.config.print_freq, 1) == 0):
+                        m = self.get_metrics()
+                        msg = " ".join(f"{k}={v:.6g}" for k, v in m.items())
+                        print(f"epoch {epoch} step {i}/{steps} loss={float(loss):.6g} {msg}")
+            # force completion before timing (block_until_ready does not
+            # synchronize through remote-tunnel backends)
+            _ = float(jnp.sum(self._metrics_total["train_all"]))
             dt = time.time() - t0
             if epoch == 0:
                 warm_time = dt
