@@ -55,6 +55,11 @@ class FFConfig:
     # the table) instead of HBM gathers; their grads stay dense. 0 = off.
     onehot_embedding_threshold: int = 8192
     allow_tensor_op_math: bool = True  # => bf16 matmuls on MXU
+    # Pallas kernel routing: "auto" uses hand-written kernels only where they
+    # measured faster than XLA on TPU (scripts/microbench_pallas.py decides;
+    # currently: dot-interaction at D>=128), "on" forces them everywhere
+    # they exist, "off" is pure XLA.
+    use_pallas: str = "auto"
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -139,6 +144,8 @@ class FFConfig:
                 self.allow_tensor_op_math = True
             elif a == "--compute-dtype":
                 self.compute_dtype = take()
+            elif a == "--use-pallas":
+                self.use_pallas = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -519,6 +519,11 @@ class FFModel:
         metrics_mask = self.metrics_mask
         profiling = self.config.profiling
         onehot_thr = self.config.onehot_embedding_threshold
+        from ..ops.pallas import pallas_supported
+
+        use_pallas = self.config.use_pallas
+        if use_pallas == "auto" and not pallas_supported():
+            use_pallas = "off"  # interpret-mode kernels are test-only
 
         # Sparse-embedding-gradient path: embedding ops whose indices come
         # straight from graph inputs get their pooled-output gradient applied
@@ -549,6 +554,7 @@ class FFModel:
                 plan=plan,
                 profiling=profiling,
                 onehot_threshold=onehot_thr,
+                use_pallas=use_pallas,
             )
             (out,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             return out
@@ -564,6 +570,7 @@ class FFModel:
                 profiling=profiling,
                 overrides=overrides,
                 onehot_threshold=onehot_thr,
+                use_pallas=use_pallas,
             )
             (logits,) = graph.execute(params, feeds, ctx, fetch=[out_spec])
             loss = losses_lib.compute_loss(loss_t, logits, labels)
@@ -590,6 +597,7 @@ class FFModel:
                 mesh=mesh,
                 plan=plan,
                 onehot_threshold=onehot_thr,
+                use_pallas=use_pallas,
             )
             overrides = {}
             sparse_xs = {}

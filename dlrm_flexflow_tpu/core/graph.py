@@ -46,6 +46,9 @@ class OpContext:
     # vocab size at or below which embedding ops use the one-hot MXU matmul
     # path instead of gather (0 disables)
     onehot_threshold: int = 0
+    # Pallas kernel routing, resolved from FFConfig.use_pallas at compile:
+    # "auto" (measured winners only), "on" (force), "off" (pure XLA)
+    use_pallas: str = "off"
 
     def op_rng(self, op: "Op") -> Optional[jax.Array]:
         if self.rng is None:

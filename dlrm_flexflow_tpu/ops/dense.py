@@ -52,6 +52,19 @@ class Dense(Op):
         (x,) = inputs
         w = params["kernel"]
         cdt = ctx.compute_dtype
+        # "on" forces the Pallas tiled-matmul kernel (ops/pallas/fused_mlp.py);
+        # in "auto" XLA keeps this op — its matmul+epilogue fusion measured at
+        # parity (scripts/microbench_pallas.py) and handles every rank.
+        if getattr(ctx, "use_pallas", "off") == "on" and x.ndim == 2:
+            from .pallas.fused_mlp import dense_pallas
+
+            y = dense_pallas(
+                x.astype(cdt),
+                w.T.astype(cdt),
+                params["bias"].astype(cdt) if self.use_bias else None,
+                self.activation,
+            )
+            return [y.astype(x.dtype)]
         y = jnp.dot(x.astype(cdt), w.T.astype(cdt), preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + params["bias"]

@@ -62,6 +62,17 @@ class Embedding(Op):
                     params["weight"], idx, self.aggr, ctx.compute_dtype
                 )
             ]
+        # The Pallas row-DMA kernel needs lane-aligned rows (D % 128) and
+        # only runs when forced: XLA's gather measured at HBM speed-of-light
+        # for pooled bags (scripts/microbench_pallas.py).
+        if (
+            getattr(ctx, "use_pallas", "off") == "on"
+            and self.out_dim % 128 == 0
+            and self.aggr is not AggrMode.AGGR_MODE_NONE
+        ):
+            from .pallas.embedding_bag import embedding_bag_pallas
+
+            return [embedding_bag_pallas(params["weight"], idx, self.aggr)]
         return [embedding_bag(params["weight"], idx, self.aggr)]
 
     # ---- sparse-gradient path (see FFModel.compile) -------------------------

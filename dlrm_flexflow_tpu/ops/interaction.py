@@ -53,6 +53,23 @@ class DotInteraction(Op):
 
     def forward(self, params, inputs, ctx):
         stacked = jnp.stack(inputs, axis=1)  # [B, F, D]
+        b, f, d = stacked.shape
+        up = getattr(ctx, "use_pallas", "off")
+        # measured routing (scripts/microbench_pallas.py): the fused Pallas
+        # kernel wins at D>=128 (mlperf-dim embeddings); at tiny D the padded
+        # einsum is already dispatch-bound and XLA wins.
+        if up == "on" or (up == "auto" and d >= 128 and b % 8 == 0):
+            from .pallas.dot_interaction import dot_interaction_pallas
+
+            block = b
+            for cand in (256, 128, 64, 32, 16, 8):
+                if b % cand == 0:
+                    block = cand
+                    break
+            return [
+                dot_interaction_pallas(stacked, self.self_interaction, block)
+                .astype(inputs[0].dtype)
+            ]
         return [
             dot_interaction(
                 stacked, self.self_interaction, compute_dtype=ctx.compute_dtype
