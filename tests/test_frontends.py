@@ -1,0 +1,222 @@
+"""Frontend tests: keras facade, torch.fx import, onnx import.
+
+Mirrors the reference's CI strategy (reference: .circleci multi-gpu example
+matrix + tests/onnx/test_onnx_import.py smoke) as small CPU runs.
+"""
+import numpy as np
+import pytest
+
+from dlrm_flexflow_tpu.config import FFConfig
+from dlrm_flexflow_tpu.core.ffmodel import FFModel
+from dlrm_flexflow_tpu.ffconst import DataType, LossType, MetricsType
+from dlrm_flexflow_tpu.frontends import keras as K
+from dlrm_flexflow_tpu.frontends.onnx import ONNXModel
+from dlrm_flexflow_tpu.frontends.torch_fx import (
+    FXNode,
+    PyTorchModel,
+    load_ir,
+    save_ir,
+    torch_to_ir,
+)
+from dlrm_flexflow_tpu.training.optimizer import SGDOptimizer
+
+
+def test_keras_sequential_mnist_mlp_trains():
+    rng = np.random.RandomState(0)
+    model = K.Sequential([
+        K.Dense(32, activation="relu"),
+        K.Dropout(0.1),
+        K.Dense(10),
+        K.Softmax(),
+    ])
+    model.compile(optimizer="sgd", loss="categorical_crossentropy",
+                  metrics=["accuracy"], input_shape=[20], batch_size=16)
+    x = rng.randn(64, 20).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[rng.randint(0, 10, 64)]
+    hist = model.fit(x, y, epochs=2, verbose=False)
+    assert np.isfinite(hist["cce"]) if "cce" in hist else True
+    assert 0.0 <= hist["accuracy"] <= 1.0
+    ev = model.evaluate(x, y)
+    assert 0.0 <= ev["accuracy"] <= 1.0
+    pred = model.predict(x[:16])
+    assert pred.shape == (16, 10)
+    np.testing.assert_allclose(pred.sum(1), 1.0, rtol=1e-3)
+
+
+def test_keras_functional_multi_input_concat():
+    rng = np.random.RandomState(1)
+    a = K.Input([8])
+    b = K.Input([4])
+    h = K.Concatenate(axis=1)([a, b])
+    h = K.Dense(16, activation="relu")(h)
+    out = K.Dense(1, activation="sigmoid")(h)
+    model = K.Model([a, b], out)
+    model.compile(optimizer="adam", loss="binary_crossentropy",
+                  metrics=["accuracy"], batch_size=8)
+    xs = [rng.randn(32, 8).astype(np.float32), rng.randn(32, 4).astype(np.float32)]
+    y = rng.randint(0, 2, (32, 1)).astype(np.float32)
+    hist = model.fit(xs, y, epochs=1, verbose=False)
+    assert 0.0 <= hist["accuracy"] <= 1.0
+    assert "throughput" in hist
+
+
+def test_keras_cnn_shapes():
+    img = K.Input([1, 8, 8])
+    t = K.Conv2D(4, 3, padding="same", activation="relu")(img)
+    t = K.MaxPooling2D(2, 2)(t)
+    t = K.Flatten()(t)
+    t = K.Dense(10)(t)
+    out = K.Softmax()(t)
+    m = K.Model(img, out)
+    m.compile(loss="categorical_crossentropy", batch_size=4)
+    assert m.ffmodel is not None
+    x = np.random.RandomState(2).randn(8, 1, 8, 8).astype(np.float32)
+    pred = m.predict(x[:4])
+    assert pred.shape == (4, 10)
+    assert "Conv2D" in m.summary()
+
+
+def test_torch_fx_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(12, 24)
+            self.act = nn.ReLU()
+            self.drop = nn.Dropout(0.2)
+            self.fc2 = nn.Linear(24, 24)
+            self.fc3 = nn.Linear(24, 5)
+
+        def forward(self, x):
+            h = self.act(self.fc1(x))
+            h2 = self.act(self.fc2(self.drop(h)))
+            return torch.softmax(self.fc3(h + h2), dim=1)
+
+    ir = torch_to_ir(Net())
+    path = str(tmp_path / "net.ff")
+    save_ir(ir, path)
+    ir2 = load_ir(path)
+    assert [n.op for n in ir] == [n.op for n in ir2]
+
+    ff = FFModel(FFConfig(batch_size=8))
+    x = ff.create_tensor([8, 12], name="x")
+    out = PyTorchModel(ir2).apply(ff, [x])
+    assert tuple(out.shape) == (8, 5)
+    ff.compile(SGDOptimizer(lr=0.01), LossType.LOSS_CATEGORICAL_CROSSENTROPY,
+               [MetricsType.METRICS_ACCURACY])
+    rng = np.random.RandomState(3)
+    feeds = {"x": rng.randn(32, 12).astype(np.float32)}
+    labels = np.eye(5, dtype=np.float32)[rng.randint(0, 5, 32)]
+    hist = ff.fit(feeds, labels, epochs=1, verbose=False)
+    assert 0.0 <= hist["accuracy"] <= 1.0
+
+
+def test_torch_fx_cnn_and_cat():
+    pytest.importorskip("torch")
+    import torch
+    import torch.nn as nn
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(1, 4, 3, padding=1)
+            self.pool = nn.MaxPool2d(2, 2)
+            self.flat = nn.Flatten()
+            self.fc = nn.Linear(4 * 4 * 4 * 2, 3)
+
+        def forward(self, x):
+            a = self.flat(self.pool(self.conv(x)))
+            b = self.flat(self.pool(self.conv(x)))
+            return self.fc(torch.cat([a, b], dim=1))
+
+    ir = torch_to_ir(Net())
+    ff = FFModel(FFConfig(batch_size=4))
+    x = ff.create_tensor([4, 1, 8, 8], name="img")
+    out = PyTorchModel(ir).apply(ff, [x])
+    assert tuple(out.shape) == (4, 3)
+
+
+# --- onnx import with duck-typed proto stand-ins -----------------------------
+class _A:
+    def __init__(self, name, **kw):
+        self.name = name
+        self.ints = kw.get("ints", [])
+        self.floats = kw.get("floats", [])
+        self.i = kw.get("i")
+        self.f = kw.get("f")
+        self.s = kw.get("s")
+
+
+class _N:
+    def __init__(self, op_type, input, output, attribute=()):
+        self.op_type = op_type
+        self.input = list(input)
+        self.output = list(output)
+        self.attribute = list(attribute)
+
+
+class _Init:
+    def __init__(self, name, array):
+        self.name = name
+        self.array = array
+
+
+class _G:
+    def __init__(self, node, initializer=(), output=()):
+        self.node = node
+        self.initializer = list(initializer)
+        self.output = list(output)
+
+
+class _M:
+    def __init__(self, graph):
+        self.graph = graph
+
+
+def test_onnx_import_mlp():
+    w1 = _Init("w1", np.zeros((16, 12), np.float32))
+    b1 = _Init("b1", np.zeros((16,), np.float32))
+    w2 = _Init("w2", np.zeros((5, 16), np.float32))
+    b2 = _Init("b2", np.zeros((5,), np.float32))
+    nodes = [
+        _N("Gemm", ["x", "w1", "b1"], ["h"], [_A("transB", i=1)]),
+        _N("Relu", ["h"], ["hr"]),
+        _N("Gemm", ["hr", "w2", "b2"], ["logits"], [_A("transB", i=1)]),
+        _N("Softmax", ["logits"], ["probs"]),
+    ]
+    model = _M(_G(nodes, [w1, b1, w2, b2], output=[_Init("probs", None)]))
+    ff = FFModel(FFConfig(batch_size=8))
+    x = ff.create_tensor([8, 12], name="x")
+    out = ONNXModel(model).apply(ff, {"x": x})
+    assert tuple(out.shape) == (8, 5)
+    ff.compile(SGDOptimizer(lr=0.1), LossType.LOSS_CATEGORICAL_CROSSENTROPY,
+               [MetricsType.METRICS_ACCURACY])
+    rng = np.random.RandomState(5)
+    pred = ff.forward({"x": rng.randn(8, 12).astype(np.float32)})
+    assert np.asarray(pred).shape == (8, 5)
+
+
+def test_onnx_import_cnn_concat_split():
+    conv_w = _Init("cw", np.zeros((4, 1, 3, 3), np.float32))
+    nodes = [
+        _N("Conv", ["x", "cw"], ["c"], [
+            _A("kernel_shape", ints=[3, 3]), _A("strides", ints=[1, 1]),
+            _A("pads", ints=[1, 1, 1, 1]),
+        ]),
+        _N("Relu", ["c"], ["cr"]),
+        _N("MaxPool", ["cr"], ["p"], [
+            _A("kernel_shape", ints=[2, 2]), _A("strides", ints=[2, 2]),
+        ]),
+        _N("Flatten", ["p"], ["f"]),
+        _N("Split", ["f"], ["s1", "s2"], [
+            _A("axis", i=1), _A("split", ints=[32, 32]),
+        ]),
+        _N("Concat", ["s1", "s2"], ["cat"], [_A("axis", i=1)]),
+    ]
+    model = _M(_G(nodes, [conv_w]))
+    ff = FFModel(FFConfig(batch_size=2))
+    x = ff.create_tensor([2, 1, 8, 8], name="x")
+    out = ONNXModel(model).apply(ff, {"x": x})
+    assert tuple(out.shape) == (2, 64)
