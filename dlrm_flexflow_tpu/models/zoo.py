@@ -139,3 +139,214 @@ def transformer(
         f = model.dense(f, hidden, name=f"ffn2_{i}")
         t = model.add(f, t, name=f"res_ffn_{i}")
     return model
+
+
+def _bottleneck(model: FFModel, t, out_channels: int, stride: int):
+    """reference: examples/cpp/ResNet/resnet.cc:34-54 BottleneckBlock."""
+    inp = t
+    t = model.conv2d(t, out_channels, 1, 1, 1, 1, 0, 0)
+    t = model.relu(t)
+    t = model.conv2d(t, out_channels, 3, 3, stride, stride, 1, 1)
+    t = model.relu(t)
+    t = model.conv2d(t, 4 * out_channels, 1, 1, 1, 1, 0, 0)
+    if stride > 1 or inp.shape[1] != 4 * out_channels:
+        inp = model.conv2d(inp, 4 * out_channels, 1, 1, stride, stride, 0, 0)
+    t = model.add(inp, t)
+    return model.relu(t)
+
+
+def resnet(batch_size: int = 64, config: Optional[FFConfig] = None) -> FFModel:
+    """ResNet-50-style (reference: examples/cpp/ResNet/resnet.cc:85-106)."""
+    model = FFModel(config or FFConfig(batch_size=batch_size))
+    x = model.create_tensor([batch_size, 3, 224, 224], name="image")
+    t = model.conv2d(x, 64, 7, 7, 2, 2, 3, 3, activation=ActiMode.AC_MODE_RELU)
+    t = model.pool2d(t, 3, 3, 2, 2, 1, 1)
+    for _ in range(3):
+        t = _bottleneck(model, t, 64, 1)
+    for i in range(4):
+        t = _bottleneck(model, t, 128, 2 if i == 0 else 1)
+    for i in range(6):
+        t = _bottleneck(model, t, 256, 2 if i == 0 else 1)
+    for i in range(3):
+        t = _bottleneck(model, t, 512, 2 if i == 0 else 1)
+    t = model.pool2d(t, 7, 7, 1, 1, 0, 0, pool_type=PoolType.POOL_AVG)
+    t = model.flat(t)
+    t = model.dense(t, 10)
+    model.softmax(t)
+    return model
+
+
+def _inception_a(model, t, pool_features: int):
+    """reference: examples/cpp/InceptionV3/inception.cc:26-41."""
+    relu = ActiMode.AC_MODE_RELU
+    t1 = model.conv2d(t, 64, 1, 1, 1, 1, 0, 0, activation=relu)
+    t2 = model.conv2d(t, 48, 1, 1, 1, 1, 0, 0, activation=relu)
+    t2 = model.conv2d(t2, 64, 5, 5, 1, 1, 2, 2, activation=relu)
+    t3 = model.conv2d(t, 64, 1, 1, 1, 1, 0, 0, activation=relu)
+    t3 = model.conv2d(t3, 96, 3, 3, 1, 1, 1, 1, activation=relu)
+    t3 = model.conv2d(t3, 96, 3, 3, 1, 1, 1, 1, activation=relu)
+    t4 = model.pool2d(t, 3, 3, 1, 1, 1, 1, pool_type=PoolType.POOL_AVG)
+    t4 = model.conv2d(t4, pool_features, 1, 1, 1, 1, 0, 0, activation=relu)
+    return model.concat([t1, t2, t3, t4], 1)
+
+
+def _inception_b(model, t):
+    """reference: inception.cc:43-55."""
+    t1 = model.conv2d(t, 384, 3, 3, 2, 2, 0, 0)
+    t2 = model.conv2d(t, 64, 1, 1, 1, 1, 0, 0)
+    t2 = model.conv2d(t2, 96, 3, 3, 1, 1, 1, 1)
+    t2 = model.conv2d(t2, 96, 3, 3, 2, 2, 0, 0)
+    t3 = model.pool2d(t, 3, 3, 2, 2, 0, 0)
+    return model.concat([t1, t2, t3], 1)
+
+
+def _inception_c(model, t, channels: int):
+    """reference: inception.cc:56-74 (1x7/7x1 factorized convs)."""
+    t1 = model.conv2d(t, 192, 1, 1, 1, 1, 0, 0)
+    t2 = model.conv2d(t, channels, 1, 1, 1, 1, 0, 0)
+    t2 = model.conv2d(t2, channels, 1, 7, 1, 1, 0, 3)
+    t2 = model.conv2d(t2, 192, 7, 1, 1, 1, 3, 0)
+    t3 = model.conv2d(t, channels, 1, 1, 1, 1, 0, 0)
+    t3 = model.conv2d(t3, channels, 7, 1, 1, 1, 3, 0)
+    t3 = model.conv2d(t3, channels, 1, 7, 1, 1, 0, 3)
+    t3 = model.conv2d(t3, channels, 7, 1, 1, 1, 3, 0)
+    t3 = model.conv2d(t3, 192, 1, 7, 1, 1, 0, 3)
+    t4 = model.pool2d(t, 3, 3, 1, 1, 1, 1, pool_type=PoolType.POOL_AVG)
+    t4 = model.conv2d(t4, 192, 1, 1, 1, 1, 0, 0)
+    return model.concat([t1, t2, t3, t4], 1)
+
+
+def _inception_d(model, t):
+    """reference: inception.cc:75-89."""
+    t1 = model.conv2d(t, 192, 1, 1, 1, 1, 0, 0)
+    t1 = model.conv2d(t1, 320, 3, 3, 2, 2, 0, 0)
+    t2 = model.conv2d(t, 192, 1, 1, 1, 1, 0, 0)
+    t2 = model.conv2d(t2, 192, 1, 7, 1, 1, 0, 3)
+    t2 = model.conv2d(t2, 192, 7, 1, 1, 1, 3, 0)
+    t2 = model.conv2d(t2, 192, 3, 3, 2, 2, 0, 0)
+    t3 = model.pool2d(t, 3, 3, 2, 2, 0, 0)
+    return model.concat([t1, t2, t3], 1)
+
+
+def _inception_e(model, t):
+    """reference: inception.cc:90-108."""
+    t1 = model.conv2d(t, 320, 1, 1, 1, 1, 0, 0)
+    t2i = model.conv2d(t, 384, 1, 1, 1, 1, 0, 0)
+    t2 = model.conv2d(t2i, 384, 1, 3, 1, 1, 0, 1)
+    t3 = model.conv2d(t2i, 384, 3, 1, 1, 1, 1, 0)
+    t3i = model.conv2d(t, 448, 1, 1, 1, 1, 0, 0)
+    t3i = model.conv2d(t3i, 384, 3, 3, 1, 1, 1, 1)
+    t4 = model.conv2d(t3i, 384, 1, 3, 1, 1, 0, 1)
+    t5 = model.conv2d(t3i, 384, 3, 1, 1, 1, 1, 0)
+    t6 = model.pool2d(t, 3, 3, 1, 1, 1, 1, pool_type=PoolType.POOL_AVG)
+    t6 = model.conv2d(t6, 192, 1, 1, 1, 1, 0, 0)
+    return model.concat([t1, t2, t3, t4, t5, t6], 1)
+
+
+def inception_v3(batch_size: int = 32, config: Optional[FFConfig] = None) -> FFModel:
+    """reference: examples/cpp/InceptionV3/inception.cc:120-170."""
+    model = FFModel(config or FFConfig(batch_size=batch_size))
+    x = model.create_tensor([batch_size, 3, 299, 299], name="image")
+    t = model.conv2d(x, 32, 3, 3, 2, 2, 0, 0)
+    t = model.conv2d(t, 32, 3, 3, 1, 1, 0, 0)
+    t = model.conv2d(t, 64, 3, 3, 1, 1, 1, 1)
+    t = model.pool2d(t, 3, 3, 2, 2, 0, 0)
+    t = model.conv2d(t, 80, 1, 1, 1, 1, 0, 0)
+    t = model.conv2d(t, 192, 3, 3, 1, 1, 1, 1)
+    t = model.pool2d(t, 3, 3, 2, 2, 0, 0)
+    t = _inception_a(model, t, 32)
+    t = _inception_a(model, t, 64)
+    t = _inception_a(model, t, 64)
+    t = _inception_b(model, t)
+    t = _inception_c(model, t, 128)
+    t = _inception_c(model, t, 160)
+    t = _inception_c(model, t, 160)
+    t = _inception_c(model, t, 192)
+    t = _inception_d(model, t)
+    t = _inception_e(model, t)
+    t = _inception_e(model, t)
+    t = model.pool2d(t, 8, 8, 1, 1, 0, 0, pool_type=PoolType.POOL_AVG)
+    t = model.flat(t)
+    t = model.dense(t, 10)
+    model.softmax(t)
+    return model
+
+
+def candle_uno(
+    batch_size: int = 64,
+    dense_layers=(1000, 1000, 1000),
+    dense_feature_layers=(1000, 1000, 1000),
+    feature_shapes=None,
+    config: Optional[FFConfig] = None,
+) -> FFModel:
+    """reference: examples/cpp/candle_uno/candle_uno.cc:48-124 — per-feature
+    encoder MLP towers concatenated, shared towers for same feature kinds,
+    final regression head. Default shapes follow the reference's defaults
+    (dose scalar, cell rnaseq 942, drug descriptors 5270, fingerprints 2048),
+    scaled down by the caller for tests."""
+    if feature_shapes is None:
+        feature_shapes = {"dose": 1, "cell.rnaseq": 942,
+                          "drug.descriptors": 5270, "drug.fingerprints": 2048}
+    input_features = {
+        "dose1": "dose", "dose2": "dose",
+        "cell.rnaseq": "cell.rnaseq",
+        "drug1.descriptors": "drug.descriptors",
+        "drug1.fingerprints": "drug.fingerprints",
+        "drug2.descriptors": "drug.descriptors",
+        "drug2.fingerprints": "drug.fingerprints",
+    }
+    model = FFModel(config or FFConfig(batch_size=batch_size))
+    encoded = []
+    for fname, kind in input_features.items():
+        shape = feature_shapes[kind]
+        x = model.create_tensor([batch_size, shape], name=fname)
+        if kind != "dose":  # dose scalars pass through unencoded
+            t = x
+            for out_dim in dense_feature_layers:
+                t = model.dense(t, out_dim, activation=ActiMode.AC_MODE_RELU)
+            encoded.append(t)
+        else:
+            encoded.append(x)
+    out = model.concat(encoded, 1)
+    for out_dim in dense_layers:
+        out = model.dense(out, out_dim, activation=ActiMode.AC_MODE_RELU)
+    model.dense(out, 1)
+    return model
+
+
+def bert_proxy(
+    batch_size: int = 8,
+    seq_length: int = 128,
+    hidden: int = 1024,
+    num_heads: int = 16,
+    num_layers: int = 24,
+    config: Optional[FFConfig] = None,
+) -> FFModel:
+    """reference: examples/python/native/bert_proxy_native.py — attention via
+    explicit dense QKV + reshape + batch_matmul pairs (seq_length-dim aware),
+    GELU FFN blocks."""
+    model = FFModel(config or FFConfig(batch_size=batch_size))
+    x = model.create_tensor([batch_size, seq_length, hidden], name="tokens")
+    kdim = vdim = hidden // num_heads
+    t = x
+    for i in range(num_layers):
+        q = model.dense(t, hidden, name=f"q_{i}")
+        k = model.dense(t, hidden, name=f"k_{i}")
+        v = model.dense(t, hidden, name=f"v_{i}")
+        q = model.reshape(q, (batch_size, seq_length, num_heads, kdim))
+        k = model.reshape(k, (batch_size, seq_length, num_heads, kdim))
+        v = model.reshape(v, (batch_size, seq_length, num_heads, vdim))
+        q = model.transpose(q, (0, 2, 1, 3))
+        k = model.transpose(k, (0, 2, 3, 1))
+        v = model.transpose(v, (0, 2, 1, 3))
+        # reference passes C-order dims 2/3 (bert_proxy_native.py:34-36);
+        # our API uses the runtime's reversed innermost-first convention
+        # (batch_matmul.cu:40-43): q/v seq at second-to-last -> 1, k/logits
+        # seq at last -> 0.
+        logits = model.batch_matmul(q, k, a_seq_length_dim=1, b_seq_length_dim=0)
+        attn = model.batch_matmul(logits, v, a_seq_length_dim=0, b_seq_length_dim=1)
+        attn = model.transpose(attn, (0, 2, 1, 3))
+        attn = model.reshape(attn, (batch_size, seq_length, hidden))
+        t = model.dense(attn, hidden, activation=ActiMode.AC_MODE_GELU, name=f"proj_{i}")
+        t = model.dense(t, hidden, activation=ActiMode.AC_MODE_GELU, name=f"ffn_{i}")
+    return model
