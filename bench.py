@@ -135,11 +135,19 @@ def main():
     examples_per_sec = args.steps * args.batch_size / dt
     loss = loss_val
     per_chip = examples_per_sec / max(n_dev if args.mesh else 1, 1)
+    # all-to-all GB/s for the pooled-embedding exchange (BASELINE.md metric):
+    # 2 exchanges per fwd (index + pooled) + 1 in bwd (pooled grads), bytes
+    # from the sharded layout (parallel/embedding_collection.py).
+    a2a_gbps = 0.0
+    layout = getattr(model, "_embedding_layout", None)
+    if mesh is not None and layout is not None:
+        step_bytes = 3 * layout.pooled_exchange_bytes(args.batch_size)
+        a2a_gbps = step_bytes * args.steps / dt / 1e9
     print(
         f"# config={args.config} bs={args.batch_size} steps={args.steps} "
         f"dt={dt:.3f}s devices={n_dev} mesh={'yes' if mesh else 'no'} "
         f"examples/s={examples_per_sec:,.0f} per-chip={per_chip:,.0f} "
-        f"loss={float(loss):.4f}",
+        f"all-to-all={a2a_gbps:.2f}GB/s loss={float(loss):.4f}",
         file=sys.stderr,
     )
     print(
@@ -149,6 +157,10 @@ def main():
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),
+                "examples_per_sec_per_chip": round(per_chip, 1),
+                "devices": n_dev if args.mesh else 1,
+                "all_to_all_gbps": round(a2a_gbps, 3),
+                "loss": round(loss, 5),
             }
         )
     )

@@ -487,18 +487,25 @@ class FFModel:
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 
-                fuse_embedding_tables(self.graph, plan, mesh.shape[plan.batch_axis])
+                coll = fuse_embedding_tables(
+                    self.graph, plan, mesh.shape[plan.batch_axis]
+                )
+                # exposed for the all-to-all GB/s report (bench.py; the
+                # BASELINE.md pooled-exchange metric)
+                self._embedding_layout = coll.layout if coll is not None else None
             # strategy export (reference: --export, strategy.cc:150)
             if self.config.export_strategy_file:
                 plan.save(self.config.export_strategy_file)
             self._input_shardings = plan.input_shardings(self.graph, mesh)
             self._label_sharding = plan.label_sharding(mesh)
         else:
+            self._embedding_layout = None
             if self.config.fuse_embeddings:
                 from ..parallel.passes import fuse_embedding_tables
                 from ..parallel.plan import dlrm_hybrid_plan
 
-                fuse_embedding_tables(self.graph, dlrm_hybrid_plan(), 1)
+                coll = fuse_embedding_tables(self.graph, dlrm_hybrid_plan(), 1)
+                self._embedding_layout = coll.layout if coll is not None else None
             self._input_shardings = None
             self._label_sharding = None
 

@@ -57,6 +57,19 @@ class Embedding(Op):
         (idx,) = inputs
         thr = getattr(ctx, "onehot_threshold", 0)
         if 0 < self.num_entries <= thr and self.aggr is not AggrMode.AGGR_MODE_NONE:
+            # Pallas variant builds the one-hot on-chip (VMEM). Measured
+            # SLOWER than the XLA path end-to-end (XLA fuses the iota-compare
+            # generator into the dot, so nothing is materialized in HBM);
+            # kept force-only (ops/pallas/onehot_embedding.py).
+            if getattr(ctx, "use_pallas", "off") == "on":
+                from .pallas.onehot_embedding import onehot_embedding_pallas
+
+                return [
+                    onehot_embedding_pallas(
+                        params["weight"], idx, self.aggr,
+                        compute_dtype=ctx.compute_dtype,
+                    )
+                ]
             return [
                 embedding_bag_onehot(
                     params["weight"], idx, self.aggr, ctx.compute_dtype

@@ -47,6 +47,7 @@ def resolve_use_pallas(flag: str) -> bool:
 from .dot_interaction import dot_interaction_pallas  # noqa: E402
 from .embedding_bag import embedding_bag_pallas  # noqa: E402
 from .fused_mlp import dense_pallas  # noqa: E402
+from .onehot_embedding import onehot_embedding_pallas  # noqa: E402
 
 __all__ = [
     "pallas_supported",
@@ -54,4 +55,5 @@ __all__ = [
     "dot_interaction_pallas",
     "embedding_bag_pallas",
     "dense_pallas",
+    "onehot_embedding_pallas",
 ]

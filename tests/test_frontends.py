@@ -220,3 +220,61 @@ def test_onnx_import_cnn_concat_split():
     x = ff.create_tensor([2, 1, 8, 8], name="x")
     out = ONNXModel(model).apply(ff, {"x": x})
     assert tuple(out.shape) == (2, 64)
+
+
+# --- datasets / preprocessing (reference: keras/datasets, keras/preprocessing)
+def test_datasets_and_preprocessing():
+    from dlrm_flexflow_tpu.frontends.datasets import (
+        Tokenizer,
+        load_cifar10,
+        load_mnist,
+        load_reuters,
+        pad_sequences,
+        to_categorical,
+    )
+
+    (xtr, ytr), (xte, yte) = load_mnist(synthetic_n=200)
+    assert xtr.shape == (200, 28, 28) and xtr.dtype == np.uint8
+    assert set(np.unique(ytr)) <= set(range(10))
+
+    (xtr, _), _ = load_cifar10(synthetic_n=100)
+    assert xtr.shape == (100, 3, 32, 32)
+
+    (seqs, ys), _ = load_reuters(synthetic_n=50)
+    assert len(seqs) == 50 and all(isinstance(s, list) for s in seqs)
+
+    padded = pad_sequences([[1, 2, 3], [4]], maxlen=5)
+    assert padded.shape == (2, 5)
+    assert list(padded[0]) == [0, 0, 1, 2, 3]
+    assert list(pad_sequences([[1, 2, 3]], maxlen=2, truncating="pre")[0]) == [2, 3]
+    assert list(pad_sequences([[1, 2, 3]], maxlen=2, truncating="post")[0]) == [1, 2]
+
+    tok = Tokenizer(num_words=10)
+    tok.fit_on_texts(["the cat sat", "the dog sat down"])
+    seqs = tok.texts_to_sequences(["the cat", "unknown word"])
+    assert seqs[0] and not seqs[1] or seqs[1] == []
+    m = tok.texts_to_matrix(["the cat"])
+    assert m.shape[0] == 1 and m.sum() >= 1
+
+    oh = to_categorical(np.array([0, 2]), 3)
+    assert oh.shape == (2, 3) and oh[1, 2] == 1.0
+
+
+def test_keras_mnist_accuracy_gate():
+    """The CI accuracy-gate pattern (reference: tests/accuracy_tests.sh +
+    VerifyMetrics) on the synthetic mnist surrogate."""
+    from dlrm_flexflow_tpu.frontends.datasets import load_mnist, to_categorical
+    from dlrm_flexflow_tpu.training.callbacks import VerifyMetrics
+
+    (xtr, ytr), _ = load_mnist(synthetic_n=2048)
+    x = (xtr.reshape(len(xtr), 784).astype(np.float32)) / 255.0
+    y = to_categorical(ytr, 10)
+    model = K.Sequential([
+        K.Dense(128, activation="relu"),
+        K.Dense(10),
+        K.Softmax(),
+    ])
+    model.compile(optimizer="sgd", loss="categorical_crossentropy",
+                  metrics=["accuracy"], input_shape=[784], batch_size=64)
+    model.fit(x, y, epochs=3, verbose=False,
+              callbacks=[VerifyMetrics("accuracy", 0.9)])

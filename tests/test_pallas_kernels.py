@@ -92,3 +92,38 @@ def test_dense_pallas_matches_xla(m, k, n, act, bias):
     ref = apply_activation(ref, act)
     got = dense_pallas(x, w, b, act, 16, 128, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("aggr", [AggrMode.AGGR_MODE_SUM, AggrMode.AGGR_MODE_AVG])
+def test_onehot_embedding_matches_xla(aggr):
+    from dlrm_flexflow_tpu.ops.pallas.onehot_embedding import onehot_embedding_pallas
+
+    rng = np.random.RandomState(7)
+    table = jnp.asarray(rng.randn(40, 16).astype(np.float32))
+    idx = rng.randint(0, 40, size=(19, 3)).astype(np.int32)
+    idx[2, 1:] = -1
+    idx[5, 1] = idx[5, 0]  # duplicate within bag
+    idx = jnp.asarray(idx)
+    ref = embedding_bag(table, idx, aggr)
+    got = onehot_embedding_pallas(table, idx, aggr, 8, True, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_onehot_embedding_grad_matches_xla():
+    from dlrm_flexflow_tpu.ops.pallas.onehot_embedding import onehot_embedding_pallas
+
+    rng = np.random.RandomState(8)
+    table = jnp.asarray(rng.randn(24, 8).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 24, size=(13, 2)).astype(np.int32))
+
+    def f_ref(t):
+        return jnp.sum(embedding_bag(t, idx, AggrMode.AGGR_MODE_SUM) ** 2)
+
+    def f_pal(t):
+        return jnp.sum(
+            onehot_embedding_pallas(t, idx, AggrMode.AGGR_MODE_SUM, 8, True, jnp.float32) ** 2
+        )
+
+    g_ref = jax.grad(f_ref)(table)
+    g_pal = jax.grad(f_pal)(table)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
