@@ -484,6 +484,13 @@ class FFModel:
             # --budget > 0, model.cc:1578-1584 + simulator.cu:71)
             if self.config.search_budget > 0 and plan.table_assignment is None:
                 self._run_strategy_search(mesh, plan)
+            # TP/parameter-parallel (reference: --enable-parameter-parallel,
+            # config.h:141): column-shard wide Dense kernels over the mesh's
+            # "model" axis when one exists.
+            if self.config.enable_parameter_parallel and "model" in mesh.axis_names:
+                from ..parallel.plan import enable_parameter_parallel
+
+                enable_parameter_parallel(plan, self.graph)
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 

@@ -176,3 +176,35 @@ def dlrm_hybrid_plan(policy: str = "greedy") -> ShardingPlan:
     """The DLRM default: dense DP + table-parallel embeddings (reference:
     the hand-crafted dlrm strategy, dlrm_strategy.py:26-47)."""
     return ShardingPlan(embedding_mode="table_parallel", assignment_policy=policy)
+
+
+def enable_parameter_parallel(
+    plan: ShardingPlan, graph, model_axis: str = "model", min_out_dim: int = 64
+) -> ShardingPlan:
+    """Add tensor-parallel (reference vocabulary: parameter-parallel) specs
+    for Dense layers: the [out, in] kernel is sharded on its output-channel
+    dim over `model_axis`, activations on [batch, out/axis]; XLA inserts the
+    reductions the reference built by hand as replica tensors + the
+    LINEAR_BWD2 reduction tree (reference: src/ops/linear.cu:769-960,
+    create_linear_replica model.cc:1268; gated by --enable-parameter-parallel,
+    config.h:141). Layers narrower than `min_out_dim` stay replicated (the
+    collective would cost more than the matmul, same judgment the reference's
+    search makes via measured cost)."""
+    from ..ops.dense import Dense
+
+    if model_axis not in plan.mesh_axes:
+        plan.mesh_axes = tuple(plan.mesh_axes) + (model_axis,)
+    for op in graph.compute_ops:
+        if not isinstance(op, Dense) or op.out_dim < min_out_dim:
+            continue
+        if op.out_dim % 2 != 0:  # unsplittable heads (e.g. final dim 1)
+            continue
+        specs = {"kernel": P(model_axis, None)}
+        if op.use_bias:
+            specs["bias"] = P(model_axis)
+        out_nd = len(op.outputs[0].shape)
+        out_spec = P(plan.batch_axis, *([None] * (out_nd - 2)), model_axis)
+        plan.op_specs[op.name] = OpShardSpec(
+            output_specs=[out_spec], param_specs=specs
+        )
+    return plan
