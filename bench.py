@@ -28,7 +28,8 @@ BASELINE_EXAMPLES_PER_SEC = 900_000.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="kaggle", choices=["tiny", "kaggle", "mlperf"])
+    ap.add_argument("--config", default="kaggle",
+                    choices=["tiny", "kaggle", "mlperf", "summit"])
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=10)
@@ -47,6 +48,7 @@ def main():
         kaggle_config,
         make_dlrm_model,
         mlperf_config,
+        summit_config,
         tiny_config,
     )
 
@@ -54,6 +56,7 @@ def main():
         "tiny": tiny_config,
         "kaggle": kaggle_config,
         "mlperf": lambda batch_size: mlperf_config(batch_size=batch_size, num_tables=8),
+        "summit": summit_config,
     }[args.config](batch_size=args.batch_size)
 
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)

@@ -28,8 +28,10 @@ class MachineSpec:
     ici_latency_us: float = 1.0
     dcn_gbps: float = 25.0
     dcn_latency_us: float = 10.0
-    gather_gbps: float = 4.0  # measured effective random-row gather bw
-    scatter_gbps: float = 4.0
+    # measured on v5e (PERF.md): gathers vectorize (~2 ns/row on 64 B rows),
+    # scatter-add is issue-rate-bound (~75 ns/update)
+    gather_gbps: float = 30.0  # effective random-row gather bw
+    scatter_gbps: float = 1.1  # effective scatter-add bw (64 B rows)
     step_overhead_us: float = 30.0
 
     def to_native(self) -> FFSimMachine:
@@ -77,7 +79,11 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
               batch: int = 8192, repeats: int = 20) -> MachineSpec:
     """Measure effective gather/scatter bandwidth on the real device and
     fold it into the spec (reference analog: measure_operator_cost running
-    real kernels 5 warmup + 10 timed, model.cu:20-64)."""
+    real kernels 5 warmup + 10 timed, model.cu:20-64).
+
+    The repeat loop runs INSIDE one jitted lax.scan: per-dispatch latency
+    through remote-tunnel backends is multiple ms and would otherwise
+    dominate the measurement (same rationale as bench.py)."""
     import time
 
     import jax
@@ -90,29 +96,36 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
     )
     g = jnp.ones((batch, dim), jnp.float32)
 
-    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum())
-    scatter = jax.jit(lambda t, i, g: t.at[i].add(g), donate_argnums=0)
+    @jax.jit
+    def gather_n(t, i):
+        def body(c, k):
+            # vary the indices per step so the loop isn't hoisted
+            return c + jnp.take(t, (i + k) % vocab, axis=0).sum(), 0.0
+        c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(repeats))
+        return c
 
-    _ = float(gather(table, idx))
+    @jax.jit
+    def scatter_n(t, i, g):
+        def body(t, k):
+            return t.at[(i + k) % vocab].add(g), 0.0
+        t, _ = jax.lax.scan(body, t, jnp.arange(repeats))
+        return t
+
+    _ = float(gather_n(table, idx))
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        s = gather(table, idx)
-    _ = float(s)
+    _ = float(gather_n(table, idx))
     g_time = (time.perf_counter() - t0) / repeats
 
-    table2 = jnp.zeros((vocab, dim), jnp.float32)
-    table2 = scatter(table2, idx, g)
-    _ = float(table2[0, 0])
+    t2 = scatter_n(table, idx, g)
+    _ = float(t2[0, 0])
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        table2 = scatter(table2, idx, g)
-    _ = float(table2[0, 0])
+    t2 = scatter_n(table, idx, g)
+    _ = float(t2[0, 0])
     s_time = (time.perf_counter() - t0) / repeats
 
     bytes_moved = batch * dim * 4
-    out = dataclasses.replace(
+    return dataclasses.replace(
         spec,
         gather_gbps=max(bytes_moved / g_time / 1e9, 0.1),
         scatter_gbps=max(bytes_moved / s_time / 1e9, 0.1),
     )
-    return out

@@ -231,3 +231,18 @@ def mlperf_config(batch_size: int = 2048, num_tables: int = 26) -> DLRMConfig:
         arch_interaction_op="dot",
         batch_size=batch_size,
     )
+
+
+def summit_config(batch_size: int = 512) -> DLRMConfig:
+    """reference: examples/cpp/DLRM/run_summit.sh — synthetic 8x1M-row
+    tables dim 64, bot 64-512-512-64, top 576-1024-1024-1024-1 (the
+    reference's multi-node scaling config; fits one chip, unlike mlperf)."""
+    return DLRMConfig(
+        sparse_feature_size=64,
+        embedding_size=[1_000_000] * 8,
+        embedding_bag_size=1,
+        mlp_bot=[64, 512, 512, 64],
+        mlp_top=[576, 1024, 1024, 1024, 1],
+        arch_interaction_op="cat",
+        batch_size=batch_size,
+    )

@@ -131,3 +131,14 @@ def test_machine_spec_file_roundtrip(tmp_path):
     spec.save(path)
     loaded = MachineSpec.from_file(path)
     assert loaded == spec
+
+
+def test_calibrate_measures_positive_bandwidth():
+    """profile-then-simulate hook (reference: inner_measure_operator_cost,
+    model.cu:20-64): measured gather/scatter bandwidth folds into the spec."""
+    from dlrm_flexflow_tpu.autotune.machine import calibrate, preset
+
+    spec = preset("cpu_sim", num_chips=1)
+    out = calibrate(spec, dim=8, vocab=1024, batch=64, repeats=3)
+    assert out.gather_gbps > 0 and out.scatter_gbps > 0
+    assert out.mxu_tflops == spec.mxu_tflops  # only bw fields updated
