@@ -18,36 +18,44 @@ from . import bindings
 from .machine import MachineSpec
 
 
-def graph_to_cost_spec(graph: Graph, global_batch: int) -> Tuple[List[dict], List[str]]:
+def graph_to_cost_spec(
+    graph: Graph, global_batch: int, table_split: Optional[List[int]] = None
+) -> Tuple[List[dict], List[str]]:
     """Lower graph ops to FFSimOp dicts. Returns (ops, embed_op_names) where
-    embed_op_names lists the FFSIM_EMBED entries in order (per table)."""
+    embed_op_names lists the FFSIM_EMBED entries in order — one per
+    SUB-table when `table_split` is given (row-range splitting spreads a
+    table's lookups/rows uniformly over its sub-tables; see
+    parallel/embedding_collection.py)."""
     ops: List[dict] = []
     embed_names: List[str] = []
+    t_idx = 0
+
+    def add_table(name, vocab, dim, lookups):
+        nonlocal t_idx
+        s = 1 if table_split is None else max(1, int(table_split[t_idx]))
+        for k in range(s):
+            ops.append({
+                "kind": bindings.KIND_EMBED,
+                "table_rows": float(vocab) / s,
+                "row_bytes": 4.0 * dim,
+                "lookups": float(lookups) / s,
+            })
+            embed_names.append(f"{name}/{k}" if s > 1 else name)
+        t_idx += 1
+
     for op in graph.compute_ops:
         stats = op.cost_stats()
         batch = op.outputs[0].shape[0] if op.outputs and op.outputs[0].shape else 1
         scale = global_batch / max(1, batch)
         if op.op_type is OperatorType.OP_EMBEDDING and hasattr(op, "layout"):
-            # collection: one FFSIM_EMBED entry per table
+            # collection: one FFSIM_EMBED entry per (sub-)table
             lay = op.layout
             bag = op.inputs[0].shape[1] if op.inputs[0].num_dims > 1 else 1
             for t, vocab in enumerate(lay.vocab_sizes):
-                ops.append({
-                    "kind": bindings.KIND_EMBED,
-                    "table_rows": float(vocab),
-                    "row_bytes": 4.0 * lay.dim,
-                    "lookups": float(global_batch * bag),
-                })
-                embed_names.append(f"{op.name}[{t}]")
+                add_table(f"{op.name}[{t}]", vocab, lay.dim, global_batch * bag)
         elif op.op_type is OperatorType.OP_EMBEDDING:
             bag = op.inputs[0].shape[1] if op.inputs[0].num_dims > 1 else 1
-            ops.append({
-                "kind": bindings.KIND_EMBED,
-                "table_rows": float(op.num_entries),
-                "row_bytes": 4.0 * op.out_dim,
-                "lookups": float(global_batch * bag),
-            })
-            embed_names.append(op.name)
+            add_table(op.name, op.num_entries, op.out_dim, global_batch * bag)
         else:
             kind = (
                 bindings.KIND_DENSE
@@ -65,31 +73,17 @@ def graph_to_cost_spec(graph: Graph, global_batch: int) -> Tuple[List[dict], Lis
     return ops, embed_names
 
 
-def autotune_plan(
-    graph: Graph,
-    machine: MachineSpec,
-    global_batch: int,
-    budget: int = 20000,
-    alpha: float = 0.05,
-    seed: int = 0,
-    opt_state_factor: float = 0.0,
-    initial_owner: Optional[List[int]] = None,
-):
-    """Run the MCMC placement search. Returns (owner, predicted_us, report).
-
-    report includes the cost breakdown of the found plan and of the
-    round-robin baseline (the reference's default DP-ish starting point).
-    """
-    ops, embed_names = graph_to_cost_spec(graph, global_batch)
-    n_tables = len(embed_names)
+def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
+                 opt_state_factor):
+    ops, embed_names = graph_to_cost_spec(graph, global_batch, split)
+    n_sub = len(embed_names)
     m = machine.to_native()
-    if n_tables == 0:
-        return [], bindings.simulate(m, ops, [], opt_state_factor), {}
-    rr = [i % machine.num_chips for i in range(n_tables)]
-    owner = list(initial_owner) if initial_owner is not None else list(rr)
+    if n_sub == 0:
+        return [], bindings.simulate(m, ops, [], opt_state_factor), {}, ops
+    rr = [i % machine.num_chips for i in range(n_sub)]
     rr_cost = bindings.simulate(m, ops, rr, opt_state_factor)
     best_owner, best_cost = bindings.mcmc_search(
-        m, ops, owner, budget=budget, alpha=alpha, seed=seed,
+        m, ops, list(rr), budget=budget, alpha=alpha, seed=seed,
         opt_state_factor=opt_state_factor,
     )
     report = {
@@ -99,4 +93,95 @@ def autotune_plan(
         "improvement": rr_cost / best_cost if best_cost > 0 else 1.0,
         "breakdown": bindings.breakdown(m, ops, best_owner, opt_state_factor),
     }
-    return best_owner, best_cost, report
+    return best_owner, best_cost, report, ops
+
+
+def autotune_plan(
+    graph: Graph,
+    machine: MachineSpec,
+    global_batch: int,
+    budget: int = 20000,
+    alpha: float = 0.05,
+    seed: int = 0,
+    opt_state_factor: float = 0.0,
+    initial_owner: Optional[List[int]] = None,
+    search_splits: bool = False,
+    max_split: Optional[int] = None,
+):
+    """Run the MCMC placement search. Returns (owner, predicted_us, report).
+
+    With `search_splits`, an outer greedy loop searches per-table row-split
+    degrees (the parallelism-DEGREE axis of the reference's per-op search
+    space, ParallelConfig dims): each round proposes doubling the split of
+    the hottest tables, re-runs the placement MCMC on the expanded sub-table
+    list, and keeps the change if the simulated step improves >1%. The
+    report then carries "table_split" and per-SUB-table owners.
+    """
+    del initial_owner  # superseded: rr start each search
+    owner, best_cost, report, ops = _search_once(
+        graph, machine, global_batch, None, budget, alpha, seed,
+        opt_state_factor,
+    )
+    n_tables = sum(1 for o in ops if o["kind"] == bindings.KIND_EMBED)
+    split = [1] * n_tables
+    if not search_splits or n_tables == 0 or machine.num_chips < 2:
+        if report:
+            report["table_split"] = split
+        return owner, best_cost, report
+
+    cap = max_split or machine.num_chips
+    embed_load = [
+        (o["lookups"] * o["row_bytes"], i)
+        for i, o in enumerate(o for o in ops if o["kind"] == bindings.KIND_EMBED)
+    ]
+    # track the global best; allow a few cost-neutral "plateau" moves (the
+    # per-shard max often stays flat until the split degree reaches a
+    # divisor-friendly value, e.g. 26 tables on 32 chips needs s=16)
+    g_split, g_owner, g_cost, g_report = split, owner, best_cost, report
+    plateau = 0
+    for _round in range(12):
+        per_sub = [
+            (embed_load[t][0] / split[t], t)
+            for t in range(n_tables)
+            if split[t] * 2 <= cap
+        ]
+        if not per_sub:
+            break
+        per_sub.sort(reverse=True)
+        top = per_sub[0][0]
+        # the max-shard cost only drops when every comparably-hot table
+        # splits, so the primary proposal doubles the whole tie set
+        tie_set = [t for load, t in per_sub if load >= 0.9 * top]
+        # proposals: tie set x2, tie set x4 (x2 can be cost-neutral when
+        # shard count ~ sub-table count), hottest alone x2
+        proposals = [(tie_set, 2), (tie_set, 4)]
+        if len(tie_set) > 1:
+            proposals.append(([per_sub[0][1]], 2))
+        moved = False
+        for k, (ts, factor) in enumerate(proposals):
+            cand = list(split)
+            for t in ts:
+                cand[t] = min(cand[t] * factor, cap)
+            if cand == split:
+                continue
+            o2, c2, r2, _ = _search_once(
+                graph, machine, global_batch, cand,
+                max(budget // 4, 500), alpha, seed + 17 * _round + k,
+                opt_state_factor,
+            )
+            if c2 < best_cost * 0.99:
+                split, owner, best_cost, report = cand, o2, c2, r2
+                moved, plateau = True, 0
+                break
+            if c2 <= best_cost * 1.005 and plateau < 3:
+                split, owner, best_cost, report = cand, o2, c2, r2
+                moved, plateau = True, plateau + 1
+                break
+        if best_cost < g_cost:
+            g_split, g_owner, g_cost, g_report = split, owner, best_cost, report
+        if not moved:
+            break
+    split, owner, best_cost, report = g_split, g_owner, g_cost, g_report
+    if report:
+        report["table_split"] = split
+    return owner, best_cost, report

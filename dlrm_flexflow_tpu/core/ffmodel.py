@@ -729,9 +729,13 @@ class FFModel:
             self.graph, machine, self.config.batch_size,
             budget=self.config.search_budget, alpha=self.config.search_alpha,
             seed=self.config.seed, opt_state_factor=osf,
+            search_splits=True,
         )
         if owner:
             plan.table_assignment = owner
+            split = (report or {}).get("table_split")
+            if split and any(s > 1 for s in split):
+                plan.table_split = split
         self._search_report = report
         if report:
             print(

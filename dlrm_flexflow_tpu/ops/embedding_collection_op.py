@@ -77,6 +77,7 @@ class EmbeddingCollection(Op):
             from ..ops.embedding import embedding_bag
 
             lay = self.layout
+            assert not lay.has_splits, "row-split layout requires a mesh"
             n, r, d = lay.param_shape()
             b, t, h = idx.shape
             idx32 = idx.astype(jnp.int32)
@@ -113,6 +114,7 @@ class EmbeddingCollection(Op):
             return {"pool": pool}, sstate
         # unsharded fallback: one scatter over the flattened pool
         lay = self.layout
+        assert not lay.has_splits, "row-split layout requires a mesh"
         n, r, d = lay.param_shape()
         b, t, h = idx.shape
         idx32 = idx.astype(jnp.int32)

@@ -15,15 +15,26 @@ scatter-add into the local table pool never leaves the device — same
 locality argument as the reference's per-GPU atomicAdd scatter
 (src/ops/embedding.cu:192-217).
 
-Storage: each shard owns a row pool [R_pad, D]; all tables of that shard are
-concatenated with static row offsets, padded so every shard has equal R_pad
-(XLA needs even partitions). The global parameter is [N, R_pad, D] sharded
-on axis 0 over the mesh "data" axis.
+Row-splitting (the scaling fix, PERF.md): pure table-parallelism leaves the
+busiest shard doing the FULL global batch of lookups + scatter updates for
+its tables — per-table work does not shrink with the mesh. A table may
+therefore be split into `split[t]` row-range sub-tables placed on different
+shards: each sub-table occupies its own exchange slot, lookups outside its
+row range ride as -1 padding (masked like empty bag entries), and the
+per-table output is the sum of its slots' pooled partials (exact for SUM
+pooling: every lookup hits exactly one range). This is the per-op
+parallelism-degree axis of the reference's search space (ParallelConfig
+dims) applied to embedding tables; the autotuner picks per-table degrees.
+
+Storage: each shard owns a row pool [R_pad, D]; all sub-tables of that shard
+are concatenated with static row offsets, padded so every shard has equal
+R_pad (XLA needs even partitions). The global parameter is [N, R_pad, D]
+sharded on axis 0 over the mesh "data" axis.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -55,47 +66,90 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def expand_subtables(
+    vocab_sizes: Sequence[int], split: Optional[Sequence[int]]
+) -> List[Tuple[int, int, int]]:
+    """[(table, row_start, row_len)] — one entry per sub-table."""
+    subs = []
+    for t, v in enumerate(vocab_sizes):
+        s = 1 if split is None else max(1, int(split[t]))
+        chunk = -(-v // s)
+        for k in range(s):
+            start = k * chunk
+            if start >= v:
+                break
+            subs.append((t, start, min(chunk, v - start)))
+    return subs
+
+
 @dataclasses.dataclass
 class ShardedEmbeddingLayout:
-    """Static layout derived from (vocab_sizes, dim, assignment)."""
+    """Static layout derived from (vocab_sizes, dim, assignment[, split]).
+
+    `owner` is per SUB-table (== per table when split is all ones)."""
 
     vocab_sizes: List[int]
     dim: int
     num_shards: int
     owner: List[int]
+    split: Optional[List[int]] = None
     # derived
-    t_max: int = 0  # max tables per shard
+    t_max: int = 0  # max sub-tables per shard (exchange slots per shard)
     r_pad: int = 0  # padded rows per shard
-    row_offset: Optional[np.ndarray] = None  # [T] row offset within owner pool
-    slot_table: Optional[np.ndarray] = None  # [N*t_max] table id or -1
-    out_slot: Optional[np.ndarray] = None  # [T] slot index of each table
+    subs: Optional[List[Tuple[int, int, int]]] = None  # (table, start, len)
+    row_offset: Optional[np.ndarray] = None  # [S] row offset within owner pool
+    slot_sub: Optional[np.ndarray] = None  # [N*t_max] sub id or -1
+    slot_tid: Optional[np.ndarray] = None  # [N*t_max] table id or -1
+    slot_start: Optional[np.ndarray] = None  # [N*t_max] row-range start
+    slot_len: Optional[np.ndarray] = None  # [N*t_max] row-range length
+    slot_offset_arr: Optional[np.ndarray] = None  # [N*t_max] pool offset
 
     def __post_init__(self):
         n = self.num_shards
+        self.subs = expand_subtables(self.vocab_sizes, self.split)
+        assert len(self.owner) == len(self.subs), (
+            f"owner must be per sub-table: {len(self.owner)} vs {len(self.subs)}"
+        )
+        if self.split is not None and any(s > 1 for s in self.split):
+            pass  # AVG restriction asserted at lookup time
         per_shard: List[List[int]] = [[] for _ in range(n)]
-        for t, s in enumerate(self.owner):
-            per_shard[s].append(t)
+        for i, _ in enumerate(self.subs):
+            per_shard[self.owner[i]].append(i)
         self.t_max = max(1, max(len(g) for g in per_shard))
-        self.row_offset = np.zeros(len(self.vocab_sizes), np.int64)
+        self.row_offset = np.zeros(len(self.subs), np.int64)
         rows = []
-        slot_table = -np.ones(n * self.t_max, np.int64)
-        out_slot = np.zeros(len(self.vocab_sizes), np.int64)
+        nslot = n * self.t_max
+        self.slot_sub = -np.ones(nslot, np.int64)
+        self.slot_tid = np.zeros(nslot, np.int64)
+        self.slot_start = np.zeros(nslot, np.int64)
+        self.slot_len = np.zeros(nslot, np.int64)
+        self.slot_offset_arr = np.zeros(nslot, np.int64)
         for s, group in enumerate(per_shard):
             off = 0
-            for k, t in enumerate(group):
-                self.row_offset[t] = off
-                off += self.vocab_sizes[t]
+            for k, i in enumerate(group):
+                t, start, length = self.subs[i]
+                self.row_offset[i] = off
                 slot = s * self.t_max + k
-                slot_table[slot] = t
-                out_slot[t] = slot
+                self.slot_sub[slot] = i
+                self.slot_tid[slot] = t
+                self.slot_start[slot] = start
+                self.slot_len[slot] = length
+                self.slot_offset_arr[slot] = off
+                off += length
             rows.append(off)
         self.r_pad = _round_up(max(max(rows), 1), 8)
-        self.slot_table = slot_table
-        self.out_slot = out_slot
 
     @property
     def num_tables(self) -> int:
         return len(self.vocab_sizes)
+
+    @property
+    def num_subtables(self) -> int:
+        return len(self.subs)
+
+    @property
+    def has_splits(self) -> bool:
+        return self.split is not None and any(s > 1 for s in self.split)
 
     def param_shape(self):
         return (self.num_shards, self.r_pad, self.dim)
@@ -115,22 +169,64 @@ class ShardedEmbeddingLayout:
         return total * (n - 1) // n
 
     def init_params(self, key: jax.Array, initializer, dtype=jnp.float32) -> jax.Array:
-        """Build [N, R_pad, D] with each table block initialized as a
-        standalone [vocab, D] table (fan shapes match single-table init)."""
+        """Build [N, R_pad, D] with each table initialized as one standalone
+        [vocab, D] table (fan shapes match single-table init; sub-tables
+        slice it, so split degree does not change the init)."""
         pool = jnp.zeros(self.param_shape(), dtype)
-        for t, vocab in enumerate(self.vocab_sizes):
-            block = initializer(jax.random.fold_in(key, t), (vocab, self.dim), dtype)
-            s = self.owner[t]
-            pool = pool.at[s, int(self.row_offset[t]) : int(self.row_offset[t]) + vocab].set(
-                block
-            )
+        tables = {
+            t: initializer(jax.random.fold_in(key, t), (v, self.dim), dtype)
+            for t, v in enumerate(self.vocab_sizes)
+        }
+        for i, (t, start, length) in enumerate(self.subs):
+            s = self.owner[i]
+            off = int(self.row_offset[i])
+            pool = pool.at[s, off : off + length].set(tables[t][start : start + length])
         return pool
 
     def extract_table(self, pool, t: int) -> jax.Array:
         """Debug/checkpoint helper: recover table t as [vocab, D]."""
-        s = self.owner[t]
-        off = int(self.row_offset[t])
-        return pool[s, off : off + self.vocab_sizes[t]]
+        parts = []
+        for i, (tt, start, length) in enumerate(self.subs):
+            if tt != t:
+                continue
+            s = self.owner[i]
+            off = int(self.row_offset[i])
+            parts.append(pool[s, off : off + length])
+        return jnp.concatenate(parts, axis=0)
+
+    # ---- static device arrays used by the exchange --------------------------
+    def _slot_consts(self):
+        return (
+            jnp.asarray(self.slot_sub >= 0, jnp.bool_),  # is_real [S]
+            jnp.asarray(self.slot_tid, jnp.int32),
+            jnp.asarray(self.slot_start, jnp.int32),
+            jnp.asarray(self.slot_len, jnp.int32),
+            jnp.asarray(self.slot_offset_arr, jnp.int32),
+        )
+
+    def table_select_matrix(self) -> jnp.ndarray:
+        """[n_slots, T] 0/1: slot s contributes to table slot_tid[s]."""
+        nslot = self.num_shards * self.t_max
+        sel = np.zeros((nslot, self.num_tables), np.float32)
+        for s in range(nslot):
+            if self.slot_sub[s] >= 0:
+                sel[s, int(self.slot_tid[s])] = 1.0
+        return jnp.asarray(sel)
+
+
+def _expand_by_slot(layout, idx_local):
+    """idx_local [B_loc, T, H] -> by_owner [B_loc, N*t_max, H]: per exchange
+    slot, the slot's table's indices remapped into its sub-table's local pool
+    rows; entries outside the slot's row range (or padding, or dead slots)
+    become -1."""
+    is_real, slot_tid, slot_start, slot_len, slot_off = layout._slot_consts()
+    gathered = jnp.take(idx_local, slot_tid, axis=1)  # [B_loc, S, H]
+    in_range = (gathered >= slot_start[None, :, None]) & (
+        gathered < (slot_start + slot_len)[None, :, None]
+    )
+    remapped = gathered - slot_start[None, :, None] + slot_off[None, :, None]
+    keep = in_range & is_real[None, :, None]
+    return jnp.where(keep, remapped, -1)
 
 
 def sharded_embedding_lookup(
@@ -147,29 +243,20 @@ def sharded_embedding_lookup(
     """
     n = layout.num_shards
     t_max = layout.t_max
-    num_t = layout.num_tables
-
-    # Static remapping tables (host constants baked into the program).
-    slot_table = jnp.asarray(layout.slot_table, jnp.int32)  # [N*t_max]
-    slot_offset = jnp.asarray(
-        np.where(layout.slot_table >= 0, layout.row_offset[np.maximum(layout.slot_table, 0)], 0),
-        jnp.int32,
-    )  # [N*t_max]
-    out_slot = jnp.asarray(layout.out_slot, jnp.int32)  # [T]
+    if layout.has_splits:
+        assert aggr is AggrMode.AGGR_MODE_SUM, (
+            "row-split tables require SUM pooling (per-slot partials sum "
+            "exactly; AVG counts would need a second exchange)"
+        )
+    sel = layout.table_select_matrix()  # [S, T]
 
     def local_fn(pool_local, idx_local):
         # pool_local [1, R_pad, D]; idx_local [B_loc, T, H]
         b_loc, _, h = idx_local.shape
         idx_local = idx_local.astype(jnp.int32)
-        # Arrange per-destination-slot indices [B_loc, N*t_max, H]:
-        safe_slot = jnp.maximum(slot_table, 0)
-        gathered = jnp.take(idx_local, safe_slot, axis=1)  # [B_loc, N*t_max, H]
-        valid_entry = gathered >= 0
-        remapped = gathered + slot_offset[None, :, None]
-        is_real = (slot_table >= 0)[None, :, None]
-        by_owner = jnp.where(valid_entry & is_real, remapped, -1)
+        by_owner = _expand_by_slot(layout, idx_local)  # [B_loc, S, H]
         # (1) index exchange: each shard receives the full batch's indices
-        # for its own tables.
+        # for its own sub-tables.
         sent = jax.lax.all_to_all(
             by_owner, axis, split_axis=1, concat_axis=0, tiled=True
         )  # [N*B_loc, t_max, H]
@@ -190,7 +277,12 @@ def sharded_embedding_lookup(
         back = jax.lax.all_to_all(
             pooled, axis, split_axis=0, concat_axis=1, tiled=True
         )  # [B_loc, N*t_max, D]
-        out = jnp.take(back, out_slot, axis=1)  # [B_loc, T, D]
+        # combine slots per table (sum of row-range partials; exact for SUM,
+        # identity when split == 1)
+        out = jnp.einsum(
+            "bsd,st->btd", back.astype(jnp.float32), sel,
+            preferred_element_type=jnp.float32,
+        ).astype(back.dtype)
         return out
 
     return jax.shard_map(
@@ -215,36 +307,32 @@ def sharded_embedding_sparse_update(
     lr=None,
 ):
     """Backward mirror of sharded_embedding_lookup with the optimizer fused
-    in: exchange pooled grads to table owners (one all-to-all; same volume as
-    the forward pooled exchange), expand over bag members, scatter-apply the
-    row update locally. No dense table gradient is ever materialized.
+    in: exchange pooled grads to sub-table owners (one all-to-all; same
+    volume as the forward pooled exchange), expand over bag members, scatter-
+    apply the row update locally. No dense table gradient is materialized.
     """
     n = layout.num_shards
     t_max = layout.t_max
-
-    slot_table = jnp.asarray(layout.slot_table, jnp.int32)
-    slot_offset = jnp.asarray(
-        np.where(layout.slot_table >= 0, layout.row_offset[np.maximum(layout.slot_table, 0)], 0),
-        jnp.int32,
-    )
+    if layout.has_splits:
+        assert aggr is AggrMode.AGGR_MODE_SUM
+    is_real, slot_tid, _, _, _ = layout._slot_consts()
     r_pad = layout.r_pad
     has_state = sstate is not None
 
     def local_fn(pool_local, sstate_local, idx_local, g_local):
         b_loc, _, h = idx_local.shape
         idx_local = idx_local.astype(jnp.int32)
-        safe_slot = jnp.maximum(slot_table, 0)
-        is_real = (slot_table >= 0)[None, :, None]
-        gathered = jnp.take(idx_local, safe_slot, axis=1)
-        valid_entry = gathered >= 0
-        remapped = gathered + slot_offset[None, :, None]
-        by_owner = jnp.where(valid_entry & is_real, remapped, -1)
+        by_owner = _expand_by_slot(layout, idx_local)  # [B_loc, S, H]
         sent_idx = jax.lax.all_to_all(
             by_owner, axis, split_axis=1, concat_axis=0, tiled=True
         )  # [N*B_loc, t_max, H]
 
-        g_by_slot = jnp.take(g_local, safe_slot, axis=1)  # [B_loc, N*t_max, D]
-        g_by_slot = jnp.where(is_real, g_by_slot, jnp.zeros((), g_by_slot.dtype))
+        # each slot receives its TABLE's pooled grad (the slot handled a
+        # row-range subset of the lookups; invalid entries drop in scatter)
+        g_by_slot = jnp.take(g_local, slot_tid, axis=1)  # [B_loc, S, D]
+        g_by_slot = jnp.where(
+            is_real[None, :, None], g_by_slot, jnp.zeros((), g_by_slot.dtype)
+        )
         sent_g = jax.lax.all_to_all(
             g_by_slot, axis, split_axis=1, concat_axis=0, tiled=True
         )  # [N*B_loc, t_max, D]

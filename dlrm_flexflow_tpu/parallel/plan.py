@@ -24,6 +24,30 @@ from .embedding_collection import (
 )
 
 
+def greedy_subtable_assignment(subs, sub_vocabs, num_shards: int):
+    """HBM-balancing placement over sub-tables, preferring not to co-locate
+    two sub-tables of the same table (that would defeat the split)."""
+    import numpy as np
+
+    owner = [0] * len(subs)
+    load = [0] * num_shards
+    shard_tables = [set() for _ in range(num_shards)]
+    for i in sorted(range(len(subs)), key=lambda i: -sub_vocabs[i]):
+        t = subs[i][0]
+        order = np.argsort(load, kind="stable")
+        pick = None
+        for s in order:
+            if t not in shard_tables[int(s)]:
+                pick = int(s)
+                break
+        if pick is None:
+            pick = int(order[0])
+        owner[i] = pick
+        load[pick] += sub_vocabs[i]
+        shard_tables[pick].add(t)
+    return owner
+
+
 def _spec_to_list(spec: P) -> list:
     return [list(x) if isinstance(x, tuple) else x for x in spec]
 
@@ -65,8 +89,14 @@ class ShardingPlan:
     # "table_parallel" shards embedding tables over batch_axis devices with
     # all-to-all exchange; "replicated" keeps tables replicated (pure DP).
     embedding_mode: str = "table_parallel"
-    # table index (graph embedding order) -> shard; None => auto
+    # sub-table index -> shard; None => auto. With table_split all ones
+    # this is one entry per table (reference ParallelConfig device_ids analog).
     table_assignment: Optional[List[int]] = None
+    # per-table row-split degree (1 = whole table on one shard). Splitting a
+    # hot table spreads its lookups/scatter over several shards — the
+    # parallelism-DEGREE axis of the reference's per-op search space
+    # (see embedding_collection.py row-splitting notes / PERF.md).
+    table_split: Optional[List[int]] = None
     # "round_robin" (reference parity) | "greedy" (HBM balancing)
     assignment_policy: str = "greedy"
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
@@ -124,15 +154,36 @@ class ShardingPlan:
     def make_layout(
         self, vocab_sizes: Sequence[int], dim: int, num_shards: int
     ) -> ShardedEmbeddingLayout:
+        from .embedding_collection import expand_subtables
+
+        split = self.table_split
+        if split is not None:
+            assert len(split) == len(vocab_sizes)
+        subs = expand_subtables(vocab_sizes, split)
         assignment = self.table_assignment
+        if assignment is not None and len(assignment) == len(vocab_sizes) and (
+            len(subs) != len(vocab_sizes)
+        ):
+            # per-table assignment + splits: stripe each table's sub-tables
+            # round-robin starting at its assigned shard
+            counter = {}
+            expanded = []
+            for (t, _, _) in subs:
+                k = counter.get(t, 0)
+                counter[t] = k + 1
+                expanded.append((assignment[t] + k) % num_shards)
+            assignment = expanded
         if assignment is None:
+            sub_vocabs = [l for (_, _, l) in subs]
             if self.assignment_policy == "round_robin":
-                assignment = round_robin_assignment(len(vocab_sizes), num_shards)
+                assignment = round_robin_assignment(len(subs), num_shards)
             else:
-                assignment = greedy_assignment(vocab_sizes, num_shards)
+                assignment = greedy_subtable_assignment(subs, sub_vocabs, num_shards)
             self.table_assignment = assignment
-        assert len(assignment) == len(vocab_sizes)
-        return ShardedEmbeddingLayout(list(vocab_sizes), dim, num_shards, assignment)
+        assert len(assignment) == len(subs)
+        return ShardedEmbeddingLayout(
+            list(vocab_sizes), dim, num_shards, assignment, split=list(split) if split else None
+        )
 
     # ------------------------------------------------------------------ file IO
     def save(self, path: str) -> None:
@@ -145,6 +196,7 @@ class ShardingPlan:
             "embedding_mode": self.embedding_mode,
             "assignment_policy": self.assignment_policy,
             "table_assignment": self.table_assignment,
+            "table_split": self.table_split,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -162,6 +214,7 @@ class ShardingPlan:
             embedding_mode=doc["embedding_mode"],
             assignment_policy=doc.get("assignment_policy", "greedy"),
             table_assignment=doc.get("table_assignment"),
+            table_split=doc.get("table_split"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 

@@ -1,0 +1,89 @@
+"""Scaling projection: cost-model examples/s at 1..N chips.
+
+The BASELINE.md north star asks for >= 85% examples/s scaling efficiency
+from 1 host to a v5e-64 slice; only one physical chip is reachable here, so
+this harness (a) anchors the native ffsim cost model against the MEASURED
+1-chip throughput, then (b) projects the table-parallel plan across slice
+sizes with the MCMC-searched placement, printing per-chip examples/s and
+scaling efficiency. The same protocol the reference uses for its simulator
+("simulated makespan per strategy", src/runtime/model.cc:1953-1955),
+anchored in real measurement like its profile-then-simulate design.
+
+Run: python scripts/scaling_projection.py [--config kaggle|summit]
+     [--per-chip-batch 8192] [--measured-exps 1270000 --measured-batch 65536]
+"""
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType, SGDOptimizer
+from dlrm_flexflow_tpu.autotune.machine import preset
+from dlrm_flexflow_tpu.autotune.search import autotune_plan, graph_to_cost_spec
+from dlrm_flexflow_tpu.models.dlrm import kaggle_config, make_dlrm_model, summit_config
+
+
+def build(config_name: str, batch: int):
+    # graph only: the cost model needs op shapes/stats, not initialized
+    # parameters (compile() would allocate the full tables)
+    cfg = {"kaggle": kaggle_config, "summit": summit_config}[config_name](
+        batch_size=batch
+    )
+    return make_dlrm_model(cfg, FFConfig(batch_size=batch, compute_dtype="bfloat16"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="kaggle", choices=["kaggle", "summit"])
+    ap.add_argument("--per-chip-batch", type=int, default=8192)
+    ap.add_argument("--measured-exps", type=float, default=0.0,
+                    help="measured 1-chip examples/s for anchoring")
+    ap.add_argument("--measured-batch", type=int, default=0)
+    ap.add_argument("--budget", type=int, default=4000)
+    args = ap.parse_args()
+
+    # anchor: simulate 1 chip at the measured batch, scale step_overhead /
+    # bandwidths implicitly via the anchor ratio
+    anchor_ratio = 1.0
+    if args.measured_exps > 0 and args.measured_batch > 0:
+        model = build(args.config, args.measured_batch)
+        m1 = preset("tpu_v5e", num_chips=1)
+        _, pred_us, _ = autotune_plan(model.graph, m1, args.measured_batch, budget=1)
+        pred_exps = args.measured_batch / (pred_us / 1e6)
+        anchor_ratio = args.measured_exps / pred_exps
+        print(f"# anchor: measured {args.measured_exps:,.0f} ex/s, "
+              f"model predicts {pred_exps:,.0f} -> ratio {anchor_ratio:.3f}")
+
+    rows = []
+    base_per_chip = None
+    for chips in (1, 4, 8, 16, 32, 64):
+        gb = args.per_chip_batch * chips  # weak scaling (per-chip batch fixed)
+        model = build(args.config, gb)
+        m = preset("tpu_v5e", num_chips=chips)
+        owner, best_us, report = autotune_plan(
+            model.graph, m, gb, budget=args.budget if chips > 1 else 1,
+            search_splits=chips > 1,
+        )
+        exps = gb / (best_us / 1e6) * anchor_ratio
+        per_chip = exps / chips
+        if base_per_chip is None:
+            base_per_chip = per_chip
+        eff = per_chip / base_per_chip
+        rows.append((chips, exps, per_chip, eff))
+        bd = report.get("breakdown", {}) if report else {}
+        bd_s = " ".join(f"{k}={v:.0f}us" for k, v in sorted(bd.items()) if v > 0)
+        sp = report.get("table_split", []) if report else []
+        n_split = sum(1 for x in sp if x > 1)
+        print(f"chips={chips:3d} global_bs={gb:7d} projected={exps:12,.0f} ex/s "
+              f"per-chip={per_chip:10,.0f} scaling-eff={eff:6.1%} "
+              f"split_tables={n_split}(max {max(sp) if sp else 1})  [{bd_s}]")
+    # north star (BASELINE.md): 1 host (8 chips) -> 64 chips
+    per = {c: pc for c, _, pc, _ in rows}
+    if 8 in per and 64 in per:
+        host_eff = per[64] / per[8]
+        print(f"# 1-host(8) -> 64-chip scaling efficiency: {host_eff:.1%} "
+              f"(target >= 85%)")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
+from dlrm_flexflow_tpu.ffconst import DataType
 from dlrm_flexflow_tpu.autotune import bindings
 from dlrm_flexflow_tpu.autotune.machine import MachineSpec, preset
 from dlrm_flexflow_tpu.autotune.search import autotune_plan, graph_to_cost_spec
@@ -142,3 +143,34 @@ def test_calibrate_measures_positive_bandwidth():
     out = calibrate(spec, dim=8, vocab=1024, batch=64, repeats=3)
     assert out.gather_gbps > 0 and out.scatter_gbps > 0
     assert out.mxu_tflops == spec.mxu_tflops  # only bw fields updated
+
+
+def test_split_search_spreads_hot_table():
+    """One huge-lookup table + tiny ones on 8 chips: the split search must
+    row-split the hot table (per-table work otherwise caps scaling —
+    PERF.md)."""
+    from dlrm_flexflow_tpu.autotune.machine import preset
+    from dlrm_flexflow_tpu.autotune.search import autotune_plan
+    from dlrm_flexflow_tpu.config import FFConfig
+    from dlrm_flexflow_tpu.core.ffmodel import FFModel
+    from dlrm_flexflow_tpu.parallel.passes import fuse_embedding_tables
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    m = FFModel(FFConfig(batch_size=4096))
+    xs = [m.create_tensor([4096, 1], dtype=DataType.DT_INT64, name=f"s{i}")
+          for i in range(4)]
+    for i, x in enumerate(xs):
+        m.embedding(x, 1_000_000 if i == 0 else 20_000, 16)
+    fuse_embedding_tables(m.graph, dlrm_hybrid_plan(), 8)
+
+    machine = preset("tpu_v5e", num_chips=8, chips_per_host=8)
+    owner, cost, report = autotune_plan(
+        m.graph, machine, 4096 * 8, budget=2000, search_splits=True, seed=1
+    )
+    split = report["table_split"]
+    base_owner, base_cost, _ = autotune_plan(
+        m.graph, machine, 4096 * 8, budget=2000, search_splits=False, seed=1
+    )
+    assert split[0] > 1, f"hot table not split: {split}"
+    assert cost < base_cost, (cost, base_cost)
+    assert len(owner) == sum(split)

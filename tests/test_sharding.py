@@ -216,3 +216,113 @@ def test_parameter_parallel_matches_single_device():
                 for spec in (e.param_specs or {}).values())), "TP specs missing"
     l_tp = [float(tp.train_batch(feeds, labels)) for _ in range(3)]
     np.testing.assert_allclose(l_tp, l_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_row_split_lookup_matches_unsplit(mesh):
+    """Row-range splitting of hot tables (PERF.md scaling fix): lookups must
+    match the unsplit table-parallel result exactly."""
+    from dlrm_flexflow_tpu.parallel.embedding_collection import expand_subtables
+    from dlrm_flexflow_tpu.parallel.plan import greedy_subtable_assignment
+
+    rng = np.random.RandomState(0)
+    vocabs = [200, 64, 500]
+    split = [4, 1, 8]
+    d, b, h, n = 8, 16, 3, 8
+    init = GlorotUniform()
+    key = jax.random.PRNGKey(0)
+
+    base = ShardedEmbeddingLayout(
+        vocabs, d, n, greedy_assignment(vocabs, n)
+    )
+    subs = expand_subtables(vocabs, split)
+    lay = ShardedEmbeddingLayout(
+        vocabs, d, n,
+        greedy_subtable_assignment(subs, [l for (_, _, l) in subs], n),
+        split=split,
+    )
+    pool_base = base.init_params(key, init)
+    pool_split = lay.init_params(key, init)
+    # identical logical tables regardless of split
+    for t in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(base.extract_table(pool_base, t)),
+            np.asarray(lay.extract_table(pool_split, t)),
+        )
+
+    idx = np.stack(
+        [rng.randint(0, v, size=(b, h)) for v in vocabs], axis=1
+    ).astype(np.int32)
+    idx[0, 0, 1:] = -1
+    idx = jnp.asarray(idx)
+    out_base = sharded_embedding_lookup(base, pool_base, idx, mesh)
+    out_split = sharded_embedding_lookup(lay, pool_split, idx, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_base), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_row_split_sparse_update_matches_unsplit(mesh):
+    from dlrm_flexflow_tpu.parallel.embedding_collection import (
+        expand_subtables,
+        sharded_embedding_sparse_update,
+    )
+    from dlrm_flexflow_tpu.parallel.plan import greedy_subtable_assignment
+
+    rng = np.random.RandomState(1)
+    vocabs = [300, 120]
+    split = [8, 2]
+    d, b, h, n = 4, 16, 2, 8
+    init = GlorotUniform()
+    key = jax.random.PRNGKey(2)
+    base = ShardedEmbeddingLayout(vocabs, d, n, greedy_assignment(vocabs, n))
+    subs = expand_subtables(vocabs, split)
+    lay = ShardedEmbeddingLayout(
+        vocabs, d, n,
+        greedy_subtable_assignment(subs, [l for (_, _, l) in subs], n),
+        split=split,
+    )
+    pool_base = base.init_params(key, init)
+    pool_split = lay.init_params(key, init)
+    idx = jnp.asarray(np.stack(
+        [rng.randint(0, v, size=(b, h)) for v in vocabs], axis=1
+    ).astype(np.int32))
+    g = jnp.asarray(rng.randn(b, 2, d).astype(np.float32))
+    opt = SGDOptimizer(lr=0.1)
+    new_base, _ = sharded_embedding_sparse_update(
+        base, pool_base, None, idx, g, mesh, opt
+    )
+    new_split, _ = sharded_embedding_sparse_update(
+        lay, pool_split, None, idx, g, mesh, opt
+    )
+    for t in range(2):
+        np.testing.assert_allclose(
+            np.asarray(lay.extract_table(new_split, t)),
+            np.asarray(base.extract_table(new_base, t)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_row_split_dlrm_trains_end_to_end(mesh):
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[400, 64, 900],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[32, 16, 1],
+        batch_size=16,
+    )
+    plan = dlrm_hybrid_plan()
+    plan.table_split = [4, 1, 8]
+    ffc = FFConfig(batch_size=16, compute_dtype="float32", seed=3,
+                   onehot_embedding_threshold=0)
+    m = make_dlrm_model(cfg, ffc)
+    m.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+              [MetricsType.METRICS_ACCURACY], mesh=mesh, plan=plan)
+    feeds, labels = random_batches(cfg, 64, seed=4)
+    hist = m.fit(feeds, labels, epochs=2, verbose=False)
+    assert np.isfinite(hist.get("accuracy", 0.5))
+    losses = [float(m.train_batch({k: v[:16] for k, v in feeds.items()}, labels[:16]))
+              for _ in range(3)]
+    assert losses[-1] < losses[0] + 1e-3  # moving in a sane direction
