@@ -14,6 +14,7 @@ from typing import List, Optional, Tuple
 
 from ..core.graph import Graph
 from ..ffconst import OperatorType
+from ..parallel.embedding_collection import expand_subtables
 from . import bindings
 from .machine import MachineSpec
 
@@ -33,14 +34,18 @@ def graph_to_cost_spec(
     def add_table(name, vocab, dim, lookups):
         nonlocal t_idx
         s = 1 if table_split is None else max(1, int(table_split[t_idx]))
-        for k in range(s):
+        # mirror expand_subtables exactly: a table yields at most `vocab`
+        # sub-ranges (splitting a 3-row table 4 ways gives 3 subs), so the
+        # owner vector the search returns always matches the layout
+        subs = expand_subtables([vocab], [s])
+        for k, (_, _, length) in enumerate(subs):
             ops.append({
                 "kind": bindings.KIND_EMBED,
-                "table_rows": float(vocab) / s,
+                "table_rows": float(length),
                 "row_bytes": 4.0 * dim,
-                "lookups": float(lookups) / s,
+                "lookups": float(lookups) / len(subs),
             })
-            embed_names.append(f"{name}/{k}" if s > 1 else name)
+            embed_names.append(f"{name}/{k}" if len(subs) > 1 else name)
         t_idx += 1
 
     for op in graph.compute_ops:
@@ -74,16 +79,21 @@ def graph_to_cost_spec(
 
 
 def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
-                 opt_state_factor):
+                 opt_state_factor, initial_owner=None):
     ops, embed_names = graph_to_cost_spec(graph, global_batch, split)
     n_sub = len(embed_names)
     m = machine.to_native()
     if n_sub == 0:
         return [], bindings.simulate(m, ops, [], opt_state_factor), {}, ops
     rr = [i % machine.num_chips for i in range(n_sub)]
+    start = (
+        list(initial_owner)
+        if initial_owner is not None and len(initial_owner) == n_sub
+        else list(rr)
+    )
     rr_cost = bindings.simulate(m, ops, rr, opt_state_factor)
     best_owner, best_cost = bindings.mcmc_search(
-        m, ops, list(rr), budget=budget, alpha=alpha, seed=seed,
+        m, ops, start, budget=budget, alpha=alpha, seed=seed,
         opt_state_factor=opt_state_factor,
     )
     report = {
@@ -117,10 +127,9 @@ def autotune_plan(
     list, and keeps the change if the simulated step improves >1%. The
     report then carries "table_split" and per-SUB-table owners.
     """
-    del initial_owner  # superseded: rr start each search
     owner, best_cost, report, ops = _search_once(
         graph, machine, global_batch, None, budget, alpha, seed,
-        opt_state_factor,
+        opt_state_factor, initial_owner=initial_owner,
     )
     n_tables = sum(1 for o in ops if o["kind"] == bindings.KIND_EMBED)
     split = [1] * n_tables
@@ -130,10 +139,9 @@ def autotune_plan(
         return owner, best_cost, report
 
     cap = max_split or machine.num_chips
-    embed_load = [
-        (o["lookups"] * o["row_bytes"], i)
-        for i, o in enumerate(o for o in ops if o["kind"] == bindings.KIND_EMBED)
-    ]
+    embed_ops = [o for o in ops if o["kind"] == bindings.KIND_EMBED]
+    embed_load = [(o["lookups"] * o["row_bytes"], i) for i, o in enumerate(embed_ops)]
+    vocab_of = [int(o["table_rows"]) for o in embed_ops]  # split=1 here
     # track the global best; allow a few cost-neutral "plateau" moves (the
     # per-shard max often stays flat until the split degree reaches a
     # divisor-friendly value, e.g. 26 tables on 32 chips needs s=16)
@@ -161,7 +169,7 @@ def autotune_plan(
         for k, (ts, factor) in enumerate(proposals):
             cand = list(split)
             for t in ts:
-                cand[t] = min(cand[t] * factor, cap)
+                cand[t] = min(cand[t] * factor, cap, max(vocab_of[t], 1))
             if cand == split:
                 continue
             o2, c2, r2, _ = _search_once(

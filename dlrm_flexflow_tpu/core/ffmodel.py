@@ -533,11 +533,13 @@ class FFModel:
         metrics_mask = self.metrics_mask
         profiling = self.config.profiling
         onehot_thr = self.config.onehot_embedding_threshold
-        from ..ops.pallas import pallas_supported
+        from ..ops.pallas import resolve_use_pallas
 
+        # "auto" downgrades to "off" on non-TPU backends (interpret-mode
+        # kernels are test-only)
         use_pallas = self.config.use_pallas
-        if use_pallas == "auto" and not pallas_supported():
-            use_pallas = "off"  # interpret-mode kernels are test-only
+        if not resolve_use_pallas(use_pallas):
+            use_pallas = "off"
 
         # Sparse-embedding-gradient path: embedding ops whose indices come
         # straight from graph inputs get their pooled-output gradient applied
@@ -725,11 +727,20 @@ class FFModel:
             machine = preset(name, num_chips=n,
                              chips_per_host=min(n, _jax.local_device_count()))
         osf = 1.0 if getattr(self.optimizer, "sparse_init", None) and             self.optimizer.sparse_init((2, 2)) is not None else 0.0
+        # row-splitting is exact only for SUM pooling (embedding_collection
+        # partial sums); AVG collections keep whole-table placement
+        from ..ffconst import AggrMode
+
+        sum_only = all(
+            getattr(op, "aggr", AggrMode.AGGR_MODE_SUM) is AggrMode.AGGR_MODE_SUM
+            for op in self.graph.compute_ops
+            if op.op_type is OperatorType.OP_EMBEDDING
+        )
         owner, cost_us, report = autotune_plan(
             self.graph, machine, self.config.batch_size,
             budget=self.config.search_budget, alpha=self.config.search_alpha,
             seed=self.config.seed, opt_state_factor=osf,
-            search_splits=True,
+            search_splits=sum_only,
         )
         if owner:
             plan.table_assignment = owner

@@ -51,16 +51,27 @@ _METRICS = {
 
 @dataclasses.dataclass
 class KTensor:
-    """Symbolic tensor: a (layer, output-slot) handle with a static shape.
-    Batch dim is position 0 and may be None until compile."""
+    """Symbolic tensor produced by one layer CALL (node). Batch dim is
+    position 0 and may be None until compile; node is None for Inputs."""
 
     shape: Tuple[Optional[int], ...]
     dtype: DataType = DataType.DT_FLOAT
-    layer: Optional["Layer"] = None
+    node: Optional["_CallNode"] = None
 
     @property
     def batch_shape(self):
         return self.shape
+
+
+@dataclasses.dataclass
+class _CallNode:
+    """One invocation of a layer on specific inputs. A layer called twice
+    (Keras weight sharing) yields two nodes, so both call sites wire
+    correctly; note that parameters are NOT shared across calls here (each
+    call builds its own FF op) — compile() warns when that happens."""
+
+    layer: "Layer"
+    inputs: List[KTensor]
 
 
 class Layer:
@@ -73,13 +84,11 @@ class Layer:
         type(self)._counter += 1
         base = type(self).__name__.lower()
         self.name = name or f"{base}_{type(self)._counter}"
-        self.inbound: List[KTensor] = []
 
     def __call__(self, inputs: Union[KTensor, Sequence[KTensor]]) -> KTensor:
         ins = [inputs] if isinstance(inputs, KTensor) else list(inputs)
-        self.inbound = ins
         out_shape = self.output_shape([t.shape for t in ins])
-        return KTensor(tuple(out_shape), self.out_dtype(ins), self)
+        return KTensor(tuple(out_shape), self.out_dtype(ins), _CallNode(self, ins))
 
     def out_dtype(self, ins: List[KTensor]) -> DataType:
         return ins[0].dtype if ins else DataType.DT_FLOAT
@@ -178,7 +187,7 @@ class Conv2D(Layer):
 
     def build(self, ff, handles):
         h, w = self.kernel
-        shp = self.inbound[0].shape
+        shp = handles[0].shape  # TensorSpec: concrete at build time
         ph, pw = self._pads(shp[2], shp[3])
         return ff.conv2d(
             handles[0], self.filters, h, w, self.strides[0], self.strides[1],
@@ -371,35 +380,40 @@ class Model:
         self.output = outputs
         self.name = name
         self.ffmodel: Optional[FFModel] = None
-        self._layers = self._topo_layers()
+        self._nodes = self._topo_nodes()
 
-    def _topo_layers(self) -> List[Layer]:
-        seen: Dict[int, Layer] = {}
-        order: List[Layer] = []
+    def _topo_nodes(self) -> List["_CallNode"]:
+        seen: Dict[int, "_CallNode"] = {}
+        order: List["_CallNode"] = []
 
         def visit(t: KTensor):
-            lay = t.layer
-            if lay is None or id(lay) in seen:
+            node = t.node
+            if node is None or id(node) in seen:
                 return
-            seen[id(lay)] = lay
-            for src in lay.inbound:
+            seen[id(node)] = node
+            for src in node.inputs:
                 visit(src)
-            order.append(lay)
+            order.append(node)
 
         visit(self.output)
         return order
 
     @property
     def layers(self) -> List[Layer]:
-        return list(self._layers)
+        out, seen = [], set()
+        for n in self._nodes:
+            if id(n.layer) not in seen:
+                seen.add(id(n.layer))
+                out.append(n.layer)
+        return out
 
     def summary(self) -> str:
         lines = [f'Model: "{self.name}"']
         for t in self.inputs:
             lines.append(f"  Input {t.shape} {t.dtype.name}")
-        for lay in self._layers:
-            out = lay.output_shape([s.shape for s in lay.inbound])
-            lines.append(f"  {type(lay).__name__} '{lay.name}' -> {out}")
+        for node in self._nodes:
+            out = node.layer.output_shape([s.shape for s in node.inputs])
+            lines.append(f"  {type(node.layer).__name__} '{node.layer.name}' -> {out}")
         return "\n".join(lines)
 
     def compile(
@@ -424,18 +438,29 @@ class Model:
             handle[id(t)] = ff.create_tensor(list(shape), dtype=t.dtype, name=name)
             self._input_names.append(name)
 
-        # replay layers in topo order
+        # replay call nodes in topo order (a layer called N times builds N
+        # FF ops — wiring is per call site; parameters are not shared)
+        import collections
+        import warnings
+
+        calls = collections.Counter(id(n.layer) for n in self._nodes)
+        shared = [n.layer.name for n in self._nodes if calls[id(n.layer)] > 1]
+        if shared:
+            warnings.warn(
+                f"layers called multiple times ({sorted(set(shared))}): each "
+                "call builds its own parameters (no weight sharing)"
+            )
         out_of: Dict[int, object] = dict(handle)
-        tensor_out: Dict[int, object] = {}
+        node_out: Dict[int, object] = {}
 
         def resolve(t: KTensor):
             if id(t) in out_of:
                 return out_of[id(t)]
-            return tensor_out[id(t.layer)]
+            return node_out[id(t.node)]
 
-        for lay in self._layers:
-            hs = [resolve(src) for src in lay.inbound]
-            tensor_out[id(lay)] = lay.build(ff, hs)
+        for node in self._nodes:
+            hs = [resolve(src) for src in node.inputs]
+            node_out[id(node)] = node.layer.build(ff, hs)
 
         ff.compile(
             optimizer=_as_optimizer(optimizer),

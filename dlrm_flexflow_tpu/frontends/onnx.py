@@ -20,10 +20,28 @@ from ..core.ffmodel import FFModel
 from ..core.tensor import TensorSpec
 
 
+# onnx AttributeProto.type values (proto3 scalars are never "unset", so the
+# type tag is the only reliable dispatch for real protos)
+_ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_FLOATS, _ATTR_INTS = 1, 2, 3, 6, 7
+
+
 def _attrs(node) -> Dict[str, object]:
     out = {}
     for a in getattr(node, "attribute", []):
-        # mirror onnx AttributeProto: ints/floats/i/f/s fields
+        t = getattr(a, "type", None)
+        if t:  # real onnx proto: dispatch on the type tag
+            if t == _ATTR_INT:
+                out[a.name] = a.i
+            elif t == _ATTR_FLOAT:
+                out[a.name] = a.f
+            elif t == _ATTR_STRING:
+                out[a.name] = a.s.decode() if isinstance(a.s, bytes) else a.s
+            elif t == _ATTR_INTS:
+                out[a.name] = list(a.ints)
+            elif t == _ATTR_FLOATS:
+                out[a.name] = list(a.floats)
+            continue
+        # duck-typed stand-ins: unset fields are None/empty
         for field in ("ints", "floats"):
             v = list(getattr(a, field, []) or [])
             if v:
@@ -36,9 +54,9 @@ def _attrs(node) -> Dict[str, object]:
                     out[a.name] = v
                     break
             else:
-                s = getattr(a, "s", None)
-                if s is not None:
-                    out[a.name] = s.decode() if isinstance(s, bytes) else s
+                sv = getattr(a, "s", None)
+                if sv is not None:
+                    out[a.name] = sv.decode() if isinstance(sv, bytes) else sv
     return out
 
 

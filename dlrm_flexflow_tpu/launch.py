@@ -55,7 +55,10 @@ def main(argv=None):
     i = 0
     while i < len(args):
         a = args[i]
-        if a == "--nodes":
+        if script is not None:
+            # everything after the script positional belongs to the script
+            rest.append(a)
+        elif a == "--nodes":
             i += 1
             nodes = int(args[i])
         elif a == "--node-rank":
@@ -64,10 +67,8 @@ def main(argv=None):
         elif a == "--coordinator":
             i += 1
             coordinator = args[i]
-        elif script is None:
-            script = a
         else:
-            rest.append(a)
+            script = a
         i += 1
     assert script, "usage: python -m dlrm_flexflow_tpu.launch [opts] script.py ..."
     initialize(coordinator, nodes if nodes > 1 else None, rank if nodes > 1 else None)

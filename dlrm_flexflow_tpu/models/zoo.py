@@ -280,8 +280,9 @@ def candle_uno(
     config: Optional[FFConfig] = None,
 ) -> FFModel:
     """reference: examples/cpp/candle_uno/candle_uno.cc:48-124 — per-feature
-    encoder MLP towers concatenated, shared towers for same feature kinds,
-    final regression head. Default shapes follow the reference's defaults
+    encoder MLP towers concatenated into a final regression head (each input
+    builds its own tower, matching the reference: build_feature_model is
+    called per input feature). Default shapes follow the reference's defaults
     (dose scalar, cell rnaseq 942, drug descriptors 5270, fingerprints 2048),
     scaled down by the caller for tests."""
     if feature_shapes is None:

@@ -14,7 +14,8 @@ kernels:
                          bias+activation epilogue
 
 All kernels also run under Pallas interpret mode so the test suite exercises
-them on CPU; the real-TPU path is selected by ``ops.pallas.use_pallas()``.
+them on CPU; routing is FFConfig.use_pallas -> resolve_use_pallas() ->
+OpContext.use_pallas, consulted per op.
 XLA already produces strong code for most of these (it fuses elementwise
 epilogues into MXU matmuls); each kernel's docstring records when it wins
 and the op layer picks per measurement, not by faith.

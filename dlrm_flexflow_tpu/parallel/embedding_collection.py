@@ -110,8 +110,6 @@ class ShardedEmbeddingLayout:
         assert len(self.owner) == len(self.subs), (
             f"owner must be per sub-table: {len(self.owner)} vs {len(self.subs)}"
         )
-        if self.split is not None and any(s > 1 for s in self.split):
-            pass  # AVG restriction asserted at lookup time
         per_shard: List[List[int]] = [[] for _ in range(n)]
         for i, _ in enumerate(self.subs):
             per_shard[self.owner[i]].append(i)
@@ -249,6 +247,14 @@ def sharded_embedding_lookup(
             "exactly; AVG counts would need a second exchange)"
         )
     sel = layout.table_select_matrix()  # [S, T]
+    out_slot = None
+    if not layout.has_splits:
+        # one slot per table: invert slot_tid for the cheap take-combine
+        out_np = np.zeros(layout.num_tables, np.int64)
+        for slot in range(layout.num_shards * layout.t_max):
+            if layout.slot_sub[slot] >= 0:
+                out_np[int(layout.slot_tid[slot])] = slot
+        out_slot = jnp.asarray(out_np, jnp.int32)
 
     def local_fn(pool_local, idx_local):
         # pool_local [1, R_pad, D]; idx_local [B_loc, T, H]
@@ -277,8 +283,10 @@ def sharded_embedding_lookup(
         back = jax.lax.all_to_all(
             pooled, axis, split_axis=0, concat_axis=1, tiled=True
         )  # [B_loc, N*t_max, D]
-        # combine slots per table (sum of row-range partials; exact for SUM,
-        # identity when split == 1)
+        if out_slot is not None:
+            # unsplit: slot per table — a free gather
+            return jnp.take(back, out_slot, axis=1)
+        # combine slots per table (sum of row-range partials; exact for SUM)
         out = jnp.einsum(
             "bsd,st->btd", back.astype(jnp.float32), sel,
             preferred_element_type=jnp.float32,

@@ -174,3 +174,32 @@ def test_split_search_spreads_hot_table():
     assert split[0] > 1, f"hot table not split: {split}"
     assert cost < base_cost, (cost, base_cost)
     assert len(owner) == sum(split)
+
+
+def test_split_search_tiny_vocab_tables_compile():
+    """Regression: split proposals must cap at the table's vocab (a 3-row
+    table can't split 4 ways) and the returned owner vector must match the
+    layout's sub-table expansion — kaggle has vocab-3/4/10 tables."""
+    from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu import MetricsType
+
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[1460, 583, 1_013_122, 3, 4, 10],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[56, 16, 1],
+        batch_size=16,
+    )
+    ffc = FFConfig(batch_size=16, compute_dtype="float32",
+                   onehot_embedding_threshold=0)
+    ffc.search_budget = 500
+    m = make_dlrm_model(cfg, ffc)
+    m.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+              [MetricsType.METRICS_ACCURACY], mesh=make_mesh(),
+              plan=dlrm_hybrid_plan())
+    feeds, labels = random_batches(cfg, 16, seed=0)
+    loss = m.train_batch(feeds, labels)
+    assert np.isfinite(float(loss))

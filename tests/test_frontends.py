@@ -278,3 +278,54 @@ def test_keras_mnist_accuracy_gate():
                   metrics=["accuracy"], input_shape=[784], batch_size=64)
     model.fit(x, y, epochs=3, verbose=False,
               callbacks=[VerifyMetrics("accuracy", 0.9)])
+
+
+def test_keras_layer_called_twice_wires_both_call_sites():
+    """Regression: a layer applied to two tensors must wire each call site
+    to ITS input (previously the second call silently rewired both)."""
+    a = K.Input([4])
+    b = K.Input([4])
+    shared = K.Dense(3, use_bias=False)
+    out = K.Add()([shared(a), shared(b)])
+    with pytest.warns(UserWarning, match="no weight sharing"):
+        model = K.Model([a, b], out)
+        model.compile(loss="mean_squared_error", metrics=[], batch_size=4)
+    x1 = np.ones((4, 4), np.float32)
+    x0 = np.zeros((4, 4), np.float32)
+    y_10 = model.predict([x1, x0])
+    y_01 = model.predict([x0, x1])
+    y_11 = model.predict([x1, x1])
+    # both inputs must influence the output
+    assert np.abs(y_10).sum() > 0 and np.abs(y_01).sum() > 0
+    np.testing.assert_allclose(y_11, y_10 + y_01, rtol=1e-4, atol=1e-5)
+
+
+def test_onnx_attrs_real_proto_semantics():
+    """Regression: real onnx protos (proto3) carry i=0/f=0.0 on EVERY
+    attribute; dispatch must follow the type tag, not field presence."""
+    from dlrm_flexflow_tpu.frontends.onnx import _attrs
+
+    class _RealA:  # mimics onnx.AttributeProto: all scalar fields present
+        def __init__(self, name, type_, **kw):
+            self.name = name
+            self.type = type_
+            self.i = kw.get("i", 0)
+            self.f = kw.get("f", 0.0)
+            self.s = kw.get("s", b"")
+            self.ints = kw.get("ints", [])
+            self.floats = kw.get("floats", [])
+
+    class _RealN:
+        def __init__(self, attrs):
+            self.attribute = attrs
+
+    got = _attrs(_RealN([
+        _RealA("ratio", 1, f=0.5),            # FLOAT
+        _RealA("axis", 2, i=3),               # INT
+        _RealA("mode", 3, s=b"constant"),     # STRING
+        _RealA("pads", 7, ints=[1, 1, 1, 1]),  # INTS
+    ]))
+    assert got["ratio"] == 0.5
+    assert got["axis"] == 3
+    assert got["mode"] == "constant"
+    assert got["pads"] == [1, 1, 1, 1]
