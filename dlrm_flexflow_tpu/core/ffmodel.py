@@ -495,7 +495,8 @@ class FFModel:
                 from ..parallel.passes import fuse_embedding_tables
 
                 coll = fuse_embedding_tables(
-                    self.graph, plan, mesh.shape[plan.batch_axis]
+                    self.graph, plan, mesh.shape[plan.batch_axis],
+                    min_vocab=self.config.onehot_embedding_threshold,
                 )
                 # exposed for the all-to-all GB/s report (bench.py; the
                 # BASELINE.md pooled-exchange metric)

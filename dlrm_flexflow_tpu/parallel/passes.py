@@ -18,12 +18,17 @@ from .plan import ShardingPlan
 
 
 def fuse_embedding_tables(
-    graph: Graph, plan: ShardingPlan, num_shards: int
+    graph: Graph, plan: ShardingPlan, num_shards: int,
+    min_vocab: int = 0,
 ) -> Optional[EmbeddingCollection]:
     """Rewrite `graph` in place: replace all fusable Embedding ops with one
     EmbeddingCollection. Returns the collection op (or None if <2 tables).
 
-    Fusable = same out_dim, same aggr mode, same batch size. The original
+    Fusable = same out_dim, same aggr mode, same batch size, and vocab >
+    `min_vocab`: tables at or under the one-hot threshold stay as individual
+    replicated ops — their one-hot MXU lookup runs data-parallel on every
+    shard with dense grads reduced by XLA, which measured faster than
+    routing them through the gather collection (PERF.md). The original
     ops' output TensorSpecs are adopted by the collection so consumers keep
     working untouched.
     """
@@ -34,7 +39,10 @@ def fuse_embedding_tables(
         return None
     dim = embeds[0].out_dim
     aggr = embeds[0].aggr
-    embeds = [e for e in embeds if e.out_dim == dim and e.aggr is aggr]
+    embeds = [
+        e for e in embeds
+        if e.out_dim == dim and e.aggr is aggr and e.num_entries > min_vocab
+    ]
     if len(embeds) < 2:
         return None
 

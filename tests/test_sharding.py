@@ -122,7 +122,7 @@ def test_sharded_dlrm_forward_matches_unsharded(mesh):
     """The compiled hybrid-parallel DLRM must produce the same logits as
     the identical graph run without a mesh, given the same params."""
     cfg = _tiny_cfg()
-    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32"))
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32", onehot_embedding_threshold=0))
     plan = dlrm_hybrid_plan()
     model.compile(
         SGDOptimizer(lr=0.1),
@@ -148,7 +148,7 @@ def test_sharded_dlrm_forward_matches_unsharded(mesh):
 
 def test_sharded_dlrm_trains(mesh):
     cfg = _tiny_cfg()
-    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32", seed=11))
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32", seed=11, onehot_embedding_threshold=0))
     model.compile(
         AdamOptimizer(alpha=0.01),
         LossType.LOSS_BINARY_CROSSENTROPY,
@@ -326,3 +326,29 @@ def test_row_split_dlrm_trains_end_to_end(mesh):
     losses = [float(m.train_batch({k: v[:16] for k, v in feeds.items()}, labels[:16]))
               for _ in range(3)]
     assert losses[-1] < losses[0] + 1e-3  # moving in a sane direction
+
+
+def test_mixed_fusion_keeps_small_tables_replicated(mesh):
+    """Tables at or under the one-hot threshold stay as individual replicated
+    ops in the sharded plan (DP one-hot lookup + psum dense grads), only big
+    tables join the all-to-all collection (PERF.md measured routing)."""
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[50_000, 30_000, 100, 40],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[40, 16, 1],
+        batch_size=16,
+    )
+    ffc = FFConfig(batch_size=16, compute_dtype="float32",
+                   onehot_embedding_threshold=8192)
+    m = make_dlrm_model(cfg, ffc)
+    m.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+              [MetricsType.METRICS_ACCURACY], mesh=mesh,
+              plan=dlrm_hybrid_plan())
+    names = [type(op).__name__ for op in m.graph.compute_ops]
+    assert names.count("EmbeddingCollection") == 1
+    assert names.count("Embedding") == 2  # the vocab-100/-40 tables
+    feeds, labels = random_batches(cfg, 32, seed=7)
+    hist = m.fit(feeds, labels, epochs=2, verbose=False)
+    assert np.isfinite(hist["accuracy"])
