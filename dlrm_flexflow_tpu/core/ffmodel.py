@@ -845,6 +845,7 @@ class FFModel:
         callbacks: Sequence = (),
         steps_per_call: int = 1,
         shuffle: bool = False,
+        validation_data=None,
     ) -> Dict[str, float]:
         """Keras-style loop (reference: base_model.py:195-424): slice host
         arrays into batches, run fused steps, print PerfMetrics per
@@ -892,6 +893,11 @@ class FFModel:
             history = self.get_metrics()
             history["epoch_time_s"] = dt
             history["throughput"] = steps * bs / dt
+            if validation_data is not None:
+                # keras parity: per-epoch validation pass, reported as val_*
+                vx, vy = validation_data
+                val = self.evaluate(vx, vy, batch_size=bs)
+                history.update({f"val_{k}": v for k, v in val.items()})
             if verbose:
                 print(
                     f"epoch {epoch} done in {dt:.2f}s "

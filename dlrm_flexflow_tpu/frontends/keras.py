@@ -479,11 +479,16 @@ class Model:
         return dict(zip(self._input_names, xs))
 
     def fit(self, x, y, epochs: int = 1, batch_size: Optional[int] = None,
-            callbacks=(), verbose: bool = True, shuffle: bool = False):
+            callbacks=(), verbose: bool = True, shuffle: bool = False,
+            validation_data=None):
         assert self.ffmodel is not None, "call compile() first"
+        if validation_data is not None:
+            vx, vy = validation_data
+            validation_data = (self._feeds(vx), vy)
         return self.ffmodel.fit(
             self._feeds(x), y, epochs=epochs, batch_size=batch_size,
             callbacks=callbacks, verbose=verbose, shuffle=shuffle,
+            validation_data=validation_data,
         )
 
     def evaluate(self, x, y, batch_size: Optional[int] = None):

@@ -167,3 +167,40 @@ def test_launcher_single_host_noop():
     from dlrm_flexflow_tpu.launch import initialize
 
     initialize(None, None, None)  # single host: must not raise / not distribute
+
+
+def test_kaggle_arch_auc_gate():
+    """Accuracy-gate pattern on the AUC north-star metric (BASELINE.md):
+    a kaggle-architecture DLRM (scaled-down vocabs) must clear AUC >= 0.70
+    on the learnable synthetic distribution within 6 epochs — the analog of
+    the reference CI's VerifyMetrics thresholds (tests/accuracy_tests.sh)."""
+    from dlrm_flexflow_tpu.training.callbacks import VerifyMetrics
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[1460, 583, 9_000, 200, 305, 24],
+        embedding_bag_size=1,
+        mlp_bot=[13, 64, 32, 16],
+        mlp_top=[7 * 16, 64, 1],
+        batch_size=128,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=128, compute_dtype="float32", seed=0))
+    model.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY, MetricsType.METRICS_AUC_ROC])
+    feeds, labels = random_batches(cfg, 128 * 40, seed=9)
+    hist = model.fit(feeds, labels, epochs=6, verbose=False, shuffle=True,
+                     callbacks=[VerifyMetrics("auc", 0.70)])
+    assert hist["auc"] >= 0.70
+
+
+def test_fit_validation_data_reports_val_metrics():
+    cfg = tiny_config(batch_size=16)
+    model = make_dlrm_model(cfg, FFConfig(batch_size=16, compute_dtype="float32"))
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 64, seed=0)
+    vfeeds, vlabels = random_batches(cfg, 32, seed=1)
+    hist = model.fit(feeds, labels, epochs=1, verbose=False,
+                     validation_data=(vfeeds, vlabels))
+    assert "val_accuracy" in hist and 0.0 <= hist["val_accuracy"] <= 1.0
+    assert "accuracy" in hist
