@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--mesh", action="store_true", help="use all devices with hybrid plan")
+    ap.add_argument("--mode", default="train", choices=["train", "infer"],
+                    help="train step throughput or forward-only (serving)")
     args = ap.parse_args()
     if args.quick:
         args.steps, args.warmup = 10, 3
@@ -109,22 +111,36 @@ def main():
     params, opt_state, totals = model._params, model._opt_state, model._metrics_total
     step_fn = model._train_step_raw  # unjitted; we scan it ourselves
 
-    def multi_step(n, params, opt_state, totals):
-        def body(carry, i):
-            params, opt_state, totals = carry
-            j = jax.lax.rem(i, n_batches)
-            f = {k: v[j] for k, v in stacked_feeds.items()}
-            l = stacked_labels[j]
-            params, opt_state, totals, loss = step_fn(
-                params, opt_state, totals, f, l, jax.random.fold_in(rng0, i)
-            )
-            return (params, opt_state, totals), loss
-        (params, opt_state, totals), losses = jax.lax.scan(
-            body, (params, opt_state, totals), jnp.arange(n)
-        )
-        return params, opt_state, totals, losses[-1]
+    if args.mode == "infer":
+        fwd = model._forward_fn
 
-    run = jax.jit(multi_step, static_argnums=0, donate_argnums=(1, 2, 3))
+        def multi_step(n, params, opt_state, totals):
+            def body(carry, i):
+                j = jax.lax.rem(i, n_batches)
+                f = {k: v[j] for k, v in stacked_feeds.items()}
+                out = fwd(params, f, False, rng0)
+                return carry + jnp.sum(out).astype(jnp.float32), 0.0
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            return params, opt_state, totals, acc
+
+        run = jax.jit(multi_step, static_argnums=0)
+    else:
+        def multi_step(n, params, opt_state, totals):
+            def body(carry, i):
+                params, opt_state, totals = carry
+                j = jax.lax.rem(i, n_batches)
+                f = {k: v[j] for k, v in stacked_feeds.items()}
+                l = stacked_labels[j]
+                params, opt_state, totals, loss = step_fn(
+                    params, opt_state, totals, f, l, jax.random.fold_in(rng0, i)
+                )
+                return (params, opt_state, totals), loss
+            (params, opt_state, totals), losses = jax.lax.scan(
+                body, (params, opt_state, totals), jnp.arange(n)
+            )
+            return params, opt_state, totals, losses[-1]
+
+        run = jax.jit(multi_step, static_argnums=0, donate_argnums=(1, 2, 3))
     # warmup with the SAME static step count so the timed call reuses the
     # compiled executable (scan length is static)
     params, opt_state, totals, loss = run(args.steps, params, opt_state, totals)
@@ -136,7 +152,7 @@ def main():
     dt = time.perf_counter() - t0
 
     examples_per_sec = args.steps * args.batch_size / dt
-    loss = loss_val
+    loss = loss_val if args.mode == "train" else 0.0  # infer: no loss
     per_chip = examples_per_sec / max(n_dev if args.mesh else 1, 1)
     # all-to-all GB/s for the pooled-embedding exchange (BASELINE.md metric):
     # 2 exchanges per fwd (index + pooled) + 1 in bwd (pooled grads), bytes
@@ -156,7 +172,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"dlrm_{args.config}_train_examples_per_sec",
+                "metric": f"dlrm_{args.config}_{args.mode}_examples_per_sec",
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),

@@ -164,6 +164,7 @@ def test_sharded_dlrm_trains(mesh):
 
 def test_plan_save_load_roundtrip(tmp_path, mesh):
     plan = dlrm_hybrid_plan()
+    plan.table_split = [2, 1, 4]
     plan.make_layout([100, 200, 300], 8, 8)
     from dlrm_flexflow_tpu.parallel.plan import OpShardSpec
 
@@ -174,6 +175,7 @@ def test_plan_save_load_roundtrip(tmp_path, mesh):
     plan.save(path)
     loaded = ShardingPlan.load(path)
     assert loaded.table_assignment == plan.table_assignment
+    assert loaded.table_split == [2, 1, 4]
     assert loaded.embedding_mode == "table_parallel"
     assert loaded.op_specs["dense_0"].output_specs == [P("data", None)]
     assert loaded.op_specs["dense_0"].param_specs == {"kernel": P(None, "data")}
@@ -352,3 +354,29 @@ def test_mixed_fusion_keeps_small_tables_replicated(mesh):
     feeds, labels = random_batches(cfg, 32, seed=7)
     hist = m.fit(feeds, labels, epochs=2, verbose=False)
     assert np.isfinite(hist["accuracy"])
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, mesh):
+    """Checkpointing a mesh-sharded model must gather shards to host and
+    restore them re-sharded with identical values and continued training."""
+    from dlrm_flexflow_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = _tiny_cfg()
+    def build():
+        m = make_dlrm_model(cfg, FFConfig(batch_size=64, compute_dtype="float32",
+                                          seed=5, onehot_embedding_threshold=0))
+        m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY], mesh=mesh,
+                  plan=dlrm_hybrid_plan())
+        return m
+
+    m1 = build()
+    feeds, labels = random_batches(cfg, 64, seed=6)
+    m1.train_batch(feeds, labels)
+    save_checkpoint(str(tmp_path / "ck"), m1)
+
+    m2 = build()
+    restore_checkpoint(str(tmp_path / "ck"), m2)
+    l1 = float(m1.train_batch(feeds, labels))
+    l2 = float(m2.train_batch(feeds, labels))
+    np.testing.assert_allclose(l2, l1, rtol=1e-5, atol=1e-6)
