@@ -56,13 +56,24 @@ class DataLoader:
             self.rng.shuffle(self._order)
 
     def next_batch(self) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
-        """reference: DataLoader::next_batch (dlrm.cc:482)."""
+        """reference: DataLoader::next_batch (dlrm.cc:482). The permuted row
+        gather runs in the native threaded batcher (native/ffdata) when the
+        order is shuffled; contiguous (unshuffled) batches are free slices."""
         i = self._step % self.steps_per_epoch
-        if i == 0 and self._step > 0:
-            pass
         sl = self._order[i * self.batch_size : (i + 1) * self.batch_size]
         self._step += 1
-        return {k: v[sl] for k, v in self.feeds.items()}, self.labels[sl]
+        if not self.shuffle:
+            lo, hi = int(sl[0]), int(sl[-1]) + 1
+            return (
+                {k: v[lo:hi] for k, v in self.feeds.items()},
+                self.labels[lo:hi],
+            )
+        from .native_batcher import gather_batch
+
+        keys = list(self.feeds.keys())
+        arrays = [self.feeds[k] for k in keys] + [self.labels]
+        outs = gather_batch(arrays, sl)
+        return dict(zip(keys, outs[:-1])), outs[-1]
 
     def epoch(self) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
         self.reset()

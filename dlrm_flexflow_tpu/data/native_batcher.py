@@ -1,0 +1,92 @@
+"""ctypes bindings to the native batch gatherer (native/ffdata).
+
+Native analog of the reference's per-iteration dataloader copy tasks
+(reference: examples/cpp/DLRM/dlrm.cc:482 next_batch index launches;
+python/flexflow_dataloader.cc SingleDataLoader). The host-side permuted
+row gather runs multi-threaded in C++; falls back to numpy fancy indexing
+when the library can't be built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libffdata.so")
+
+_lib = None
+_lib_failed = False
+
+
+def get_lib():
+    global _lib, _lib_failed
+    if _lib is None and not _lib_failed:
+        try:
+            src = os.path.join(_NATIVE_DIR, "ffdata", "ffdata.cc")
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+            ):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.ffdata_gather_batch.restype = None
+            lib.ffdata_gather_batch.argtypes = [
+                ctypes.c_int32, ctypes.POINTER(u8p), i64p, i64p, i64p,
+                ctypes.c_int64, ctypes.POINTER(u8p), ctypes.c_int32,
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def gather_batch(
+    arrays: Sequence[np.ndarray],
+    idx: np.ndarray,
+    outs: Optional[Sequence[np.ndarray]] = None,
+    num_threads: int = 0,
+):
+    """outs[a][i] = arrays[a][idx[i]] for every array, multi-threaded.
+    Arrays must be C-contiguous; returns the out list (allocated if None)."""
+    lib = get_lib()
+    n = int(idx.shape[0])
+    idx64 = np.ascontiguousarray(idx, np.int64)
+    if outs is None:
+        outs = [np.empty((n,) + a.shape[1:], a.dtype) for a in arrays]
+    if lib is None:
+        for a, o in zip(arrays, outs):
+            np.take(a, idx64, axis=0, out=o)
+        return outs
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    k = len(arrays)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcs = (u8p * k)()
+    dsts = (u8p * k)()
+    src_rows = (ctypes.c_int64 * k)()
+    row_bytes = (ctypes.c_int64 * k)()
+    for a_i, (a, o) in enumerate(zip(arrays, outs)):
+        a = np.ascontiguousarray(a)
+        assert o.flags["C_CONTIGUOUS"]
+        srcs[a_i] = a.ctypes.data_as(u8p)
+        dsts[a_i] = o.ctypes.data_as(u8p)
+        src_rows[a_i] = a.shape[0]
+        row_bytes[a_i] = a.dtype.itemsize * int(np.prod(a.shape[1:], dtype=np.int64))
+    lib.ffdata_gather_batch(
+        k, srcs, src_rows, row_bytes,
+        idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, dsts,
+        num_threads,
+    )
+    return outs

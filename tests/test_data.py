@@ -103,3 +103,35 @@ def test_scanned_fit_matches_per_step_fit():
             np.testing.assert_allclose(
                 np.asarray(p1[op][k]), np.asarray(p2[op][k]), rtol=1e-5, atol=1e-6
             )
+
+
+def test_native_batcher_matches_numpy():
+    from dlrm_flexflow_tpu.data.native_batcher import available, gather_batch
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(1000, 7)).astype(np.float32)
+    b = rng.integers(0, 50, size=(1000, 3)).astype(np.int64)
+    idx = rng.permutation(1000)[:256]
+    outs = gather_batch([a, b], idx)
+    np.testing.assert_array_equal(outs[0], a[idx])
+    np.testing.assert_array_equal(outs[1], b[idx])
+    assert available(), "native ffdata library failed to build"
+
+
+def test_loader_shuffled_batches_use_native_gather():
+    from dlrm_flexflow_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(1)
+    feeds = {"x": rng.normal(size=(64, 5)).astype(np.float32)}
+    labels = rng.integers(0, 2, size=(64, 1)).astype(np.float32)
+    dl = DataLoader(feeds, labels, 16, shuffle=True, seed=3)
+    seen = []
+    for batch, lbl in dl.epoch():
+        assert batch["x"].shape == (16, 5) and lbl.shape == (16, 1)
+        # row correspondence feeds<->labels must survive the gather
+        for r in range(16):
+            row = batch["x"][r]
+            j = np.where((feeds["x"] == row).all(axis=1))[0][0]
+            assert lbl[r, 0] == labels[j, 0]
+            seen.append(j)
+    assert sorted(seen) == list(range(64))
