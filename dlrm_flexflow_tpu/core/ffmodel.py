@@ -517,6 +517,13 @@ class FFModel:
             self._input_shardings = None
             self._label_sharding = None
 
+        # task-graph export (reference: --export-strategy-task-graph-file,
+        # simulator.cc:509-558 Graphviz dump)
+        if self.config.export_strategy_task_graph_file:
+            from ..utils.profiling import export_task_graph
+
+            export_task_graph(self, self.config.export_strategy_task_graph_file)
+
         final = self.graph.compute_ops[-1]
         out_spec = final.outputs[0]
         self.label_tensor = TensorSpec(
@@ -862,6 +869,13 @@ class FFModel:
         warm_time = None
         for cb in callbacks:
             cb.on_train_begin(self)
+        if self.config.profiling and self.mesh is None:
+            # reference: OpMeta.profiling per-op timing prints
+            # ("[Linear] forward time = ..."), SURVEY §5(a)
+            from ..utils.profiling import op_timing_report, print_op_timings
+
+            first, first_l = next(iter(loader.epoch()))
+            print_op_timings(op_timing_report(self, first, reps=3, warmup=1))
         stop = False
         for epoch in range(epochs):
             for cb in callbacks:
