@@ -20,19 +20,32 @@ from .machine import MachineSpec
 
 
 def graph_to_cost_spec(
-    graph: Graph, global_batch: int, table_split: Optional[List[int]] = None
+    graph: Graph, global_batch: int, table_split: Optional[List[int]] = None,
+    min_vocab: int = 0,
 ) -> Tuple[List[dict], List[str]]:
     """Lower graph ops to FFSimOp dicts. Returns (ops, embed_op_names) where
     embed_op_names lists the FFSIM_EMBED entries in order — one per
     SUB-table when `table_split` is given (row-range splitting spreads a
     table's lookups/rows uniformly over its sub-tables; see
-    parallel/embedding_collection.py)."""
+    parallel/embedding_collection.py). Tables with vocab <= `min_vocab`
+    stay out of the placement problem: they run as replicated one-hot MXU
+    matmuls (data-parallel), so they are modeled as dense ops — matching
+    the fusion pass's min_vocab exclusion (parallel/passes.py)."""
     ops: List[dict] = []
     embed_names: List[str] = []
     t_idx = 0
 
     def add_table(name, vocab, dim, lookups):
         nonlocal t_idx
+        if vocab <= min_vocab:
+            # replicated one-hot path: dense DP work, not a placement var
+            ops.append({
+                "kind": bindings.KIND_DENSE,
+                "flops": 2.0 * lookups * vocab * dim,
+                "bytes": 4.0 * (lookups * dim + vocab * dim),
+                "param_bytes": 4.0 * vocab * dim,
+            })
+            return
         s = 1 if table_split is None else max(1, int(table_split[t_idx]))
         # mirror expand_subtables exactly: a table yields at most `vocab`
         # sub-ranges (splitting a 3-row table 4 ways gives 3 subs), so the
@@ -79,8 +92,8 @@ def graph_to_cost_spec(
 
 
 def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
-                 opt_state_factor, initial_owner=None):
-    ops, embed_names = graph_to_cost_spec(graph, global_batch, split)
+                 opt_state_factor, initial_owner=None, min_vocab=0):
+    ops, embed_names = graph_to_cost_spec(graph, global_batch, split, min_vocab)
     n_sub = len(embed_names)
     m = machine.to_native()
     if n_sub == 0:
@@ -117,6 +130,7 @@ def autotune_plan(
     initial_owner: Optional[List[int]] = None,
     search_splits: bool = False,
     max_split: Optional[int] = None,
+    min_vocab: int = 0,
 ):
     """Run the MCMC placement search. Returns (owner, predicted_us, report).
 
@@ -129,7 +143,7 @@ def autotune_plan(
     """
     owner, best_cost, report, ops = _search_once(
         graph, machine, global_batch, None, budget, alpha, seed,
-        opt_state_factor, initial_owner=initial_owner,
+        opt_state_factor, initial_owner=initial_owner, min_vocab=min_vocab,
     )
     n_tables = sum(1 for o in ops if o["kind"] == bindings.KIND_EMBED)
     split = [1] * n_tables
@@ -175,7 +189,7 @@ def autotune_plan(
             o2, c2, r2, _ = _search_once(
                 graph, machine, global_batch, cand,
                 max(budget // 4, 500), alpha, seed + 17 * _round + k,
-                opt_state_factor,
+                opt_state_factor, min_vocab=min_vocab,
             )
             if c2 < best_cost * 0.99:
                 split, owner, best_cost, report = cand, o2, c2, r2

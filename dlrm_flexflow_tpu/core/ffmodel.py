@@ -749,6 +749,9 @@ class FFModel:
             budget=self.config.search_budget, alpha=self.config.search_alpha,
             seed=self.config.seed, opt_state_factor=osf,
             search_splits=sum_only,
+            # one-hot tables stay replicated (parallel/passes.py min_vocab),
+            # so they are not placement variables
+            min_vocab=self.config.onehot_embedding_threshold,
         )
         if owner:
             plan.table_assignment = owner
@@ -952,6 +955,31 @@ class FFModel:
         """reference: Parameter::set_weights numpy round trip
         (src/runtime/model.cu:338-467)."""
         self._params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def get_weights(self, op_name: str):
+        """Per-op weight dict as host numpy (reference:
+        Parameter::get_weights, flexflow_cffi.py:660-694)."""
+        import numpy as _np
+
+        return {k: _np.asarray(v) for k, v in self._params[op_name].items()}
+
+    def set_weights(self, op_name: str, weights) -> None:
+        """Per-op weight update; shapes must match (reference:
+        Parameter::set_weights replica-aware IO, model.cu:338)."""
+        cur = self._params[op_name]
+        new = {}
+        for k, v in cur.items():
+            if k in weights:
+                arr = jnp.asarray(weights[k], v.dtype)
+                assert arr.shape == v.shape, (
+                    f"{op_name}/{k}: shape {arr.shape} != {v.shape}"
+                )
+                if getattr(v, "sharding", None) is not None and self.mesh is not None:
+                    arr = jax.device_put(arr, v.sharding)
+                new[k] = arr
+            else:
+                new[k] = v
+        self._params = {**self._params, op_name: new}
 
     def set_learning_rate(self, lr: float) -> None:
         """reference: Optimizer::set_learning_rate exposed to Keras LR

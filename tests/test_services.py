@@ -110,3 +110,24 @@ def test_early_stopping_stops():
     es = CountingES(metric="samples", patience=1)
     m.fit(feeds, labels, epochs=10, verbose=False, callbacks=[es])
     assert CountingES.epochs_seen < 10
+
+
+def test_per_op_weight_io():
+    """reference: Parameter::set_weights/get_weights numpy round trip
+    (src/runtime/model.cu:338-467)."""
+    from dlrm_flexflow_tpu.models.dlrm import make_dlrm_model, tiny_config
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    cfg = tiny_config(batch_size=16)
+    m = make_dlrm_model(cfg, FFConfig(batch_size=16, compute_dtype="float32"))
+    m.compile(SGDOptimizer(lr=0.01), LossType.LOSS_BINARY_CROSSENTROPY,
+              [MetricsType.METRICS_ACCURACY])
+    name = next(n for n in m.get_parameters() if "top_mlp" in n)
+    w = m.get_weights(name)
+    assert "kernel" in w
+    w2 = {k: np.zeros_like(v) for k, v in w.items()}
+    m.set_weights(name, w2)
+    got = m.get_weights(name)
+    assert all(np.all(v == 0) for v in got.values())
+    feeds, labels = random_batches(cfg, 16, seed=0)
+    assert np.isfinite(float(m.train_batch(feeds, labels)))
