@@ -380,3 +380,42 @@ def test_sharded_checkpoint_roundtrip(tmp_path, mesh):
     l1 = float(m1.train_batch(feeds, labels))
     l2 = float(m2.train_batch(feeds, labels))
     np.testing.assert_allclose(l2, l1, rtol=1e-5, atol=1e-6)
+
+
+def test_expert_parallel_ffn_matches_reference(mesh):
+    """EP MoE (§2.7): expert-sharded FFNs with all-to-all dispatch must match
+    the unsharded oracle (same capacity/drop semantics) in forward AND in
+    expert-weight gradients."""
+    from dlrm_flexflow_tpu.parallel.expert_parallel import (
+        expert_parallel_ffn,
+        moe_gate,
+        reference_moe_ffn,
+    )
+    from jax.sharding import NamedSharding
+
+    rng = np.random.RandomState(0)
+    B, D, H, E, K = 64, 8, 16, 8, 2
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    gate_w = jnp.asarray(rng.randn(D, E).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rng.randn(E, D, H).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.randn(E, H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(E, H, D).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.randn(E, D).astype(np.float32) * 0.1)
+
+    gv, assign = moe_gate(x, gate_w, K)
+
+    def sharded(x, w1, b1, w2, b2):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        return expert_parallel_ffn(xs, gv, assign, w1, b1, w2, b2, mesh)
+
+    out_ep = np.asarray(sharded(x, w1, b1, w2, b2))
+    out_ref = np.asarray(
+        reference_moe_ffn(x, gv, assign, w1, b1, w2, b2, shards=8)
+    )
+    np.testing.assert_allclose(out_ep, out_ref, rtol=1e-4, atol=1e-5)
+
+    g_ep = jax.grad(lambda w1: jnp.sum(sharded(x, w1, b1, w2, b2) ** 2))(w1)
+    g_ref = jax.grad(
+        lambda w1: jnp.sum(reference_moe_ffn(x, gv, assign, w1, b1, w2, b2, shards=8) ** 2)
+    )(w1)
+    np.testing.assert_allclose(np.asarray(g_ep), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
