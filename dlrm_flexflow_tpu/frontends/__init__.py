@@ -8,5 +8,7 @@
             (reference: python/flexflow/onnx/model.py)
 """
 from . import keras  # noqa: F401
+from . import datasets  # noqa: F401
 from .onnx import ONNXModel  # noqa: F401
 from .torch_fx import FXNode, PyTorchModel, load_ir, save_ir, torch_to_file, torch_to_ir  # noqa: F401
+from .tf_keras import from_tf_keras, load_tf_weights  # noqa: F401

@@ -329,3 +329,29 @@ def test_onnx_attrs_real_proto_semantics():
     assert got["axis"] == 3
     assert got["mode"] == "constant"
     assert got["pads"] == [1, 1, 1, 1]
+
+
+def test_tf_keras_import_with_weight_transfer():
+    """keras_exp analog (reference: python/flexflow/keras_exp): import a REAL
+    trained tf.keras model and reproduce its predictions."""
+    tf = pytest.importorskip("tensorflow")
+    from dlrm_flexflow_tpu.frontends.tf_keras import from_tf_keras, load_tf_weights
+    from dlrm_flexflow_tpu.ffconst import LossType as LT, MetricsType as MT
+    from dlrm_flexflow_tpu.training.optimizer import SGDOptimizer as SGD
+
+    tfm = tf.keras.Sequential([
+        tf.keras.layers.Input(shape=(12,)),
+        tf.keras.layers.Dense(16, activation="relu"),
+        tf.keras.layers.Dense(4, activation="softmax"),
+    ])
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 12).astype(np.float32)
+    ref = np.asarray(tfm(x))
+
+    ff, in_name = from_tf_keras(tfm, batch_size=8,
+                                config=FFConfig(batch_size=8, compute_dtype="float32"))
+    ff.compile(SGD(lr=0.01), LT.LOSS_CATEGORICAL_CROSSENTROPY, [MT.METRICS_ACCURACY])
+    n = load_tf_weights(ff, tfm, ff._tf_weight_transfer[1])
+    assert n == 2
+    got = np.asarray(ff.forward({in_name: x}))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
