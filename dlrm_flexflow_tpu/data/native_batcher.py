@@ -90,3 +90,35 @@ def gather_batch(
         num_threads,
     )
     return outs
+
+
+def scatter_add_f32(table: np.ndarray, idx: np.ndarray, grads: np.ndarray,
+                    scale: float = 1.0, num_threads: int = 0) -> None:
+    """table[idx[i]] += scale * grads[i], in place, duplicate-safe
+    multi-threaded (native ffdata; numpy np.add.at fallback)."""
+    lib = get_lib()
+    idx64 = np.ascontiguousarray(idx.reshape(-1), np.int64)
+    g = np.ascontiguousarray(grads, np.float32)
+    assert table.dtype == np.float32 and table.flags["C_CONTIGUOUS"]
+    assert g.shape == (idx64.shape[0], table.shape[1])
+    if lib is None:
+        valid = (idx64 >= 0) & (idx64 < table.shape[0])
+        np.add.at(table, idx64[valid], scale * g[valid])
+        return
+    if not hasattr(lib, "_scatter_ready"):
+        lib.ffdata_scatter_add_f32.restype = None
+        lib.ffdata_scatter_add_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_int32,
+        ]
+        lib._scatter_ready = True
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    lib.ffdata_scatter_add_f32(
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        table.shape[0], table.shape[1],
+        idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idx64.shape[0],
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(scale), num_threads,
+    )

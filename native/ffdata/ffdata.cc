@@ -116,4 +116,34 @@ void ffdata_gather_batch(int32_t num_arrays, const uint8_t** srcs,
   for (auto& th : threads) th.join();
 }
 
+
+// Scatter-add rows: table[idx[i]] += g[i] (or -= lr*g[i] via scale), f32.
+// Duplicate-safe multi-threading: thread t applies only updates whose
+// destination row hashes to t, so no two threads touch the same row
+// (the host-side analog of the reference's CPU embedding backward,
+// src/ops/embedding.cc:353-361, minus its non-atomic FIXME).
+void ffdata_scatter_add_f32(float* table, int64_t table_rows, int64_t dim,
+                            const int64_t* idx, int64_t n_rows,
+                            const float* grads, float scale,
+                            int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  auto worker = [&](int32_t tid) {
+    for (int64_t i = 0; i < n_rows; ++i) {
+      int64_t r = idx[i];
+      if (r < 0 || r >= table_rows) continue;  // padding rows drop
+      if (num_threads > 1 && (r % num_threads) != tid) continue;
+      float* dst = table + r * dim;
+      const float* g = grads + i * dim;
+      for (int64_t j = 0; j < dim; ++j) dst[j] += scale * g[j];
+    }
+  };
+  if (num_threads == 1) {
+    worker(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -131,3 +131,60 @@ def test_per_op_weight_io():
     assert all(np.all(v == 0) for v in got.values())
     feeds, labels = random_batches(cfg, 16, seed=0)
     assert np.isfinite(float(m.train_batch(feeds, labels)))
+
+
+def test_host_offload_matches_device_training():
+    """CPU-offload parity (reference: hetero strategies placing embeddings
+    in host memory, dlrm_strategy_hetero.cc + AVX2 CPU embedding): a DLRM
+    with one table offloaded to host RAM must track the all-device model's
+    loss trajectory (same init, same data)."""
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu.training.host_offload import (
+        HostOffloadTrainer,
+        build_host_offload_dlrm,
+    )
+
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[500, 40, 900],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[32, 16, 1],
+        batch_size=16,
+    )
+    ffc = FFConfig(batch_size=16, compute_dtype="float32", seed=2,
+                   onehot_embedding_threshold=0)
+    model, host_map = build_host_offload_dlrm(cfg, ffc, offload_threshold=600)
+    assert len(host_map) == 1  # the vocab-900 table
+    trainer = HostOffloadTrainer(model, host_map, lr=0.05).compile(
+        SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY],
+    )
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    feeds, labels = random_batches(cfg, 64, seed=3)
+    losses = []
+    for ep in range(4):
+        hist = trainer.fit(feeds, labels, epochs=1)
+        losses.append(hist["loss"])
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], f"host-offload DLRM failed to learn: {losses}"
+    # host table actually moved
+    tbl = next(iter(host_map.values()))[0]
+    assert np.abs(tbl.table).max() > 0
+
+
+def test_native_host_scatter_matches_numpy():
+    from dlrm_flexflow_tpu.data.native_batcher import scatter_add_f32
+
+    rng = np.random.RandomState(0)
+    table = rng.randn(100, 8).astype(np.float32)
+    ref = table.copy()
+    idx = rng.randint(0, 100, 64).astype(np.int64)
+    idx[3] = idx[7]  # duplicates
+    idx[5] = -1  # padding drops
+    g = rng.randn(64, 8).astype(np.float32)
+    scatter_add_f32(table, idx, g, scale=-0.1)
+    valid = idx >= 0
+    np.subtract.at(ref, idx[valid], 0.1 * g[valid])
+    np.testing.assert_allclose(table, ref, rtol=1e-5, atol=1e-6)
