@@ -24,6 +24,8 @@ import numpy as np
 # vs_baseline tracks progression; the reference repo publishes no numbers
 # (BASELINE.md).
 BASELINE_EXAMPLES_PER_SEC = 900_000.0
+# forward-only (serving) anchor measured alongside (PERF.md)
+INFER_BASELINE_EXAMPLES_PER_SEC = 4_400_000.0
 
 
 def main():
@@ -175,7 +177,10 @@ def main():
                 "metric": f"dlrm_{args.config}_{args.mode}_examples_per_sec",
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/s",
-                "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),
+                "vs_baseline": round(
+                    examples_per_sec
+                    / (BASELINE_EXAMPLES_PER_SEC if args.mode == "train"
+                       else INFER_BASELINE_EXAMPLES_PER_SEC), 4),
                 "examples_per_sec_per_chip": round(per_chip, 1),
                 "devices": n_dev if args.mesh else 1,
                 "all_to_all_gbps": round(a2a_gbps, 3),

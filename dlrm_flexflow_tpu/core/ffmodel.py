@@ -911,9 +911,15 @@ class FFModel:
             history["epoch_time_s"] = dt
             history["throughput"] = steps * bs / dt
             if validation_data is not None:
-                # keras parity: per-epoch validation pass, reported as val_*
+                # keras parity: per-epoch validation pass, reported as val_*;
+                # training metric totals are preserved around it
                 vx, vy = validation_data
+                assert vy.shape[0] >= bs, (
+                    f"validation set ({vy.shape[0]}) smaller than one batch ({bs})"
+                )
+                train_totals = self._metrics_total
                 val = self.evaluate(vx, vy, batch_size=bs)
+                self._metrics_total = train_totals
                 history.update({f"val_{k}": v for k, v in val.items()})
             if verbose:
                 print(
@@ -940,6 +946,7 @@ class FFModel:
         bs = batch_size or self.config.batch_size
         n = labels.shape[0]
         steps = n // bs
+        assert steps > 0, f"evaluate: dataset ({n}) smaller than one batch ({bs})"
         self.reset_metrics()
         for i in range(steps):
             sl = slice(i * bs, (i + 1) * bs)

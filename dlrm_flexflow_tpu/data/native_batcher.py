@@ -77,8 +77,10 @@ def gather_batch(
     dsts = (u8p * k)()
     src_rows = (ctypes.c_int64 * k)()
     row_bytes = (ctypes.c_int64 * k)()
+    keepalive = []  # contiguous temps must outlive the native call
     for a_i, (a, o) in enumerate(zip(arrays, outs)):
         a = np.ascontiguousarray(a)
+        keepalive.append(a)
         assert o.flags["C_CONTIGUOUS"]
         srcs[a_i] = a.ctypes.data_as(u8p)
         dsts[a_i] = o.ctypes.data_as(u8p)
@@ -89,6 +91,7 @@ def gather_batch(
         idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, dsts,
         num_threads,
     )
+    del keepalive
     return outs
 
 

@@ -21,10 +21,14 @@ from ..ffconst import ActiMode, DataType, PoolType, as_acti_mode
 
 
 def _act(config_activation) -> ActiMode:
-    name = config_activation if isinstance(config_activation, str) else None
-    if name in (None, "linear"):
+    if config_activation is None or config_activation == "linear":
         return ActiMode.AC_MODE_NONE
-    return as_acti_mode(name)
+    if not isinstance(config_activation, str):
+        raise NotImplementedError(
+            f"non-string tf activation {config_activation!r} (layer/callable "
+            "activations) is not supported — use a named activation"
+        )
+    return as_acti_mode(config_activation)
 
 
 def from_tf_keras(
@@ -62,6 +66,11 @@ def from_tf_keras(
             kh, kw = cfg["kernel_size"]
             sh, sw = cfg["strides"]
             pad = cfg.get("padding", "valid")
+            if pad == "same":
+                assert kh % 2 == 1 and kw % 2 == 1 and sh == sw == 1, (
+                    "'same' conv import is exact only for odd kernels with "
+                    "stride 1 (TF pads asymmetrically otherwise)"
+                )
             ph, pw = (kh // 2, kw // 2) if pad == "same" else (0, 0)
             t = ff.conv2d(
                 t, int(cfg["filters"]), kh, kw, sh, sw, ph, pw,
@@ -72,6 +81,10 @@ def from_tf_keras(
         elif kind in ("MaxPooling2D", "AveragePooling2D"):
             kh, kw = cfg["pool_size"]
             sh, sw = cfg.get("strides") or (kh, kw)
+            assert cfg.get("padding", "valid") == "valid", (
+                "'same' pooling import is not supported (TF pads "
+                "asymmetrically); use valid pooling"
+            )
             t = ff.pool2d(
                 t, kh, kw, sh, sw, 0, 0,
                 pool_type=PoolType.POOL_MAX if kind.startswith("Max") else PoolType.POOL_AVG,
@@ -82,8 +95,11 @@ def from_tf_keras(
         elif kind == "Dropout":
             t = ff.dropout(t, float(cfg["rate"]), name=lay.name)
         elif kind == "BatchNormalization":
+            # NOTE: weights are NOT transferred for BN — our BatchNorm is
+            # train-mode (batch statistics); tf's moving_mean/variance have
+            # no slot here, so a transferred gamma/beta would still not
+            # reproduce tf inference. Excluded from name_map on purpose.
             t = ff.batch_norm(t, relu=False, name=lay.name)
-            name_map[lay.name] = t.owner_op.name
         elif kind in ("Activation", "ReLU", "Softmax"):
             act_name = cfg.get("activation", kind.lower())
             if act_name == "softmax" or kind == "Softmax":
@@ -126,11 +142,8 @@ def load_tf_weights(ff: FFModel, tf_model, name_map: Dict[str, str]) -> int:
             new["kernel"] = np.ascontiguousarray(np.transpose(ws[0], (3, 2, 0, 1)))
             if len(ws) > 1:
                 new["bias"] = ws[1]
-        else:  # BatchNormalization etc.: copy by position if shapes line up
-            cur = ff.get_weights(ff_name)
-            for (k, v), w in zip(cur.items(), ws):
-                if w.shape == v.shape:
-                    new[k] = w
+        else:
+            continue  # only Dense/Conv2D transfer (see BN note above)
         if new:
             ff.set_weights(ff_name, new)
             updated += 1

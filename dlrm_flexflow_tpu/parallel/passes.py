@@ -33,16 +33,14 @@ def fuse_embedding_tables(
     working untouched.
     """
     embeds: List[Embedding] = [
-        op for op in graph.compute_ops if isinstance(op, Embedding)
+        op for op in graph.compute_ops
+        if isinstance(op, Embedding) and op.num_entries > min_vocab
     ]
     if len(embeds) < 2:
         return None
     dim = embeds[0].out_dim
     aggr = embeds[0].aggr
-    embeds = [
-        e for e in embeds
-        if e.out_dim == dim and e.aggr is aggr and e.num_entries > min_vocab
-    ]
+    embeds = [e for e in embeds if e.out_dim == dim and e.aggr is aggr]
     if len(embeds) < 2:
         return None
 

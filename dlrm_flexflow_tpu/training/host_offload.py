@@ -151,7 +151,13 @@ class HostOffloadTrainer:
     def compile(self, optimizer=None, loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
                 metrics=(MetricsType.METRICS_ACCURACY,)):
         m = self.model
-        m.compile(optimizer or SGDOptimizer(lr=self.lr), loss_type, list(metrics))
+        opt = optimizer or SGDOptimizer(lr=self.lr)
+        # host tables step with plain SGD at the device optimizer's rate
+        # (the reference's PS-style CPU update is also plain SGD); momentum/
+        # Adam state for host tables is not supported
+        if hasattr(opt, "lr"):
+            self.lr = float(opt.lr)
+        m.compile(opt, loss_type, list(metrics))
         graph = m.graph
         out_spec = graph.compute_ops[-1].outputs[0]
         compute_dtype = jnp.dtype(m.config.compute_dtype)

@@ -48,7 +48,8 @@ def main():
     if args.measured_exps > 0 and args.measured_batch > 0:
         model = build(args.config, args.measured_batch)
         m1 = preset("tpu_v5e", num_chips=1)
-        _, pred_us, _ = autotune_plan(model.graph, m1, args.measured_batch, budget=1)
+        _, pred_us, _ = autotune_plan(model.graph, m1, args.measured_batch,
+                                      budget=1, min_vocab=8192)
         pred_exps = args.measured_batch / (pred_us / 1e6)
         anchor_ratio = args.measured_exps / pred_exps
         print(f"# anchor: measured {args.measured_exps:,.0f} ex/s, "
@@ -63,6 +64,7 @@ def main():
         owner, best_us, report = autotune_plan(
             model.graph, m, gb, budget=args.budget if chips > 1 else 1,
             search_splits=chips > 1,
+            min_vocab=8192,  # match the runtime one-hot threshold default
         )
         exps = gb / (best_us / 1e6) * anchor_ratio
         per_chip = exps / chips
