@@ -60,6 +60,7 @@ class FFModel:
         self._train_step = None
         self._eval_step = None
         self._forward_fn = None
+        self._constant_feeds = {}
         self._step_count = 0
         self._compiled = False
 
@@ -79,6 +80,37 @@ class FFModel:
 
     def _add(self, op: Op) -> Op:
         return self.graph.add_op(op)
+
+    def create_constant(self, dims, value: float, dtype=DataType.DT_FLOAT,
+                        name: Optional[str] = None) -> TensorSpec:
+        """reference: FFModel.create_constant (flexflow_cffi.py) — a
+        constant-filled input tensor (materialized at compile)."""
+        t = self.create_tensor(dims, dtype=dtype, name=name or "constant")
+        self._constant_feeds[t.owner_op.name] = (tuple(int(d) for d in dims), float(value))
+        return t
+
+    # --- introspection (reference: get_layers/print_layers, flexflow_cffi.py)
+    def get_layers(self):
+        return list(self.graph.compute_ops)
+
+    def get_layer_by_name(self, name: str):
+        for op in self.graph.compute_ops:
+            if op.name == name:
+                return op
+        raise KeyError(name)
+
+    def get_layer_by_id(self, guid: int):
+        for op in self.graph.ops:
+            if op.guid == guid:
+                return op
+        raise KeyError(guid)
+
+    def print_layers(self) -> None:
+        """reference: FFModel.print_layers."""
+        for op in self.graph.compute_ops:
+            ins = ", ".join(t.owner_op.name for t in op.inputs)
+            outs = ", ".join(str(tuple(t.shape)) for t in op.outputs)
+            print(f"[{op.guid}] {type(op).__name__} '{op.name}' ({ins}) -> {outs}")
 
     # --- dense / embedding / interaction --------------------------------------
     def dense(
@@ -771,6 +803,11 @@ class FFModel:
         """Host->device batch staging (reference analog: ZCM full tensor ->
         partitioned device batch copies in next_batch, dlrm.cc:482). With a
         mesh, arrays are placed batch-sharded across it."""
+        if self._constant_feeds:
+            b = next(iter(feeds.values())).shape[0] if feeds else None
+            for name, (dims, value) in self._constant_feeds.items():
+                if name not in feeds:
+                    feeds = {**feeds, name: jnp.full(dims, value, jnp.float32)}
         if self._input_shardings is not None:
             feeds = {
                 k: jax.device_put(v, self._input_shardings[k]) for k, v in feeds.items()

@@ -257,3 +257,24 @@ def test_bert_proxy_forward_and_seq_truncation():
     x = rng.randn(2, 16, 32).astype(np.float32)
     out = m.forward({"tokens": x})
     assert np.asarray(out).shape == (2, 16, 32)
+
+
+def test_introspection_and_constant():
+    """reference API parity: create_constant, get_layers, get_layer_by_name,
+    print_layers (flexflow_cffi.py)."""
+    m = FFModel(FFConfig(batch_size=4, compute_dtype="float32"))
+    x = m.create_tensor([4, 8], name="x")
+    c = m.create_constant([4, 8], 2.5, name="two_and_half")
+    y = m.add(x, c, name="plus_c")
+    m.dense(y, 3, name="head")
+    assert [op.name for op in m.get_layers()] == ["plus_c", "head"]
+    assert m.get_layer_by_name("head").out_dim == 3
+    m.print_layers()
+    m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_MEAN_SQUARED_ERROR_AVG_REDUCE,
+              [MetricsType.METRICS_MEAN_SQUARED_ERROR])
+    out = np.asarray(m.forward({"x": np.zeros((4, 8), np.float32)}))
+    assert out.shape == (4, 3)
+    # constant actually fed: with zero x, dense input is the constant
+    w = m.get_weights("head")
+    expect = 2.5 * w["kernel"].sum(axis=1) + w.get("bias", 0)
+    np.testing.assert_allclose(out[0], expect, rtol=1e-4, atol=1e-5)
