@@ -21,7 +21,7 @@ from .machine import MachineSpec
 
 def graph_to_cost_spec(
     graph: Graph, global_batch: int, table_split: Optional[List[int]] = None,
-    min_vocab: int = 0,
+    min_vocab: int = 0, replicate_mask: Optional[List[bool]] = None,
 ) -> Tuple[List[dict], List[str]]:
     """Lower graph ops to FFSimOp dicts. Returns (ops, embed_op_names) where
     embed_op_names lists the FFSIM_EMBED entries in order — one per
@@ -33,11 +33,16 @@ def graph_to_cost_spec(
     the fusion pass's min_vocab exclusion (parallel/passes.py)."""
     ops: List[dict] = []
     embed_names: List[str] = []
-    t_idx = 0
+    t_idx = 0  # over ALL tables (replicate_mask index)
+    p_idx = 0  # over PLACED tables only (table_split index)
 
     def add_table(name, vocab, dim, lookups):
-        nonlocal t_idx
-        if vocab <= min_vocab:
+        nonlocal t_idx, p_idx
+        replicated = (
+            replicate_mask[t_idx] if replicate_mask is not None
+            else vocab <= min_vocab
+        )
+        if replicated:
             # replicated one-hot path: dense DP work, not a placement var
             ops.append({
                 "kind": bindings.KIND_DENSE,
@@ -45,8 +50,10 @@ def graph_to_cost_spec(
                 "bytes": 4.0 * (lookups * dim + vocab * dim),
                 "param_bytes": 4.0 * vocab * dim,
             })
+            t_idx += 1
             return
-        s = 1 if table_split is None else max(1, int(table_split[t_idx]))
+        s = 1 if table_split is None else max(1, int(table_split[p_idx]))
+        p_idx += 1
         # mirror expand_subtables exactly: a table yields at most `vocab`
         # sub-ranges (splitting a 3-row table 4 ways gives 3 subs), so the
         # owner vector the search returns always matches the layout
@@ -92,8 +99,11 @@ def graph_to_cost_spec(
 
 
 def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
-                 opt_state_factor, initial_owner=None, min_vocab=0):
-    ops, embed_names = graph_to_cost_spec(graph, global_batch, split, min_vocab)
+                 opt_state_factor, initial_owner=None, min_vocab=0,
+                 replicate_mask=None):
+    ops, embed_names = graph_to_cost_spec(
+        graph, global_batch, split, min_vocab, replicate_mask
+    )
     n_sub = len(embed_names)
     m = machine.to_native()
     if n_sub == 0:
@@ -141,15 +151,42 @@ def autotune_plan(
     list, and keeps the change if the simulated step improves >1%. The
     report then carries "table_split" and per-SUB-table owners.
     """
+    # table-mode choice (the per-op placement-vs-replication axis of the
+    # reference's strategy space): compare "small tables replicated"
+    # (min_vocab mask, the single-chip winner) against "all tables placed"
+    # (kills the replicated tables' dense-grad allreduce at scale — PERF.md)
+    from ..ffconst import OperatorType as _OT
+
+    vocabs_all = []
+    for op in graph.compute_ops:
+        if op.op_type is _OT.OP_EMBEDDING and hasattr(op, "layout"):
+            vocabs_all.extend(op.layout.vocab_sizes)
+        elif op.op_type is _OT.OP_EMBEDDING:
+            vocabs_all.append(op.num_entries)
+    default_mask = [v <= min_vocab for v in vocabs_all]
     owner, best_cost, report, ops = _search_once(
         graph, machine, global_batch, None, budget, alpha, seed,
-        opt_state_factor, initial_owner=initial_owner, min_vocab=min_vocab,
+        opt_state_factor, initial_owner=initial_owner,
+        replicate_mask=default_mask,
     )
+    chosen_mask = default_mask
+    if machine.num_chips > 1 and any(default_mask):
+        all_placed = [False] * len(vocabs_all)
+        o2, c2, r2, ops2 = _search_once(
+            graph, machine, global_batch, None, budget, alpha, seed + 1,
+            opt_state_factor, replicate_mask=all_placed,
+        )
+        if c2 < best_cost * 0.99:
+            owner, best_cost, report, ops = o2, c2, r2, ops2
+            chosen_mask = all_placed
     n_tables = sum(1 for o in ops if o["kind"] == bindings.KIND_EMBED)
     split = [1] * n_tables
     if not search_splits or n_tables == 0 or machine.num_chips < 2:
         if report:
             report["table_split"] = split
+            report["replicated_tables"] = [
+                i for i, r in enumerate(chosen_mask) if r
+            ]
         return owner, best_cost, report
 
     cap = max_split or machine.num_chips
@@ -189,7 +226,7 @@ def autotune_plan(
             o2, c2, r2, _ = _search_once(
                 graph, machine, global_batch, cand,
                 max(budget // 4, 500), alpha, seed + 17 * _round + k,
-                opt_state_factor, min_vocab=min_vocab,
+                opt_state_factor, replicate_mask=chosen_mask,
             )
             if c2 < best_cost * 0.99:
                 split, owner, best_cost, report = cand, o2, c2, r2
@@ -206,4 +243,5 @@ def autotune_plan(
     split, owner, best_cost, report = g_split, g_owner, g_cost, g_report
     if report:
         report["table_split"] = split
+        report["replicated_tables"] = [i for i, r in enumerate(chosen_mask) if r]
     return owner, best_cost, report

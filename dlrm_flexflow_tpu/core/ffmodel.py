@@ -790,6 +790,8 @@ class FFModel:
             split = (report or {}).get("table_split")
             if split and any(s > 1 for s in split):
                 plan.table_split = split
+            if (report or {}).get("replicated_tables") is not None:
+                plan.replicated_tables = report["replicated_tables"]
         self._search_report = report
         if report:
             print(

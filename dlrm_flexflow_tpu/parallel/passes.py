@@ -32,10 +32,15 @@ def fuse_embedding_tables(
     ops' output TensorSpecs are adopted by the collection so consumers keep
     working untouched.
     """
-    embeds: List[Embedding] = [
-        op for op in graph.compute_ops
-        if isinstance(op, Embedding) and op.num_entries > min_vocab
+    all_embeds: List[Embedding] = [
+        op for op in graph.compute_ops if isinstance(op, Embedding)
     ]
+    if plan.replicated_tables is not None:
+        # explicit autotuner choice overrides the threshold
+        excluded = set(plan.replicated_tables)
+        embeds = [e for i, e in enumerate(all_embeds) if i not in excluded]
+    else:
+        embeds = [e for e in all_embeds if e.num_entries > min_vocab]
     if len(embeds) < 2:
         return None
     dim = embeds[0].out_dim

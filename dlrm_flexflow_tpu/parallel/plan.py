@@ -97,6 +97,10 @@ class ShardingPlan:
     # parallelism-DEGREE axis of the reference's per-op search space
     # (see embedding_collection.py row-splitting notes / PERF.md).
     table_split: Optional[List[int]] = None
+    # graph-order embedding indices that stay OUT of the fused collection
+    # (replicated one-hot execution). None => use the config's one-hot
+    # threshold; chosen by the autotuner's placement-vs-replication search.
+    replicated_tables: Optional[List[int]] = None
     # "round_robin" (reference parity) | "greedy" (HBM balancing)
     assignment_policy: str = "greedy"
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
@@ -197,6 +201,7 @@ class ShardingPlan:
             "assignment_policy": self.assignment_policy,
             "table_assignment": self.table_assignment,
             "table_split": self.table_split,
+            "replicated_tables": self.replicated_tables,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -215,6 +220,7 @@ class ShardingPlan:
             assignment_policy=doc.get("assignment_policy", "greedy"),
             table_assignment=doc.get("table_assignment"),
             table_split=doc.get("table_split"),
+            replicated_tables=doc.get("replicated_tables"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 

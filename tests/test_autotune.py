@@ -203,3 +203,30 @@ def test_split_search_tiny_vocab_tables_compile():
     feeds, labels = random_batches(cfg, 16, seed=0)
     loss = m.train_batch(feeds, labels)
     assert np.isfinite(float(loss))
+
+
+def test_mode_choice_places_small_tables_at_scale():
+    """At high chip counts replicating small tables costs a dense-grad
+    allreduce every step; the search may fold them into the collection.
+    Verify the mode search runs and the runtime honors an explicit
+    replicated_tables choice end-to-end."""
+    from dlrm_flexflow_tpu.autotune.machine import preset
+    from dlrm_flexflow_tpu.autotune.search import autotune_plan
+    from dlrm_flexflow_tpu.core.ffmodel import FFModel
+    from dlrm_flexflow_tpu.parallel.passes import fuse_embedding_tables
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    m = FFModel(FFConfig(batch_size=1024))
+    for i, v in enumerate([2_000_000, 1_500_000, 4000, 2000]):
+        x = m.create_tensor([1024, 1], dtype=DataType.DT_INT64, name=f"s{i}")
+        m.embedding(x, v, 16)
+    machine = preset("tpu_v5e", num_chips=8, chips_per_host=4)
+    owner, cost, report = autotune_plan(
+        m.graph, machine, 1024 * 8, budget=800, min_vocab=8192, seed=0
+    )
+    assert "replicated_tables" in report
+    # runtime honors an explicit choice: exclude table 3 only
+    plan = dlrm_hybrid_plan()
+    plan.replicated_tables = [3]
+    coll = fuse_embedding_tables(m.graph, plan, 8, min_vocab=8192)
+    assert coll is not None and coll.layout.num_tables == 3
