@@ -35,6 +35,9 @@ class FFSimMachine(ctypes.Structure):
         ("gather_gbps", ctypes.c_double),
         ("scatter_gbps", ctypes.c_double),
         ("step_overhead_us", ctypes.c_double),
+        ("segment_bytes", ctypes.c_double),
+        ("max_segments", ctypes.c_double),
+        ("overlap_backward_update", ctypes.c_double),
     ]
 
 

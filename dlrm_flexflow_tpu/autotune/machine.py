@@ -33,6 +33,11 @@ class MachineSpec:
     gather_gbps: float = 30.0  # effective random-row gather bw
     scatter_gbps: float = 1.1  # effective scatter-add bw (64 B rows)
     step_overhead_us: float = 30.0
+    # reference: --simulator-segment-size / --simulator-max-num-segments
+    segment_bytes: float = 16777216.0
+    max_segments: float = 1.0
+    # reference: --search-overlap-backward-update (0..1 overlap fraction)
+    overlap_backward_update: float = 0.0
 
     def to_native(self) -> FFSimMachine:
         m = FFSimMachine()

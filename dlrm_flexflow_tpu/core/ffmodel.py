@@ -766,6 +766,11 @@ class FFModel:
             name = "tpu_v5e" if _jax.devices()[0].platform != "cpu" else "cpu_sim"
             machine = preset(name, num_chips=n,
                              chips_per_host=min(n, _jax.local_device_count()))
+        # reference simulator knobs (config.h:133-139) feed the cost model
+        machine.segment_bytes = float(self.config.simulator_segment_size)
+        machine.max_segments = float(self.config.simulator_max_num_segments)
+        if self.config.search_overlap_backward_update:
+            machine.overlap_backward_update = 1.0
         osf = 1.0 if getattr(self.optimizer, "sparse_init", None) and             self.optimizer.sparse_init((2, 2)) is not None else 0.0
         # row-splitting is exact only for SUM pooling (embedding_collection
         # partial sums); AVG collections keep whole-table placement

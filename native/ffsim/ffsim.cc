@@ -38,8 +38,17 @@ double ring_time_us(const FFSimMachine& m, double bytes_per_chip,
   const double lat = multi_host ? m.dcn_latency_us : m.ici_latency_us;
   // steps_factor: allreduce=2(n-1)/n, allgather/all2all=(n-1)/n
   const double wire_bytes = bytes_per_chip * steps_factor;
+  // segmentation (reference: simulator.cc:218-288): chunks pipeline across
+  // ring hops, so hop latency is paid once per ring pass plus once per
+  // extra segment (pipelined fill), not per (hop x segment)
+  double n_seg = 1.0;
+  if (m.segment_bytes > 0) {
+    n_seg = std::ceil(wire_bytes / m.segment_bytes);
+    if (m.max_segments > 0) n_seg = std::min(n_seg, m.max_segments);
+    if (n_seg < 1) n_seg = 1;
+  }
   return wire_bytes / (link_gbps * 1e3) /* bytes/us at GB/s */ +
-         lat * (n - 1);
+         lat * ((n - 1) + (n_seg - 1));
 }
 
 StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
@@ -86,8 +95,17 @@ StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
   const double per_chip_payload = all2all_payload / n;
   c.all2all_us = 2.0 * ring_time_us(m, per_chip_payload, double(n - 1) / n);
 
-  // dense grads allreduce (XLA psum), ring
+  // dense grads allreduce (XLA psum), ring; optionally overlapped with
+  // the backward sweep (reference: --search-overlap-backward-update -- the
+  // reference's simulator models update tasks overlapping backward, 
+  // simulator.cc:403-498 mode 3a)
   c.allreduce_us = ring_time_us(m, dense_param_bytes, 2.0 * double(n - 1) / n);
+  if (m.overlap_backward_update > 0) {
+    const double bwd_us = c.dense_us * (2.0 / 3.0);  // bwd share of 3x fwd
+    const double hidden = std::min(c.allreduce_us, bwd_us) *
+                          std::min(1.0, m.overlap_backward_update);
+    c.allreduce_us -= hidden;
+  }
 
   // dense optimizer update: params + grads + opt state traffic, per chip
   // (replicated params -> full size each chip)

@@ -33,6 +33,14 @@ struct FFSimMachine {
   double scatter_gbps;
   // fixed per-step overhead (dispatch, host) in us
   double step_overhead_us;
+  // message segmentation (reference: --simulator-segment-size /
+  // --simulator-max-num-segments, simulator.cc:218-288): collectives are
+  // chunked; each segment pays the hop latency but segments pipeline
+  double segment_bytes;
+  double max_segments;
+  // overlap gradient allreduce with backward compute (reference:
+  // --search-overlap-backward-update): 1.0 = fully overlapped
+  double overlap_backward_update;
 };
 
 // ---- op kinds

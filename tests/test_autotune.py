@@ -230,3 +230,27 @@ def test_mode_choice_places_small_tables_at_scale():
     plan.replicated_tables = [3]
     coll = fuse_embedding_tables(m.graph, plan, 8, min_vocab=8192)
     assert coll is not None and coll.layout.num_tables == 3
+
+
+def test_segmentation_and_overlap_flags_shape_costs():
+    """reference parity: --simulator-segment-size adds pipelined-segment
+    latency; --search-overlap-backward-update hides allreduce under the
+    backward sweep (simulator.cc:218-288, 403-498)."""
+    import dataclasses
+
+    from dlrm_flexflow_tpu.autotune import bindings
+    from dlrm_flexflow_tpu.autotune.machine import preset
+
+    spec = preset("tpu_v5e", num_chips=8, chips_per_host=4)
+    ops = [
+        {"kind": bindings.KIND_DENSE, "flops": 5e9, "bytes": 2e8, "param_bytes": 4e8},
+        {"kind": bindings.KIND_EMBED, "table_rows": 1e6, "row_bytes": 64.0,
+         "lookups": 65536.0},
+    ]
+    base = bindings.simulate(spec.to_native(), ops, [0], 0.0)
+    # many small segments -> more latency
+    seg = dataclasses.replace(spec, segment_bytes=4096.0, max_segments=1e9)
+    assert bindings.simulate(seg.to_native(), ops, [0], 0.0) > base
+    # overlap -> cheaper (hides part of the big allreduce)
+    ov = dataclasses.replace(spec, overlap_backward_update=1.0)
+    assert bindings.simulate(ov.to_native(), ops, [0], 0.0) < base
