@@ -19,6 +19,18 @@ from . import bindings
 from .machine import MachineSpec
 
 
+def iter_embedding_vocabs(graph: Graph) -> List[int]:
+    """Vocab of every embedding table in graph order — the ONE enumeration
+    shared by the cost spec and the mode-choice mask (indices must align)."""
+    out: List[int] = []
+    for op in graph.compute_ops:
+        if op.op_type is OperatorType.OP_EMBEDDING and hasattr(op, "layout"):
+            out.extend(op.layout.vocab_sizes)
+        elif op.op_type is OperatorType.OP_EMBEDDING:
+            out.append(op.num_entries)
+    return out
+
+
 def graph_to_cost_spec(
     graph: Graph, global_batch: int, table_split: Optional[List[int]] = None,
     min_vocab: int = 0, replicate_mask: Optional[List[bool]] = None,
@@ -155,14 +167,7 @@ def autotune_plan(
     # reference's strategy space): compare "small tables replicated"
     # (min_vocab mask, the single-chip winner) against "all tables placed"
     # (kills the replicated tables' dense-grad allreduce at scale — PERF.md)
-    from ..ffconst import OperatorType as _OT
-
-    vocabs_all = []
-    for op in graph.compute_ops:
-        if op.op_type is _OT.OP_EMBEDDING and hasattr(op, "layout"):
-            vocabs_all.extend(op.layout.vocab_sizes)
-        elif op.op_type is _OT.OP_EMBEDDING:
-            vocabs_all.append(op.num_entries)
+    vocabs_all = iter_embedding_vocabs(graph)
     default_mask = [v <= min_vocab for v in vocabs_all]
     owner, best_cost, report, ops = _search_once(
         graph, machine, global_batch, None, budget, alpha, seed,

@@ -61,6 +61,7 @@ class FFModel:
         self._eval_step = None
         self._forward_fn = None
         self._constant_feeds = {}
+        self._constant_arrays = {}
         self._step_count = 0
         self._compiled = False
 
@@ -84,9 +85,12 @@ class FFModel:
     def create_constant(self, dims, value: float, dtype=DataType.DT_FLOAT,
                         name: Optional[str] = None) -> TensorSpec:
         """reference: FFModel.create_constant (flexflow_cffi.py) — a
-        constant-filled input tensor (materialized at compile)."""
+        constant-filled input tensor (materialized once at compile,
+        replicated under a mesh)."""
         t = self.create_tensor(dims, dtype=dtype, name=name or "constant")
-        self._constant_feeds[t.owner_op.name] = (tuple(int(d) for d in dims), float(value))
+        self._constant_feeds[t.owner_op.name] = (
+            tuple(int(d) for d in dims), float(value), dtype
+        )
         return t
 
     # --- introspection (reference: get_layers/print_layers, flexflow_cffi.py)
@@ -556,6 +560,19 @@ class FFModel:
 
             export_task_graph(self, self.config.export_strategy_task_graph_file)
 
+        # materialize constants once (replicated under a mesh; reference:
+        # create_constant fills at model build)
+        self._constant_arrays = {}
+        for cname, (dims, value, cdtype) in self._constant_feeds.items():
+            arr = jnp.full(dims, value, cdtype.to_jnp())
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                arr = jax.device_put(arr, NamedSharding(mesh, P()))
+                if self._input_shardings is not None:
+                    self._input_shardings[cname] = NamedSharding(mesh, P())
+            self._constant_arrays[cname] = arr
+
         final = self.graph.compute_ops[-1]
         out_spec = final.outputs[0]
         self.label_tensor = TensorSpec(
@@ -760,15 +777,17 @@ class FFModel:
 
         n = mesh.shape[plan.batch_axis]
         if self.config.machine_model_file:
+            # the machine file's knobs win (it round-trips segmentation and
+            # overlap fields); CLI flags configure the preset path
             machine = MachineSpec.from_file(self.config.machine_model_file)
             machine.num_chips = n
         else:
             name = "tpu_v5e" if _jax.devices()[0].platform != "cpu" else "cpu_sim"
             machine = preset(name, num_chips=n,
                              chips_per_host=min(n, _jax.local_device_count()))
-        # reference simulator knobs (config.h:133-139) feed the cost model
-        machine.segment_bytes = float(self.config.simulator_segment_size)
-        machine.max_segments = float(self.config.simulator_max_num_segments)
+            # reference simulator knobs (config.h:133-139) feed the cost model
+            machine.segment_bytes = float(self.config.simulator_segment_size)
+            machine.max_segments = float(self.config.simulator_max_num_segments)
         if self.config.search_overlap_backward_update:
             machine.overlap_backward_update = 1.0
         osf = 1.0 if getattr(self.optimizer, "sparse_init", None) and             self.optimizer.sparse_init((2, 2)) is not None else 0.0
@@ -810,14 +829,14 @@ class FFModel:
         """Host->device batch staging (reference analog: ZCM full tensor ->
         partitioned device batch copies in next_batch, dlrm.cc:482). With a
         mesh, arrays are placed batch-sharded across it."""
-        if self._constant_feeds:
-            b = next(iter(feeds.values())).shape[0] if feeds else None
-            for name, (dims, value) in self._constant_feeds.items():
-                if name not in feeds:
-                    feeds = {**feeds, name: jnp.full(dims, value, jnp.float32)}
+        for name, arr in self._constant_arrays.items():
+            if name not in feeds:
+                feeds = {**feeds, name: arr}
         if self._input_shardings is not None:
             feeds = {
-                k: jax.device_put(v, self._input_shardings[k]) for k, v in feeds.items()
+                k: (v if k in self._constant_arrays
+                    else jax.device_put(v, self._input_shardings[k]))
+                for k, v in feeds.items()
             }
             if labels is not None:
                 labels = jax.device_put(labels, self._label_sharding)
@@ -846,10 +865,20 @@ class FFModel:
     def train_chunk(self, stacked_feeds: Dict[str, Any], stacked_labels) -> float:
         """Run K steps in one dispatch: inputs are [K, B, ...] stacks."""
         assert self._compiled
+        if self._constant_arrays:
+            k = int(stacked_labels.shape[0])
+            for cname, arr in self._constant_arrays.items():
+                if cname not in stacked_feeds:
+                    stacked_feeds = {
+                        **stacked_feeds,
+                        cname: jnp.broadcast_to(arr, (k,) + arr.shape),
+                    }
         if self._input_shardings is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def stage(v, name):
+                if name in self._constant_arrays:
+                    return jax.device_put(v, NamedSharding(self.mesh, P()))
                 base = self._input_shardings[name].spec
                 return jax.device_put(
                     v, NamedSharding(self.mesh, P(None, *base))

@@ -278,3 +278,27 @@ def test_introspection_and_constant():
     w = m.get_weights("head")
     expect = 2.5 * w["kernel"].sum(axis=1) + w.get("bias", 0)
     np.testing.assert_allclose(out[0], expect, rtol=1e-4, atol=1e-5)
+
+
+def test_constant_in_chunked_fit_and_dtype():
+    """Regression: constants must feed the scanned/chunked path and honor
+    their declared dtype."""
+    from dlrm_flexflow_tpu.ffconst import DataType as DT
+
+    m = FFModel(FFConfig(batch_size=4, compute_dtype="float32"))
+    x = m.create_tensor([4, 8], name="x")
+    c = m.create_constant([4, 8], 1.0, name="ones")
+    m.dense(m.add(x, c), 2, name="head")
+    m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_MEAN_SQUARED_ERROR_AVG_REDUCE,
+              [MetricsType.METRICS_MEAN_SQUARED_ERROR])
+    assert m._constant_arrays["ones"].dtype == np.float32
+    rng = np.random.RandomState(0)
+    feeds = {"x": rng.randn(16, 8).astype(np.float32)}
+    labels = rng.randn(16, 2).astype(np.float32)
+    # chunked path (fit with steps_per_call > 1) previously KeyError'd
+    hist = m.fit(feeds, labels, epochs=1, verbose=False, steps_per_call=2)
+    assert np.isfinite(hist["mse"])
+    # int constant keeps integer dtype
+    m2 = FFModel(FFConfig(batch_size=4))
+    ci = m2.create_constant([4, 1], 3, dtype=DT.DT_INT64, name="three")
+    assert m2._constant_feeds["three"][2] is DT.DT_INT64
