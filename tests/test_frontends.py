@@ -355,3 +355,44 @@ def test_tf_keras_import_with_weight_transfer():
     assert n == 2
     got = np.asarray(ff.forward({in_name: x}))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_torch_fx_embeddingbag_import():
+    pytest.importorskip("torch")
+    import torch
+    import torch.nn as nn
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.EmbeddingBag(50, 8, mode="sum")
+            self.fc = nn.Linear(8, 3)
+
+        def forward(self, idx):
+            return self.fc(self.emb(idx))
+
+    ir = torch_to_ir(Net())
+    ops = [n.op for n in ir]
+    assert "embedding" in ops
+    ff = FFModel(FFConfig(batch_size=4))
+    x = ff.create_tensor([4, 3], dtype=DataType.DT_INT64, name="ids")
+    out = PyTorchModel(ir).apply(ff, [x])
+    assert tuple(out.shape) == (4, 3)
+    ff.compile(SGDOptimizer(lr=0.01), LossType.LOSS_CATEGORICAL_CROSSENTROPY,
+               [MetricsType.METRICS_ACCURACY])
+    rng = np.random.RandomState(0)
+    pred = ff.forward({"ids": rng.randint(0, 50, (4, 3)).astype(np.int64)})
+    assert np.asarray(pred).shape == (4, 3)
+
+
+def test_keras_embedding_layer_trains():
+    rng = np.random.RandomState(0)
+    ids = K.Input([4], dtype=DataType.DT_INT64)
+    e = K.Embedding(30, 8, aggr="sum")(ids)
+    out = K.Dense(1, activation="sigmoid")(e)
+    model = K.Model(ids, out)
+    model.compile(loss="binary_crossentropy", metrics=["accuracy"], batch_size=8)
+    x = rng.randint(0, 30, (32, 4)).astype(np.int64)
+    y = rng.randint(0, 2, (32, 1)).astype(np.float32)
+    hist = model.fit(x, y, epochs=1, verbose=False)
+    assert 0.0 <= hist["accuracy"] <= 1.0
