@@ -419,3 +419,42 @@ def test_expert_parallel_ffn_matches_reference(mesh):
         lambda w1: jnp.sum(reference_moe_ffn(x, gv, assign, w1, b1, w2, b2, shards=8) ** 2)
     )(w1)
     np.testing.assert_allclose(np.asarray(g_ep), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_exchange_property_random_configs(mesh, seed):
+    """Property test: for random (vocabs, splits, assignment, bag sizes,
+    padding patterns), the sharded fused lookup must equal the per-table
+    replicated oracle exactly."""
+    from dlrm_flexflow_tpu.parallel.embedding_collection import (
+        expand_subtables,
+        replicated_embedding_lookup,
+    )
+    from dlrm_flexflow_tpu.parallel.plan import greedy_subtable_assignment
+
+    rng = np.random.RandomState(seed)
+    n = 8
+    num_t = rng.randint(2, 7)
+    vocabs = [int(rng.randint(9, 800)) for _ in range(num_t)]
+    split = [int(rng.choice([1, 1, 2, 4, 8])) for _ in range(num_t)]
+    d = int(rng.choice([4, 8, 16]))
+    b = 16
+    h = int(rng.randint(1, 5))
+    subs = expand_subtables(vocabs, split)
+    owner = greedy_subtable_assignment(subs, [l for (_, _, l) in subs], n)
+    lay = ShardedEmbeddingLayout(vocabs, d, n, owner, split=split)
+    key = jax.random.PRNGKey(seed)
+    pool = lay.init_params(key, GlorotUniform())
+    tables = [lay.extract_table(pool, t) for t in range(num_t)]
+
+    idx = np.stack(
+        [rng.randint(0, v, size=(b, h)) for v in vocabs], axis=1
+    ).astype(np.int32)
+    # random padding
+    pad_mask = rng.random((b, num_t, h)) < 0.2
+    idx[pad_mask] = -1
+    idx = jnp.asarray(idx)
+
+    got = sharded_embedding_lookup(lay, pool, idx, mesh)
+    ref = replicated_embedding_lookup(tables, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
