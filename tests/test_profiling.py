@@ -60,3 +60,18 @@ def test_log_shardings_lists_params():
     model, _, _ = _tiny_model()
     rows = log_shardings(model)
     assert rows and all("shape=" in r for r in rows)
+
+
+def test_profiler_trace_context(tmp_path):
+    """SURVEY §5(c): trace() produces a TensorBoard-loadable profile dir."""
+    import jax.numpy as jnp
+
+    from dlrm_flexflow_tpu.utils import trace
+
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    found = []
+    for root, _, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "no profile artifacts written"
