@@ -27,6 +27,9 @@ class FFConfig:
     devices_per_node: int = -1  # -1 => all local devices
     mesh_shape: Optional[Tuple[int, ...]] = None  # overrides (nodes, chips)
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    # chips per host for the hierarchical pooled-embedding exchange
+    # (ICI-combine-then-DCN, parallel/embedding_collection.py); 0 = flat.
+    chips_per_host: int = 0
     # --- auto-parallelization search (reference: config.h:125-130) ---
     search_budget: int = 0
     search_alpha: float = 0.05
@@ -136,6 +139,8 @@ class FFConfig:
                 self.devices_per_node = int(take())
             elif a == "--mesh":
                 self.mesh_shape = tuple(int(x) for x in take().split("x"))
+            elif a == "--chips-per-host":
+                self.chips_per_host = int(take())
             elif a == "--profiling":
                 self.profiling = True
             elif a == "--fusion":

@@ -516,6 +516,10 @@ class FFModel:
 
                 plan = ShardingPlan.load(self.config.import_strategy_file)
                 self.plan = plan
+            # hierarchical pooled exchange (ICI combine before DCN): default
+            # the host grouping from the config / the actual process layout
+            if plan.chips_per_host is None and self.config.chips_per_host:
+                plan.chips_per_host = self.config.chips_per_host
             # strategy search (reference: STRATEGY_SEARCH_TASK when
             # --budget > 0, model.cc:1578-1584 + simulator.cu:71)
             if self.config.search_budget > 0 and plan.table_assignment is None:

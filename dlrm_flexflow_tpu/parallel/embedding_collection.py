@@ -30,6 +30,20 @@ Storage: each shard owns a row pool [R_pad, D]; all sub-tables of that shard
 are concatenated with static row offsets, padded so every shard has equal
 R_pad (XLA needs even partitions). The global parameter is [N, R_pad, D]
 sharded on axis 0 over the mesh "data" axis.
+
+Hierarchical exchange (chips_per_host set): on a multi-host pod the flat
+pooled all-to-all sends every slot's partial row over DCN separately, so a
+table split C ways within one host crosses DCN C times. The hierarchical
+path factors the exchange into (1) an intra-host all-to-all over ICI
+(axis_index_groups = hosts), (2) an on-chip combine of co-hosted slots of
+the same table, and (3) an inter-host all-to-all over DCN whose payload is
+one partial row per (host, table) instead of per slot — DCN bytes shrink by
+the average within-host split degree. Same trick mirrored in backward: a
+split table's pooled grad crosses DCN once per host and is re-expanded to
+slots over ICI. This is the TPU answer to the reference's modeled
+inter-node comm paths (EnhancedMachineModel NIC contention + segmentation,
+src/runtime/machine_model.cc / include/simulator.h:153-236): route the big
+exchange so the slow link carries the minimum bytes.
 """
 from __future__ import annotations
 
@@ -93,6 +107,10 @@ class ShardedEmbeddingLayout:
     num_shards: int
     owner: List[int]
     split: Optional[List[int]] = None
+    # hierarchical exchange: shards [h*C, (h+1)*C) form host h (JAX orders
+    # TPU devices process-major, so contiguous data-axis ranges ARE hosts).
+    # None / not dividing num_shards => flat single-stage exchange.
+    chips_per_host: Optional[int] = None
     # derived
     t_max: int = 0  # max sub-tables per shard (exchange slots per shard)
     r_pad: int = 0  # padded rows per shard
@@ -103,6 +121,11 @@ class ShardedEmbeddingLayout:
     slot_start: Optional[np.ndarray] = None  # [N*t_max] row-range start
     slot_len: Optional[np.ndarray] = None  # [N*t_max] row-range length
     slot_offset_arr: Optional[np.ndarray] = None  # [N*t_max] pool offset
+    # hierarchical derived (None unless hierarchical)
+    th_max: int = 0  # max distinct tables per host
+    host_tables: Optional[List[List[int]]] = None  # [H][<=th_max] table ids
+    sel_host: Optional[np.ndarray] = None  # [H, C*t_max, th_max] slot->host-table
+    sel_global: Optional[np.ndarray] = None  # [H*th_max, T] host-table->table
 
     def __post_init__(self):
         n = self.num_shards
@@ -136,6 +159,55 @@ class ShardedEmbeddingLayout:
                 off += length
             rows.append(off)
         self.r_pad = _round_up(max(max(rows), 1), 8)
+        if self.chips_per_host is not None and (
+            self.chips_per_host <= 1
+            or n % self.chips_per_host != 0
+            or n == self.chips_per_host
+        ):
+            self.chips_per_host = None  # degenerate: flat exchange
+        if self.chips_per_host is not None:
+            c = self.chips_per_host
+            h_n = n // c
+            self.host_tables = []
+            for h in range(h_n):
+                seen: List[int] = []
+                for slot in range(h * c * self.t_max, (h + 1) * c * self.t_max):
+                    if self.slot_sub[slot] >= 0:
+                        t = int(self.slot_tid[slot])
+                        if t not in seen:
+                            seen.append(t)
+                self.host_tables.append(seen)
+            self.th_max = max(1, max(len(g) for g in self.host_tables))
+            self.sel_host = np.zeros((h_n, c * self.t_max, self.th_max), np.float32)
+            self.sel_global = np.zeros((h_n * self.th_max, self.num_tables), np.float32)
+            for h in range(h_n):
+                pos = {t: j for j, t in enumerate(self.host_tables[h])}
+                for p in range(c * self.t_max):
+                    slot = h * c * self.t_max + p
+                    if self.slot_sub[slot] >= 0:
+                        self.sel_host[h, p, pos[int(self.slot_tid[slot])]] = 1.0
+                for t, j in pos.items():
+                    self.sel_global[h * self.th_max + j, t] = 1.0
+
+    @property
+    def hierarchical(self) -> bool:
+        return self.chips_per_host is not None
+
+    @property
+    def num_hosts(self) -> int:
+        return self.num_shards // self.chips_per_host if self.hierarchical else 1
+
+    def _host_groups(self):
+        """[[shards of host 0], ...] — the ICI all-to-all groups."""
+        c = self.chips_per_host
+        return [list(range(h * c, (h + 1) * c)) for h in range(self.num_hosts)]
+
+    def _cross_host_groups(self):
+        """[[chip c of every host], ...] — the DCN all-to-all groups."""
+        c = self.chips_per_host
+        return [
+            [h * c + j for h in range(self.num_hosts)] for j in range(c)
+        ]
 
     @property
     def num_tables(self) -> int:
@@ -165,6 +237,18 @@ class ShardedEmbeddingLayout:
         n = self.num_shards
         total = global_batch * n * self.t_max * self.dim * dtype_bytes
         return total * (n - 1) // n
+
+    def dcn_pooled_exchange_bytes(self, global_batch: int, dtype_bytes: int = 4) -> int:
+        """Bytes of the pooled exchange that cross HOSTS (the slow link).
+        Flat exchange: every slot's partial row travels owner->batch-owner,
+        a (N-C)/N fraction of which is cross-host. Hierarchical: one partial
+        row per (host, table) crosses, (H-1)/H of the time."""
+        n = self.num_shards
+        if not self.hierarchical:
+            return self.pooled_exchange_bytes(global_batch, dtype_bytes)
+        h = self.num_hosts
+        total = global_batch * h * self.th_max * self.dim * dtype_bytes
+        return total * (h - 1) // h
 
     def init_params(self, key: jax.Array, initializer, dtype=jnp.float32) -> jax.Array:
         """Build [N, R_pad, D] with each table initialized as one standalone
@@ -279,6 +363,35 @@ def sharded_embedding_lookup(
             cnt = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
             pooled = pooled / cnt.astype(pooled.dtype)
         pooled = pooled.reshape(nb, t_max, layout.dim)
+        if layout.hierarchical:
+            hosts, c = layout.num_hosts, layout.chips_per_host
+            # permute global-batch blocks (new block c*H+h = old block h*C+c)
+            # so the chip-split then host-split of the batch axis lands every
+            # shard with exactly its own block.
+            p = pooled.reshape(hosts, c, b_loc, t_max, layout.dim)
+            p = p.transpose(1, 0, 2, 3, 4).reshape(nb, t_max, layout.dim)
+            # (2a) intra-host exchange over ICI
+            intra = jax.lax.all_to_all(
+                p, axis, split_axis=0, concat_axis=1, tiled=True,
+                axis_index_groups=layout._host_groups(),
+            )  # [B/C, C*t_max, D]
+            # (2b) combine co-hosted slots of the same table BEFORE DCN
+            hid = jax.lax.axis_index(axis) // c
+            sel1 = jnp.take(jnp.asarray(layout.sel_host), hid, axis=0)
+            part = jnp.einsum(
+                "bsd,st->btd", intra.astype(jnp.float32), sel1,
+                preferred_element_type=jnp.float32,
+            )  # [B/C, th_max, D]
+            # (2c) inter-host exchange over DCN — one row per (host, table)
+            inter = jax.lax.all_to_all(
+                part, axis, split_axis=0, concat_axis=1, tiled=True,
+                axis_index_groups=layout._cross_host_groups(),
+            )  # [b_loc, H*th_max, D]
+            out = jnp.einsum(
+                "bsd,st->btd", inter, jnp.asarray(layout.sel_global),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(pooled.dtype)
         # (2) pooled exchange back to batch owners.
         back = jax.lax.all_to_all(
             pooled, axis, split_axis=0, concat_axis=1, tiled=True
@@ -335,17 +448,46 @@ def sharded_embedding_sparse_update(
             by_owner, axis, split_axis=1, concat_axis=0, tiled=True
         )  # [N*B_loc, t_max, H]
 
-        # each slot receives its TABLE's pooled grad (the slot handled a
-        # row-range subset of the lookups; invalid entries drop in scatter)
-        g_by_slot = jnp.take(g_local, slot_tid, axis=1)  # [B_loc, S, D]
-        g_by_slot = jnp.where(
-            is_real[None, :, None], g_by_slot, jnp.zeros((), g_by_slot.dtype)
-        )
-        sent_g = jax.lax.all_to_all(
-            g_by_slot, axis, split_axis=1, concat_axis=0, tiled=True
-        )  # [N*B_loc, t_max, D]
-
         nb = n * b_loc
+        if layout.hierarchical:
+            hosts, c = layout.num_hosts, layout.chips_per_host
+            selg = jnp.asarray(layout.sel_global)  # [H*th_max, T]
+            # per (host, table) grad rows; dead host-slots zero via selg
+            g_ht = jnp.einsum(
+                "btd,st->bsd", g_local.astype(jnp.float32), selg,
+                preferred_element_type=jnp.float32,
+            )  # [B_loc, H*th_max, D]
+            # (1) one copy per table crosses DCN to each owning host
+            inter = jax.lax.all_to_all(
+                g_ht, axis, split_axis=1, concat_axis=0, tiled=True,
+                axis_index_groups=layout._cross_host_groups(),
+            )  # [B/C, th_max, D]
+            # (2) re-expand to this host's slots (ICI-local broadcast)
+            hid = jax.lax.axis_index(axis) // c
+            sel1 = jnp.take(jnp.asarray(layout.sel_host), hid, axis=0)
+            expanded = jnp.einsum(
+                "btd,st->bsd", inter, sel1, preferred_element_type=jnp.float32
+            )  # [B/C, C*t_max, D]
+            intra = jax.lax.all_to_all(
+                expanded, axis, split_axis=1, concat_axis=0, tiled=True,
+                axis_index_groups=layout._host_groups(),
+            )  # [B, t_max, D] in permuted block order
+            sent_g = (
+                intra.reshape(c, hosts, b_loc, t_max, intra.shape[-1])
+                .transpose(1, 0, 2, 3, 4)
+                .reshape(nb, t_max, intra.shape[-1])
+            )
+        else:
+            # each slot receives its TABLE's pooled grad (the slot handled a
+            # row-range subset of the lookups; invalid entries drop in scatter)
+            g_by_slot = jnp.take(g_local, slot_tid, axis=1)  # [B_loc, S, D]
+            g_by_slot = jnp.where(
+                is_real[None, :, None], g_by_slot, jnp.zeros((), g_by_slot.dtype)
+            )
+            sent_g = jax.lax.all_to_all(
+                g_by_slot, axis, split_axis=1, concat_axis=0, tiled=True
+            )  # [N*B_loc, t_max, D]
+
         valid = sent_idx >= 0  # [nb, t_max, H]
         g = sent_g.astype(jnp.float32)
         if aggr is AggrMode.AGGR_MODE_AVG:

@@ -24,6 +24,46 @@ from .embedding_collection import (
 )
 
 
+def hierarchical_subtable_assignment(
+    subs, sub_vocabs, num_shards: int, chips_per_host: int
+):
+    """Host-aware placement for the hierarchical exchange: a table's split
+    sub-tables are co-located on distinct chips of ONE host, so their pooled
+    partials combine over ICI and cross DCN once (embedding_collection.py
+    hierarchical notes). Hosts are chosen by row load (the HBM-balancing
+    criterion of greedy_subtable_assignment), chips within a host likewise."""
+    import numpy as np
+
+    c = chips_per_host
+    hosts = num_shards // c
+    if hosts <= 1 or num_shards % c != 0:
+        return greedy_subtable_assignment(subs, sub_vocabs, num_shards)
+    by_table = {}
+    for i, (t, _, _) in enumerate(subs):
+        by_table.setdefault(t, []).append(i)
+    host_load = [0] * hosts
+    chip_load = [0] * num_shards
+    owner = [0] * len(subs)
+    order = sorted(
+        by_table, key=lambda t: -sum(sub_vocabs[i] for i in by_table[t])
+    )
+    for t in order:
+        members = by_table[t]
+        # chunks of <=C subs each get one host (split > C spans hosts)
+        for lo in range(0, len(members), c):
+            chunk = members[lo : lo + c]
+            h = int(np.argmin(host_load))
+            chips = sorted(
+                range(h * c, (h + 1) * c), key=lambda s: chip_load[s]
+            )
+            for j, i in enumerate(chunk):
+                s = chips[j]
+                owner[i] = s
+                chip_load[s] += sub_vocabs[i]
+                host_load[h] += sub_vocabs[i]
+    return owner
+
+
 def greedy_subtable_assignment(subs, sub_vocabs, num_shards: int):
     """HBM-balancing placement over sub-tables, preferring not to co-locate
     two sub-tables of the same table (that would defeat the split)."""
@@ -103,6 +143,10 @@ class ShardingPlan:
     replicated_tables: Optional[List[int]] = None
     # "round_robin" (reference parity) | "greedy" (HBM balancing)
     assignment_policy: str = "greedy"
+    # chips per host for the hierarchical (ICI-combine-then-DCN) pooled
+    # exchange; None/0 = flat single-stage all-to-all. Splits get co-located
+    # within a host so DCN carries one partial row per (host, table).
+    chips_per_host: Optional[int] = None
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------ exec
@@ -164,29 +208,44 @@ class ShardingPlan:
         if split is not None:
             assert len(split) == len(vocab_sizes)
         subs = expand_subtables(vocab_sizes, split)
+        cph = self.chips_per_host or None
+        if cph and (num_shards % cph != 0 or num_shards == cph or cph <= 1):
+            cph = None
         assignment = self.table_assignment
         if assignment is not None and len(assignment) == len(vocab_sizes) and (
             len(subs) != len(vocab_sizes)
         ):
             # per-table assignment + splits: stripe each table's sub-tables
-            # round-robin starting at its assigned shard
+            # round-robin starting at its assigned shard — within the
+            # assigned shard's host under the hierarchical exchange (keeps
+            # split partials combining over ICI, crossing DCN once)
             counter = {}
             expanded = []
             for (t, _, _) in subs:
                 k = counter.get(t, 0)
                 counter[t] = k + 1
-                expanded.append((assignment[t] + k) % num_shards)
+                a = assignment[t]
+                if cph:
+                    host = a // cph
+                    expanded.append(host * cph + (a % cph + k) % cph)
+                else:
+                    expanded.append((a + k) % num_shards)
             assignment = expanded
         if assignment is None:
             sub_vocabs = [l for (_, _, l) in subs]
             if self.assignment_policy == "round_robin":
                 assignment = round_robin_assignment(len(subs), num_shards)
+            elif cph:
+                assignment = hierarchical_subtable_assignment(
+                    subs, sub_vocabs, num_shards, cph
+                )
             else:
                 assignment = greedy_subtable_assignment(subs, sub_vocabs, num_shards)
             self.table_assignment = assignment
         assert len(assignment) == len(subs)
         return ShardedEmbeddingLayout(
-            list(vocab_sizes), dim, num_shards, assignment, split=list(split) if split else None
+            list(vocab_sizes), dim, num_shards, assignment,
+            split=list(split) if split else None, chips_per_host=cph,
         )
 
     # ------------------------------------------------------------------ file IO
@@ -202,6 +261,7 @@ class ShardingPlan:
             "table_assignment": self.table_assignment,
             "table_split": self.table_split,
             "replicated_tables": self.replicated_tables,
+            "chips_per_host": self.chips_per_host,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -221,6 +281,7 @@ class ShardingPlan:
             table_assignment=doc.get("table_assignment"),
             table_split=doc.get("table_split"),
             replicated_tables=doc.get("replicated_tables"),
+            chips_per_host=doc.get("chips_per_host"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 

@@ -458,3 +458,147 @@ def test_exchange_property_random_configs(mesh, seed):
     got = sharded_embedding_lookup(lay, pool, idx, mesh)
     ref = replicated_embedding_lookup(tables, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# hierarchical (ICI-combine-then-DCN) pooled exchange
+# --------------------------------------------------------------------------
+
+def _hier_layout_pair(cph, vocabs, split, d=8, n=8):
+    """(flat layout, hierarchical layout) over the SAME sub-table owners."""
+    from dlrm_flexflow_tpu.parallel.embedding_collection import expand_subtables
+    from dlrm_flexflow_tpu.parallel.plan import hierarchical_subtable_assignment
+
+    subs = expand_subtables(vocabs, split)
+    owner = hierarchical_subtable_assignment(
+        subs, [l for (_, _, l) in subs], n, cph
+    )
+    flat = ShardedEmbeddingLayout(vocabs, d, n, list(owner), split=list(split))
+    hier = ShardedEmbeddingLayout(
+        vocabs, d, n, list(owner), split=list(split), chips_per_host=cph
+    )
+    assert hier.hierarchical
+    return flat, hier
+
+
+@pytest.mark.parametrize("cph", [2, 4])
+def test_hierarchical_lookup_matches_flat(mesh, cph):
+    """Two-stage exchange must be numerically identical to the flat
+    all-to-all — and carry fewer bytes over the host boundary."""
+    from dlrm_flexflow_tpu.parallel.embedding_collection import (
+        sharded_embedding_sparse_update,
+    )
+
+    n, d = 8, 8
+    vocabs = [50, 1000, 30, 77, 400, 12, 260, 99, 31, 500, 8]
+    split = [1, 4, 1, 2, 2, 1, 1, 1, 1, 4, 1]
+    flat, hier = _hier_layout_pair(cph, vocabs, split, d, n)
+    pool = flat.init_params(jax.random.PRNGKey(0), GlorotUniform())
+    poolf = jax.device_put(pool, NamedSharding(mesh, flat.param_spec()))
+    poolh = jax.device_put(pool, NamedSharding(mesh, hier.param_spec()))
+    rng = np.random.default_rng(0)
+    b, h = 16, 3
+    idx = np.stack(
+        [rng.integers(0, v, size=(b, h)) for v in vocabs], axis=1
+    ).astype(np.int32)
+    idx[0, 0, 1:] = -1
+    idx[3, 5, :] = -1
+    idxj = jax.device_put(
+        jnp.asarray(idx), NamedSharding(mesh, P("data", None, None))
+    )
+    out_f = jax.jit(lambda p, i: sharded_embedding_lookup(flat, p, i, mesh))(poolf, idxj)
+    out_h = jax.jit(lambda p, i: sharded_embedding_lookup(hier, p, i, mesh))(poolh, idxj)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_f), rtol=1e-5, atol=1e-6)
+    assert hier.dcn_pooled_exchange_bytes(4096) < flat.dcn_pooled_exchange_bytes(4096)
+
+    # fused sparse-update parity (backward exchange mirror)
+    g = jax.device_put(
+        jnp.asarray(rng.normal(size=(b, len(vocabs), d)), jnp.float32),
+        NamedSharding(mesh, P("data", None, None)),
+    )
+    opt = SGDOptimizer(lr=0.1)
+    nf, _ = jax.jit(
+        lambda p, i, gg: sharded_embedding_sparse_update(flat, p, None, i, gg, mesh, opt)
+    )(poolf, idxj, g)
+    nh, _ = jax.jit(
+        lambda p, i, gg: sharded_embedding_sparse_update(hier, p, None, i, gg, mesh, opt)
+    )(poolh, idxj, g)
+    np.testing.assert_allclose(np.asarray(nh), np.asarray(nf), rtol=1e-5, atol=1e-6)
+
+    # autodiff through the two-stage forward (dense-grad path)
+    w = jnp.asarray(rng.normal(size=(b, len(vocabs), d)), jnp.float32)
+    gh = jax.jit(
+        jax.grad(lambda p: jnp.sum(sharded_embedding_lookup(hier, p, idxj, mesh) * w))
+    )(poolh)
+    gf = jax.jit(
+        jax.grad(lambda p: jnp.sum(sharded_embedding_lookup(flat, p, idxj, mesh) * w))
+    )(poolf)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gf), rtol=1e-4, atol=1e-5)
+
+
+def test_hierarchical_assignment_colocates_splits():
+    """A split table's sub-tables land on distinct chips of ONE host (that is
+    what lets the combine ride ICI); split > chips_per_host spans hosts in
+    full-host chunks."""
+    from dlrm_flexflow_tpu.parallel.embedding_collection import expand_subtables
+    from dlrm_flexflow_tpu.parallel.plan import hierarchical_subtable_assignment
+
+    vocabs = [4000, 100, 2000, 300, 8000]
+    split = [4, 1, 2, 1, 8]  # table 4 spans 2 hosts (8 > cph=4)
+    subs = expand_subtables(vocabs, split)
+    owner = hierarchical_subtable_assignment(
+        subs, [l for (_, _, l) in subs], 8, 4
+    )
+    by_table = {}
+    for i, (t, _, _) in enumerate(subs):
+        by_table.setdefault(t, []).append(owner[i])
+    for t, shards in by_table.items():
+        assert len(set(shards)) == len(shards), f"table {t} reuses a chip"
+        hosts = {s // 4 for s in shards}
+        expected_hosts = -(-len(shards) // 4)
+        assert len(hosts) == expected_hosts, f"table {t} spread over {hosts}"
+
+
+def test_hierarchical_dlrm_trains_and_plan_roundtrips(mesh, tmp_path):
+    """Full DLRM train step through the hierarchical exchange + strategy-file
+    round trip of the chips_per_host field."""
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[400, 64, 900],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[32, 16, 1],
+        batch_size=16,
+    )
+    plan = dlrm_hybrid_plan()
+    plan.table_split = [2, 1, 4]
+    plan.chips_per_host = 4
+    ffc = FFConfig(batch_size=16, compute_dtype="float32", seed=3,
+                   onehot_embedding_threshold=0)
+    m = make_dlrm_model(cfg, ffc)
+    m.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+              [MetricsType.METRICS_ACCURACY], mesh=mesh, plan=plan)
+    assert m._embedding_layout is not None and m._embedding_layout.hierarchical
+    feeds, labels = random_batches(cfg, 64, seed=4)
+    hist = m.fit(feeds, labels, epochs=2, verbose=False)
+    assert np.isfinite(hist.get("accuracy", 0.5))
+    losses = [float(m.train_batch({k: v[:16] for k, v in feeds.items()}, labels[:16]))
+              for _ in range(3)]
+    assert losses[-1] < losses[0] + 1e-3
+
+    p = str(tmp_path / "strategy.json")
+    plan.save(p)
+    loaded = ShardingPlan.load(p)
+    assert loaded.chips_per_host == 4
+    assert loaded.table_split == [2, 1, 4]
+
+
+def test_hierarchical_degenerate_falls_back_flat():
+    """chips_per_host covering the whole mesh (single host) or not dividing
+    it must quietly mean the flat exchange."""
+    vocabs = [100, 200]
+    for cph in [8, 3, 1]:
+        lay = ShardedEmbeddingLayout(
+            vocabs, 4, 8, [0, 1], chips_per_host=cph
+        )
+        assert not lay.hierarchical
