@@ -38,6 +38,7 @@ class FFSimMachine(ctypes.Structure):
         ("segment_bytes", ctypes.c_double),
         ("max_segments", ctypes.c_double),
         ("overlap_backward_update", ctypes.c_double),
+        ("hierarchical_a2a", ctypes.c_double),
     ]
 
 
@@ -50,6 +51,9 @@ class FFSimOp(ctypes.Structure):
         ("table_rows", ctypes.c_double),
         ("row_bytes", ctypes.c_double),
         ("lookups", ctypes.c_double),
+        ("pooled_rows", ctypes.c_double),
+        ("sub_count", ctypes.c_double),
+        ("wire_row_bytes", ctypes.c_double),
     ]
 
 
@@ -126,6 +130,9 @@ def _ops_array(ops: Sequence[dict]):
         arr[i].table_rows = op.get("table_rows", 0.0)
         arr[i].row_bytes = op.get("row_bytes", 0.0)
         arr[i].lookups = op.get("lookups", 0.0)
+        arr[i].pooled_rows = op.get("pooled_rows", 0.0)
+        arr[i].sub_count = op.get("sub_count", 1.0)
+        arr[i].wire_row_bytes = op.get("wire_row_bytes", 0.0)
     return arr
 
 

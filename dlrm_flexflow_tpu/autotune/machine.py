@@ -38,6 +38,10 @@ class MachineSpec:
     max_segments: float = 1.0
     # reference: --search-overlap-backward-update (0..1 overlap fraction)
     overlap_backward_update: float = 0.0
+    # pooled exchange routing: 1 = hierarchical (ICI combine then per-
+    # (host,table) rows over DCN, the runtime's chips_per_host path);
+    # 0 = flat all-to-all (every slot's dense partial crosses DCN)
+    hierarchical_a2a: float = 1.0
 
     def to_native(self) -> FFSimMachine:
         m = FFSimMachine()

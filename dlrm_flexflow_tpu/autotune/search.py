@@ -34,6 +34,7 @@ def iter_embedding_vocabs(graph: Graph) -> List[int]:
 def graph_to_cost_spec(
     graph: Graph, global_batch: int, table_split: Optional[List[int]] = None,
     min_vocab: int = 0, replicate_mask: Optional[List[bool]] = None,
+    exchange_dtype_bytes: float = 4.0,
 ) -> Tuple[List[dict], List[str]]:
     """Lower graph ops to FFSimOp dicts. Returns (ops, embed_op_names) where
     embed_op_names lists the FFSIM_EMBED entries in order — one per
@@ -76,6 +77,13 @@ def graph_to_cost_spec(
                 "table_rows": float(length),
                 "row_bytes": 4.0 * dim,
                 "lookups": float(lookups) / len(subs),
+                # pooled exchange slots are dense over the batch: each
+                # sub-table slot ships global_batch pooled rows on the wire
+                "pooled_rows": float(global_batch),
+                "sub_count": float(len(subs)),
+                # the exchange rides the compute dtype (bf16 halves it);
+                # gather/scatter row_bytes stay f32 (params are f32)
+                "wire_row_bytes": exchange_dtype_bytes * dim,
             })
             embed_names.append(f"{name}/{k}" if len(subs) > 1 else name)
         t_idx += 1
@@ -110,11 +118,103 @@ def graph_to_cost_spec(
     return ops, embed_names
 
 
+def _table_chunks(names, cph: int):
+    """[[sub indices]] — one chunk per (table, host-sized group of subs)."""
+    import collections
+
+    groups = collections.defaultdict(list)
+    for i, nm in enumerate(names):
+        groups[nm.rsplit("/", 1)[0] if "/" in nm else nm].append(i)
+    chunks = []
+    for idxs in groups.values():
+        for lo in range(0, len(idxs), cph):
+            chunks.append(idxs[lo : lo + cph])
+    return chunks
+
+
+def _colocate_splits_by_host(owner, embed_ops, names, cph: int, n: int):
+    """Canonicalize a searched owner vector for the hierarchical exchange:
+    a split table's sub-tables move onto distinct chips of ONE host (the
+    plurality host of where the MCMC put them; full-host chunks when the
+    split exceeds chips_per_host), choosing the least-lookup-loaded chips.
+    The cost model's DCN term assumes this grouping (ffsim.cc table_payload);
+    the flat model is placement-indifferent, so this is cost-neutral there."""
+    import collections
+
+    load = [0.0] * n
+    for i, o in enumerate(embed_ops):
+        load[owner[i] % n] += o["lookups"] * o["row_bytes"]
+    owner = [o % n for o in owner]
+    for chunk in _table_chunks(names, cph):
+        if len(chunk) <= 1:
+            continue
+        host_votes = collections.Counter(owner[i] // cph for i in chunk)
+        h = host_votes.most_common(1)[0][0]
+        for i in chunk:
+            load[owner[i]] -= embed_ops[i]["lookups"] * embed_ops[i]["row_bytes"]
+        chips = sorted(range(h * cph, (h + 1) * cph), key=lambda s: load[s])
+        for j, i in enumerate(chunk):
+            s = chips[j % cph]
+            owner[i] = s
+            load[s] += embed_ops[i]["lookups"] * embed_ops[i]["row_bytes"]
+    return owner
+
+
+def _lpt_colocated_assignment(embed_ops, names, cph: int, n: int):
+    """From-scratch host-aware placement: LPT over hosts by lookup load,
+    each table chunk on distinct least-loaded chips of its host. Ignores the
+    MCMC owner entirely — often better when splits are mixed-degree, kept as
+    a second candidate and the cheaper simulated layout wins."""
+    chunks = _table_chunks(names, cph)
+    chunks.sort(
+        key=lambda c: -sum(
+            embed_ops[i]["lookups"] * embed_ops[i]["row_bytes"] for i in c
+        )
+    )
+    hosts = n // cph
+    load = [0.0] * n
+    owner = [0] * len(embed_ops)
+    for chunk in chunks:
+        h = min(range(hosts), key=lambda h: sum(load[h * cph : (h + 1) * cph]))
+        chips = sorted(range(h * cph, (h + 1) * cph), key=lambda s: load[s])
+        for j, i in enumerate(chunk):
+            s = chips[j % cph]
+            owner[i] = s
+            load[s] += embed_ops[i]["lookups"] * embed_ops[i]["row_bytes"]
+    return owner
+
+
+def _waterfill_splits(loads, target_subs: int, cap: int, vocabs) -> List[int]:
+    """LPT water-filling: repeatedly split the table with the highest
+    per-sub load until ~target_subs sub-tables exist. Finds MIXED degrees
+    (e.g. 26 tables onto 64 chips) that power-of-2 doubling cannot — the
+    per-shard scatter bound only reaches its floor when every chip carries
+    an equal slice of the total lookup work."""
+    import heapq
+
+    split = [1] * len(loads)
+    heap = [(-loads[t], t) for t in range(len(loads))]
+    heapq.heapify(heap)
+    total = len(loads)
+    stuck = 0
+    while total < target_subs and heap and stuck < len(loads):
+        negl, t = heapq.heappop(heap)
+        if split[t] >= min(cap, max(int(vocabs[t]), 1)):
+            stuck += 1
+            continue  # table can't split further; leave it out of the heap
+        stuck = 0
+        split[t] += 1
+        total += 1
+        heapq.heappush(heap, (-loads[t] / split[t], t))
+    return split
+
+
 def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
                  opt_state_factor, initial_owner=None, min_vocab=0,
-                 replicate_mask=None):
+                 replicate_mask=None, exchange_dtype_bytes=4.0):
     ops, embed_names = graph_to_cost_spec(
-        graph, global_batch, split, min_vocab, replicate_mask
+        graph, global_batch, split, min_vocab, replicate_mask,
+        exchange_dtype_bytes,
     )
     n_sub = len(embed_names)
     m = machine.to_native()
@@ -131,6 +231,30 @@ def _search_once(graph, machine, global_batch, split, budget, alpha, seed,
         m, ops, start, budget=budget, alpha=alpha, seed=seed,
         opt_state_factor=opt_state_factor,
     )
+    # hierarchical exchange: split sub-tables must be co-located per host
+    # (the runtime layout and the model's DCN term both assume it). Score
+    # every candidate POST-co-location so the outer split search compares
+    # what will actually run; two grouping heuristics, cheaper wins.
+    if (
+        split is not None
+        and any(s > 1 for s in split)
+        and machine.hierarchical_a2a > 0
+        and 1 < machine.chips_per_host < machine.num_chips
+    ):
+        embed_f = [o for o in ops if o["kind"] == bindings.KIND_EMBED]
+        cands = [
+            _colocate_splits_by_host(
+                best_owner, embed_f, embed_names,
+                machine.chips_per_host, machine.num_chips,
+            ),
+            _lpt_colocated_assignment(
+                embed_f, embed_names, machine.chips_per_host, machine.num_chips
+            ),
+        ]
+        best_owner, best_cost = min(
+            ((o, bindings.simulate(m, ops, o, opt_state_factor)) for o in cands),
+            key=lambda oc: oc[1],
+        )
     report = {
         "tables": embed_names,
         "round_robin_us": rr_cost,
@@ -153,6 +277,7 @@ def autotune_plan(
     search_splits: bool = False,
     max_split: Optional[int] = None,
     min_vocab: int = 0,
+    exchange_dtype_bytes: float = 4.0,
 ):
     """Run the MCMC placement search. Returns (owner, predicted_us, report).
 
@@ -172,7 +297,7 @@ def autotune_plan(
     owner, best_cost, report, ops = _search_once(
         graph, machine, global_batch, None, budget, alpha, seed,
         opt_state_factor, initial_owner=initial_owner,
-        replicate_mask=default_mask,
+        replicate_mask=default_mask, exchange_dtype_bytes=exchange_dtype_bytes,
     )
     chosen_mask = default_mask
     if machine.num_chips > 1 and any(default_mask):
@@ -180,6 +305,7 @@ def autotune_plan(
         o2, c2, r2, ops2 = _search_once(
             graph, machine, global_batch, None, budget, alpha, seed + 1,
             opt_state_factor, replicate_mask=all_placed,
+            exchange_dtype_bytes=exchange_dtype_bytes,
         )
         if c2 < best_cost * 0.99:
             owner, best_cost, report, ops = o2, c2, r2, ops2
@@ -232,6 +358,7 @@ def autotune_plan(
                 graph, machine, global_batch, cand,
                 max(budget // 4, 500), alpha, seed + 17 * _round + k,
                 opt_state_factor, replicate_mask=chosen_mask,
+                exchange_dtype_bytes=exchange_dtype_bytes,
             )
             if c2 < best_cost * 0.99:
                 split, owner, best_cost, report = cand, o2, c2, r2
@@ -246,6 +373,28 @@ def autotune_plan(
         if not moved:
             break
     split, owner, best_cost, report = g_split, g_owner, g_cost, g_report
+    # water-filling proposals: mixed split degrees targeting ~k subs per
+    # chip (the doubling loop above only reaches uniform powers of two; the
+    # scatter bound needs every chip to carry an equal lookup slice while
+    # the slot-exchange cost says don't over-split)
+    loads = [embed_load[t][0] for t in range(n_tables)]
+    n_chips = machine.num_chips
+    tried = {tuple(split)}
+    for target in (n_chips // 2, n_chips, 2 * n_chips):
+        if target <= n_tables:
+            continue
+        cand = _waterfill_splits(loads, target, cap, vocab_of)
+        if tuple(cand) in tried:
+            continue
+        tried.add(tuple(cand))
+        o2, c2, r2, _ = _search_once(
+            graph, machine, global_batch, cand,
+            max(budget // 2, 1000), alpha, seed + 101 + target,
+            opt_state_factor, replicate_mask=chosen_mask,
+            exchange_dtype_bytes=exchange_dtype_bytes,
+        )
+        if c2 < best_cost:
+            split, owner, best_cost, report = cand, o2, c2, r2
     if report:
         report["table_split"] = split
         report["replicated_tables"] = [i for i, r in enumerate(chosen_mask) if r]

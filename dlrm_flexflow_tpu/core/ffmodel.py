@@ -812,6 +812,11 @@ class FFModel:
             # one-hot tables stay replicated (parallel/passes.py min_vocab),
             # so they are not placement variables
             min_vocab=self.config.onehot_embedding_threshold,
+            # the pooled exchange rides the compute dtype
+            exchange_dtype_bytes=(
+                2.0 if self.config.compute_dtype in ("bfloat16", "float16")
+                else 4.0
+            ),
         )
         if owner:
             plan.table_assignment = owner
@@ -820,6 +825,14 @@ class FFModel:
                 plan.table_split = split
             if (report or {}).get("replicated_tables") is not None:
                 plan.replicated_tables = report["replicated_tables"]
+            # the cost model scored the hierarchical exchange; make the
+            # runtime execute it (plan.make_layout groups shards by host)
+            if (
+                plan.chips_per_host is None
+                and machine.hierarchical_a2a > 0
+                and 1 < machine.chips_per_host < n
+            ):
+                plan.chips_per_host = int(machine.chips_per_host)
         self._search_report = report
         if report:
             print(

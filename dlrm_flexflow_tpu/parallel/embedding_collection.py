@@ -376,19 +376,22 @@ def sharded_embedding_lookup(
                 axis_index_groups=layout._host_groups(),
             )  # [B/C, C*t_max, D]
             # (2b) combine co-hosted slots of the same table BEFORE DCN
+            # (f32 accumulation, then back to the wire dtype — the later
+            # stages are pure 0/1 gathers, no further summation)
             hid = jax.lax.axis_index(axis) // c
             sel1 = jnp.take(jnp.asarray(layout.sel_host), hid, axis=0)
             part = jnp.einsum(
                 "bsd,st->btd", intra.astype(jnp.float32), sel1,
                 preferred_element_type=jnp.float32,
-            )  # [B/C, th_max, D]
+            ).astype(pooled.dtype)  # [B/C, th_max, D]
             # (2c) inter-host exchange over DCN — one row per (host, table)
             inter = jax.lax.all_to_all(
                 part, axis, split_axis=0, concat_axis=1, tiled=True,
                 axis_index_groups=layout._cross_host_groups(),
             )  # [b_loc, H*th_max, D]
             out = jnp.einsum(
-                "bsd,st->btd", inter, jnp.asarray(layout.sel_global),
+                "bsd,st->btd", inter.astype(jnp.float32),
+                jnp.asarray(layout.sel_global),
                 preferred_element_type=jnp.float32,
             )
             return out.astype(pooled.dtype)
@@ -452,11 +455,13 @@ def sharded_embedding_sparse_update(
         if layout.hierarchical:
             hosts, c = layout.num_hosts, layout.chips_per_host
             selg = jnp.asarray(layout.sel_global)  # [H*th_max, T]
-            # per (host, table) grad rows; dead host-slots zero via selg
+            # per (host, table) grad rows; dead host-slots zero via selg.
+            # Both einsums are 0/1 gathers (no accumulation), so the wire
+            # stays in the incoming grad dtype like the flat path.
             g_ht = jnp.einsum(
                 "btd,st->bsd", g_local.astype(jnp.float32), selg,
                 preferred_element_type=jnp.float32,
-            )  # [B_loc, H*th_max, D]
+            ).astype(g_local.dtype)  # [B_loc, H*th_max, D]
             # (1) one copy per table crosses DCN to each owning host
             inter = jax.lax.all_to_all(
                 g_ht, axis, split_axis=1, concat_axis=0, tiled=True,
@@ -466,8 +471,9 @@ def sharded_embedding_sparse_update(
             hid = jax.lax.axis_index(axis) // c
             sel1 = jnp.take(jnp.asarray(layout.sel_host), hid, axis=0)
             expanded = jnp.einsum(
-                "btd,st->bsd", inter, sel1, preferred_element_type=jnp.float32
-            )  # [B/C, C*t_max, D]
+                "btd,st->bsd", inter.astype(jnp.float32), sel1,
+                preferred_element_type=jnp.float32,
+            ).astype(g_local.dtype)  # [B/C, C*t_max, D]
             intra = jax.lax.all_to_all(
                 expanded, axis, split_axis=1, concat_axis=0, tiled=True,
                 axis_index_groups=layout._host_groups(),

@@ -27,6 +27,23 @@ struct StepCosts {
   }
 };
 
+// Generic collective stage: wire bytes over one link class with `hops`
+// ring steps. Segmentation (reference: simulator.cc:218-288): chunks
+// pipeline across ring hops, so hop latency is paid once per ring pass
+// plus once per extra segment (pipelined fill), not per (hop x segment).
+double link_time_us(const FFSimMachine& m, double wire_bytes,
+                    double link_gbps, double lat, int hops) {
+  if (hops <= 0 || wire_bytes <= 0) return 0.0;
+  double n_seg = 1.0;
+  if (m.segment_bytes > 0) {
+    n_seg = std::ceil(wire_bytes / m.segment_bytes);
+    if (m.max_segments > 0) n_seg = std::min(n_seg, m.max_segments);
+    if (n_seg < 1) n_seg = 1;
+  }
+  return wire_bytes / (link_gbps * 1e3) /* bytes/us at GB/s */ +
+         lat * (hops + (n_seg - 1));
+}
+
 // Ring collective time over the data axis. Intra-host rings ride ICI;
 // when the mesh spans hosts the slowest stage is the DCN crossing.
 double ring_time_us(const FFSimMachine& m, double bytes_per_chip,
@@ -37,18 +54,7 @@ double ring_time_us(const FFSimMachine& m, double bytes_per_chip,
   const double link_gbps = multi_host ? m.dcn_gbps : m.ici_gbps;
   const double lat = multi_host ? m.dcn_latency_us : m.ici_latency_us;
   // steps_factor: allreduce=2(n-1)/n, allgather/all2all=(n-1)/n
-  const double wire_bytes = bytes_per_chip * steps_factor;
-  // segmentation (reference: simulator.cc:218-288): chunks pipeline across
-  // ring hops, so hop latency is paid once per ring pass plus once per
-  // extra segment (pipelined fill), not per (hop x segment)
-  double n_seg = 1.0;
-  if (m.segment_bytes > 0) {
-    n_seg = std::ceil(wire_bytes / m.segment_bytes);
-    if (m.max_segments > 0) n_seg = std::min(n_seg, m.max_segments);
-    if (n_seg < 1) n_seg = 1;
-  }
-  return wire_bytes / (link_gbps * 1e3) /* bytes/us at GB/s */ +
-         lat * ((n - 1) + (n_seg - 1));
+  return link_time_us(m, bytes_per_chip * steps_factor, link_gbps, lat, n - 1);
 }
 
 StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
@@ -64,7 +70,12 @@ StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
   std::vector<double> chip_lookup_us(n, 0.0);
   std::vector<double> chip_rows(n, 0.0);
   double dense_param_bytes = 0;
-  double all2all_payload = 0;  // pooled embedding bytes for the global batch
+  double slot_payload = 0;   // dense per-slot pooled bytes (flat wire volume:
+                             // each exchange slot carries [global_batch] rows)
+  double table_payload = 0;  // combined per-(host,table) bytes (what crosses
+                             // DCN under the hierarchical exchange)
+  const double cph_d = m.chips_per_host > 0 ? (double)m.chips_per_host
+                                            : (double)n;
   int t = 0;
   for (int i = 0; i < num_ops; i++) {
     const FFSimOp& op = ops[i];
@@ -77,9 +88,16 @@ StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
       chip_lookup_us[dev] += bytes / gather_bpu;          // fwd gather
       chip_lookup_us[dev] += bytes / scatter_bpu;         // bwd scatter
       chip_rows[dev] += op.table_rows * op.row_bytes;
-      // pooled output crossing the interconnect: one pooled row (row_bytes)
-      // per global-batch sample; `lookups` = batch * bag, DLRM bag=1
-      all2all_payload += op.row_bytes * op.lookups;
+      // pooled exchange: every slot ships one pooled row per global-batch
+      // sample (zeros ride too — the exchange tensor is dense), so the flat
+      // wire volume grows with the split degree; the hierarchical DCN
+      // volume only grows with the hosts a table spans
+      const double prows = op.pooled_rows > 0 ? op.pooled_rows : op.lookups;
+      const double s = op.sub_count >= 1.0 ? op.sub_count : 1.0;
+      const double wrb = op.wire_row_bytes > 0 ? op.wire_row_bytes : op.row_bytes;
+      slot_payload += wrb * prows;
+      const double hosts_spanned = std::ceil(s / cph_d);
+      table_payload += wrb * prows * (hosts_spanned / s);
     } else {
       // roofline: compute-bound on MXU or bandwidth-bound on HBM,
       // sharded DP over n chips; bwd ~ 2x fwd flops (two matmuls)
@@ -92,8 +110,22 @@ StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
       *std::max_element(chip_lookup_us.begin(), chip_lookup_us.end());
 
   // pooled all-to-all fwd + grad all-to-all bwd; each chip keeps 1/n local
-  const double per_chip_payload = all2all_payload / n;
-  c.all2all_us = 2.0 * ring_time_us(m, per_chip_payload, double(n - 1) / n);
+  const int cph = m.chips_per_host > 0 ? std::min((int)m.chips_per_host, n) : n;
+  const bool multi_host = n > cph;
+  if (n > 1 && multi_host && m.hierarchical_a2a > 0) {
+    // hierarchical: slot partials exchange + combine inside the host over
+    // ICI, then one row per (host, table) crosses DCN
+    const int hosts = n / cph;
+    const double t_ici = link_time_us(
+        m, slot_payload / n * double(cph - 1) / cph, m.ici_gbps,
+        m.ici_latency_us, cph - 1);
+    const double t_dcn = link_time_us(
+        m, table_payload / n * double(hosts - 1) / hosts, m.dcn_gbps,
+        m.dcn_latency_us, hosts - 1);
+    c.all2all_us = 2.0 * (t_ici + t_dcn);
+  } else {
+    c.all2all_us = 2.0 * ring_time_us(m, slot_payload / n, double(n - 1) / n);
+  }
 
   // dense grads allreduce (XLA psum), ring; optionally overlapped with
   // the backward sweep (reference: --search-overlap-backward-update -- the

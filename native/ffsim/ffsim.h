@@ -41,6 +41,11 @@ struct FFSimMachine {
   // overlap gradient allreduce with backward compute (reference:
   // --search-overlap-backward-update): 1.0 = fully overlapped
   double overlap_backward_update;
+  // >0: pooled exchange is hierarchical (intra-host ICI combine of split
+  // partials, then per-(host,table) rows over DCN —
+  // parallel/embedding_collection.py); 0: flat all-to-all where every
+  // slot's dense [batch] partial crosses the slow link
+  double hierarchical_a2a;
 };
 
 // ---- op kinds
@@ -61,6 +66,11 @@ struct FFSimOp {
   double table_rows;   // vocab size
   double row_bytes;    // dim * dtype_bytes
   double lookups;      // global batch * bag (rows gathered per step)
+  double pooled_rows;  // pooled exchange rows per slot = global batch
+                       // (0 => legacy fallback to `lookups`)
+  double sub_count;    // row-split degree of the owning table (slots/table)
+  double wire_row_bytes;  // pooled-row bytes ON THE WIRE (compute dtype,
+                          // e.g. bf16 = dim*2; 0 => row_bytes, i.e. f32)
 };
 
 // ---- simulate one training step under a table placement --------------------

@@ -49,7 +49,8 @@ def main():
         model = build(args.config, args.measured_batch)
         m1 = preset("tpu_v5e", num_chips=1)
         _, pred_us, _ = autotune_plan(model.graph, m1, args.measured_batch,
-                                      budget=1, min_vocab=8192)
+                                      budget=1, min_vocab=8192,
+                                      exchange_dtype_bytes=2.0)
         pred_exps = args.measured_batch / (pred_us / 1e6)
         anchor_ratio = args.measured_exps / pred_exps
         print(f"# anchor: measured {args.measured_exps:,.0f} ex/s, "
@@ -65,6 +66,7 @@ def main():
             model.graph, m, gb, budget=args.budget if chips > 1 else 1,
             search_splits=chips > 1,
             min_vocab=8192,  # match the runtime one-hot threshold default
+            exchange_dtype_bytes=2.0,  # bench runs bf16 compute
         )
         exps = gb / (best_us / 1e6) * anchor_ratio
         per_chip = exps / chips

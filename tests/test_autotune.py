@@ -254,3 +254,81 @@ def test_segmentation_and_overlap_flags_shape_costs():
     # overlap -> cheaper (hides part of the big allreduce)
     ov = dataclasses.replace(spec, overlap_backward_update=1.0)
     assert bindings.simulate(ov.to_native(), ops, [0], 0.0) < base
+
+
+def test_hierarchical_a2a_cheaper_than_flat_across_hosts():
+    """With split tables spanning a multi-host mesh, the hierarchical
+    exchange (ICI combine then per-(host,table) DCN rows) must beat the flat
+    all-to-all in the model; on one host both degenerate to the same ICI
+    exchange."""
+    import dataclasses
+
+    def ops_split(s):
+        # 4 tables split s ways each: sub_count drives the DCN term
+        out = []
+        for _ in range(4):
+            for _ in range(s):
+                out.append({
+                    "kind": bindings.KIND_EMBED,
+                    "table_rows": 1e6 / s,
+                    "row_bytes": 64.0,
+                    "lookups": 65536.0 / s,
+                    "pooled_rows": 65536.0,
+                    "sub_count": float(s),
+                })
+        return out
+
+    multi = preset("tpu_v5e", num_chips=32, chips_per_host=8)
+    flat = dataclasses.replace(multi, hierarchical_a2a=0.0)
+    ops = ops_split(8)
+    owner = list(range(len(ops)))
+    b_h = bindings.breakdown(multi.to_native(), ops, [o % 32 for o in owner])
+    b_f = bindings.breakdown(flat.to_native(), ops, [o % 32 for o in owner])
+    assert b_h["all2all_us"] < b_f["all2all_us"] * 0.5  # ~8x less DCN payload
+    # unsplit tables: hierarchical ~ flat (same table_payload == slot_payload,
+    # ICI stage added but DCN dominates)
+    ops1 = ops_split(1)
+    o1 = [i % 32 for i in range(len(ops1))]
+    b1_h = bindings.breakdown(multi.to_native(), ops1, o1)
+    b1_f = bindings.breakdown(flat.to_native(), ops1, o1)
+    assert b1_h["all2all_us"] <= b1_f["all2all_us"] * 1.2
+    # single host: chips_per_host == num_chips -> identical ICI exchange
+    single = preset("tpu_v5e", num_chips=8, chips_per_host=8)
+    sflat = dataclasses.replace(single, hierarchical_a2a=0.0)
+    o8 = [i % 8 for i in range(len(ops))]
+    assert bindings.simulate(single.to_native(), ops, o8) == pytest.approx(
+        bindings.simulate(sflat.to_native(), ops, o8)
+    )
+
+
+def test_autotune_colocates_splits_per_host():
+    """End-to-end: a multi-host search with splits returns an owner vector
+    whose split sub-tables sit on distinct chips of one host, and the
+    compiled plan adopts chips_per_host."""
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[1_000_000] * 4 + [2_000] * 4,
+        embedding_bag_size=1,
+        mlp_bot=[13, 64, 16],
+        mlp_top=[144, 64, 1],
+        batch_size=1024,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=1024))
+    machine = preset("tpu_v5e", num_chips=16, chips_per_host=4)
+    owner, cost, report = autotune_plan(
+        model.graph, machine, 16 * 8192, budget=2000, seed=0,
+        search_splits=True, min_vocab=8192,
+    )
+    split = report["table_split"]
+    assert any(s > 1 for s in split)
+    names = report["tables"]
+    by_table = {}
+    for i, nm in enumerate(names):
+        by_table.setdefault(nm.rsplit("/", 1)[0], []).append(owner[i])
+    for base, shards in by_table.items():
+        if len(shards) <= 1:
+            continue
+        for lo in range(0, len(shards), 4):
+            chunk = shards[lo:lo + 4]
+            assert len({s // 4 for s in chunk}) == 1, (base, shards)
+            assert len(set(chunk)) == len(chunk), (base, shards)
