@@ -519,7 +519,15 @@ class FFModel:
             # hierarchical pooled exchange (ICI combine before DCN): default
             # the host grouping from the config / the actual process layout
             if plan.chips_per_host is None and self.config.chips_per_host:
-                plan.chips_per_host = self.config.chips_per_host
+                cph = self.config.chips_per_host
+                # With a 2D data-x-model mesh, each DATA-axis index spans
+                # model-axis devices, so physical chips/host must be divided
+                # by the model-axis size to get chips-per-host ALONG the data
+                # axis (else ICI groups silently straddle hosts and the
+                # hierarchical exchange's DCN savings invert).
+                if "model" in mesh.axis_names:
+                    cph = max(1, cph // mesh.shape["model"])
+                plan.chips_per_host = cph
             # strategy search (reference: STRATEGY_SEARCH_TASK when
             # --budget > 0, model.cc:1578-1584 + simulator.cu:71)
             if self.config.search_budget > 0 and plan.table_assignment is None:

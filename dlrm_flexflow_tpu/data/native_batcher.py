@@ -67,7 +67,9 @@ def gather_batch(
         outs = [np.empty((n,) + a.shape[1:], a.dtype) for a in arrays]
     if lib is None:
         for a, o in zip(arrays, outs):
-            np.take(a, idx64, axis=0, out=o)
+            # match the native library's documented clamping of bad indices
+            # (np.take would raise on idx >= rows and wrap negatives)
+            np.take(a, np.clip(idx64, 0, a.shape[0] - 1), axis=0, out=o)
         return outs
     if num_threads <= 0:
         num_threads = min(os.cpu_count() or 1, 16)

@@ -4,9 +4,10 @@ TPU-native analog of the reference DLRM driver (reference:
 examples/cpp/DLRM/dlrm.cc:49-195): bottom MLP over dense features →
 per-feature EmbeddingBag (sum pooling) → feature interaction ("cat" as in the
 reference; "dot" additionally implemented, it was TODO at dlrm.cc:54) →
-top MLP → sigmoid score. The builder produces an FFModel graph; for the
-fully-fused sharded training path see models/dlrm_fused.py and
-parallel/embedding_collection.py.
+top MLP → sigmoid score. The builder produces an FFModel graph; the
+fully-fused sharded training path lives in parallel/embedding_collection.py
+(the compile pass fuse_embedding_tables in parallel/passes.py rewrites the
+per-table Embedding ops into one sharded collection).
 """
 from __future__ import annotations
 

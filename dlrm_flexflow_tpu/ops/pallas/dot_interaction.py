@@ -64,7 +64,12 @@ def _interaction_fwd(x, self_interaction=False, block_b=256, interpret=False):
     b, f, d = x.shape
     _, _, n_pairs = _pair_layout(f, self_interaction)
     bt = min(block_b, b)
-    assert b % bt == 0, f"batch {b} must divide block {bt}"
+    if b % bt != 0:
+        # pad the batch to a block multiple and slice the result (same
+        # convention as the sibling embedding_bag/onehot kernels)
+        b_pad = (b + bt - 1) // bt * bt
+        x_pad = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+        return _interaction_fwd(x_pad, self_interaction, block_b, interpret)[:b]
     kernel = functools.partial(
         _interaction_kernel, f=f, d=d, n_pairs=n_pairs,
         self_interaction=self_interaction,

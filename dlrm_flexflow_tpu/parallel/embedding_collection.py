@@ -159,6 +159,9 @@ class ShardedEmbeddingLayout:
                 off += length
             rows.append(off)
         self.r_pad = _round_up(max(max(rows), 1), 8)
+        # remember the physical host grouping even when the hierarchical
+        # exchange is degenerate (used by DCN-byte reporting for flat mode)
+        self._phys_chips_per_host = self.chips_per_host
         if self.chips_per_host is not None and (
             self.chips_per_host <= 1
             or n % self.chips_per_host != 0
@@ -245,7 +248,14 @@ class ShardedEmbeddingLayout:
         row per (host, table) crosses, (H-1)/H of the time."""
         n = self.num_shards
         if not self.hierarchical:
-            return self.pooled_exchange_bytes(global_batch, dtype_bytes)
+            # flat exchange: of the (N-1)/N rows leaving each shard, only
+            # those bound for another host cross DCN — an (N-C)/N fraction
+            # of the total (C = physical chips per host; 1 when unknown).
+            c = self._phys_chips_per_host or 1
+            if n % c != 0:
+                c = 1
+            total = global_batch * n * self.t_max * self.dim * dtype_bytes
+            return total * (n - c) // n
         h = self.num_hosts
         total = global_batch * h * self.th_max * self.dim * dtype_bytes
         return total * (h - 1) // h

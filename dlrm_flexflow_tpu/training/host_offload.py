@@ -206,12 +206,25 @@ class HostOffloadTrainer:
         )
         m._params, m._opt_state, m._metrics_total = p, o, t
         m._step_count += 1
-        # host backward: apply SGD row updates
+        # host backward: apply SGD row updates at the CURRENT device rate
+        # (set_learning_rate / LR schedules mutate the optimizer state after
+        # compile, so a compile-time snapshot would silently go stale)
+        lr = self._current_lr()
         for name, (table, sparse_name) in self.host_map.items():
             table.apply_pooled_grads(
-                feeds[sparse_name], np.asarray(host_grads[name]), self.lr
+                feeds[sparse_name], np.asarray(host_grads[name]), lr
             )
         return float(loss)
+
+    def _current_lr(self) -> float:
+        st = self.model._opt_state
+        if isinstance(st, dict):
+            if "lr" in st:
+                return float(np.asarray(st["lr"]))
+            dense = st.get("dense")
+            if isinstance(dense, dict) and "lr" in dense:
+                return float(np.asarray(dense["lr"]))
+        return self.lr
 
     def fit(self, feeds, labels, epochs: int = 1, verbose: bool = False):
         from ..data.loader import DataLoader
