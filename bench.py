@@ -32,7 +32,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle",
                     choices=["tiny", "kaggle", "mlperf", "summit"])
-    ap.add_argument("--batch-size", type=int, default=8192)
+    # default batch is the best-known single-chip config (PERF.md sweep);
+    # --reference-batch also reports the bs=8192 row for cross-round
+    # comparability
+    ap.add_argument("--batch-size", type=int, default=65536)
+    ap.add_argument("--packed-tables", default="auto",
+                    choices=["auto", "on", "off"])
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
@@ -64,6 +69,7 @@ def main():
     }[args.config](batch_size=args.batch_size)
 
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
+    ffc.packed_tables = args.packed_tables
     model = make_dlrm_model(cfg, ffc)
 
     mesh = plan = None

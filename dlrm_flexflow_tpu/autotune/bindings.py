@@ -39,6 +39,14 @@ class FFSimMachine(ctypes.Structure):
         ("max_segments", ctypes.c_double),
         ("overlap_backward_update", ctypes.c_double),
         ("hierarchical_a2a", ctypes.c_double),
+        # v2: topology-aware machine + packed-update + DAG scoring
+        ("ici_axis_x", ctypes.c_int32),
+        ("ici_axis_y", ctypes.c_int32),
+        ("ici_domain", ctypes.c_int32),
+        ("update_pass_gbps", ctypes.c_double),
+        ("update_ns_per_row", ctypes.c_double),
+        ("use_dag", ctypes.c_int32),
+        ("model_axis", ctypes.c_int32),
     ]
 
 
@@ -54,6 +62,8 @@ class FFSimOp(ctypes.Structure):
         ("pooled_rows", ctypes.c_double),
         ("sub_count", ctypes.c_double),
         ("wire_row_bytes", ctypes.c_double),
+        ("stage", ctypes.c_int32),
+        ("act_bytes", ctypes.c_double),
     ]
 
 
@@ -116,8 +126,34 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        sim2_head = [
+            ctypes.POINTER(FFSimMachine), ctypes.POINTER(FFSimOp),
+            ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_double,
+        ]
+        lib.ffsim2_simulate.restype = ctypes.c_double
+        lib.ffsim2_simulate.argtypes = sim2_head
+        lib.ffsim2_breakdown.restype = None
+        lib.ffsim2_breakdown.argtypes = sim2_head + [
+            ctypes.POINTER(ctypes.c_double)
+        ]
+        lib.ffsim2_search.restype = ctypes.c_double
+        lib.ffsim2_search.argtypes = [
+            ctypes.POINTER(FFSimMachine), ctypes.POINTER(FFSimOp),
+            ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_uint64,
+        ]
         _lib = lib
     return _lib
+
+
+def _i32(vals, min_len: int = 1):
+    vals = list(vals)
+    return (ctypes.c_int32 * max(min_len, len(vals)))(*(vals or [0]))
 
 
 def _ops_array(ops: Sequence[dict]):
@@ -133,6 +169,8 @@ def _ops_array(ops: Sequence[dict]):
         arr[i].pooled_rows = op.get("pooled_rows", 0.0)
         arr[i].sub_count = op.get("sub_count", 1.0)
         arr[i].wire_row_bytes = op.get("wire_row_bytes", 0.0)
+        arr[i].stage = op.get("stage", 2)
+        arr[i].act_bytes = op.get("act_bytes", 0.0)
     return arr
 
 
@@ -172,6 +210,59 @@ def mcmc_search(machine: FFSimMachine, ops: Sequence[dict], owner: Sequence[int]
         budget, alpha, seed, 0, None, 0,
     )
     return list(own[: len(owner)]), cost
+
+
+def simulate2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
+              tp, opt_state_factor: float = 0.0) -> float:
+    """v2 simulate: joint (owner, split, mode, tp) state."""
+    lib = get_lib()
+    arr = _ops_array(ops)
+    nt, nd = len(owner), len(tp)
+    return lib.ffsim2_simulate(
+        ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+        _i32(mode), nt, _i32(tp), nd, opt_state_factor,
+    )
+
+
+def breakdown2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
+               tp, opt_state_factor: float = 0.0) -> dict:
+    lib = get_lib()
+    arr = _ops_array(ops)
+    out = (ctypes.c_double * 9)()
+    lib.ffsim2_breakdown(
+        ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+        _i32(mode), len(owner), _i32(tp), len(tp), opt_state_factor, out,
+    )
+    keys = ["dense_us", "embed_fwd_max_us", "embed_upd_max_us", "all2all_us",
+            "allreduce_us", "update_us", "mem_penalty_us", "total_us",
+            "closed_form_us"]
+    return dict(zip(keys, list(out)))
+
+
+def search2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
+            tp, vocab_caps, edges=(), budget: int = 20000,
+            alpha: float = 0.05, seed: int = 0,
+            opt_state_factor: float = 0.0, split_cap: int = 0):
+    """Joint annealer. edges: [(src_dense_idx, dst_dense_idx, volume)].
+    Returns (owner, split, mode, tp, best_cost)."""
+    lib = get_lib()
+    arr = _ops_array(ops)
+    nt, nd = len(owner), len(tp)
+    own, spl, mod = _i32(owner), _i32(split), _i32(mode)
+    tpa = _i32(tp)
+    caps = _i32(vocab_caps, min_len=max(1, nt))
+    es = _i32([e[0] for e in edges])
+    ed = _i32([e[1] for e in edges])
+    ev = (ctypes.c_double * max(1, len(edges)))(
+        *([float(e[2]) for e in edges] or [0.0])
+    )
+    cost = lib.ffsim2_search(
+        ctypes.byref(machine), arr, len(ops), own, spl, mod, nt, tpa, nd,
+        caps, es, ed, ev, len(edges), opt_state_factor, split_cap,
+        budget, alpha, seed,
+    )
+    return (list(own[:nt]), list(spl[:nt]), list(mod[:nt]),
+            list(tpa[:nd]), cost)
 
 
 def schedule_dag(num_devices: int, durations, device_of, edges) -> float:

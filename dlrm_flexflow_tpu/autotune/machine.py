@@ -42,6 +42,39 @@ class MachineSpec:
     # (host,table) rows over DCN, the runtime's chips_per_host path);
     # 0 = flat all-to-all (every slot's dense partial crosses DCN)
     hierarchical_a2a: float = 1.0
+    # ---- v2: topology-aware model (reference: EnhancedMachineModel,
+    # include/simulator.h:153-236) ----
+    # ICI torus of one slice (0 => 1D ring over the domain). A v5e-64 is a
+    # single 8x8 slice: ALL chips ICI-connected; DCN only across slices.
+    ici_axis_x: int = 0
+    ici_axis_y: int = 0
+    # chips per ICI domain (slice); 0 => num_chips (single slice)
+    ici_domain: int = 0
+    # packed-update kernel model (ops/pallas/packed_update.py): sequential
+    # table-pass bandwidth + per-lookup overhead. Calibrated from the
+    # measured 10-table batched update (2.86 ms for 655k rows incl. 1.3 GB
+    # of table passes). 0 => legacy scatter model.
+    update_pass_gbps: float = 900.0
+    update_ns_per_row: float = 2.0
+    # score with the event-driven DAG schedule (a2a overlaps bottom MLP,
+    # allreduce overlaps the embedding update)
+    use_dag: int = 1
+    # model-axis size available for dense TP (mesh data x model); 1 = none
+    model_axis: int = 1
+
+    def torus_for(self, n: int) -> "MachineSpec":
+        """Fill in the slice torus axes for an n-chip v5e-style slice
+        (near-square 2D torus: 8->2x4, 16->4x4, 64->8x8)."""
+        import math
+
+        x = 1
+        for cand in range(int(math.isqrt(n)), 0, -1):
+            if n % cand == 0:
+                x = cand
+                break
+        return dataclasses.replace(
+            self, num_chips=n, ici_axis_x=x, ici_axis_y=n // x, ici_domain=n
+        )
 
     def to_native(self) -> FFSimMachine:
         m = FFSimMachine()

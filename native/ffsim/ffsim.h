@@ -42,10 +42,32 @@ struct FFSimMachine {
   // --search-overlap-backward-update): 1.0 = fully overlapped
   double overlap_backward_update;
   // >0: pooled exchange is hierarchical (intra-host ICI combine of split
-  // partials, then per-(host,table) rows over DCN —
+  // partials, then one row per (ICI-domain, table) over DCN —
   // parallel/embedding_collection.py); 0: flat all-to-all where every
   // slot's dense [batch] partial crosses the slow link
   double hierarchical_a2a;
+  // ---- v2 fields (topology-aware model + packed-update + DAG scoring) ----
+  // ICI torus geometry of one slice: x*y chips (y=1 -> 1D ring). All-to-all
+  // and allreduce costs derive from per-axis bisection, NOT chip count
+  // (reference analog: EnhancedMachineModel per-link paths,
+  // include/simulator.h:153-236).
+  int32_t ici_axis_x;
+  int32_t ici_axis_y;
+  // chips per ICI domain (slice). A v5e-64 is ONE 8x8 slice: all 64 chips
+  // ICI-connected; DCN only beyond a slice. 0 => num_chips (single slice).
+  int32_t ici_domain;
+  // packed-update kernel model (ops/pallas/packed_update.py): sequential
+  // table-pass bandwidth and per-lookup overhead (sort/prep amortized).
+  // update_pass_gbps==0 => legacy scatter model (scatter_gbps).
+  double update_pass_gbps;
+  double update_ns_per_row;
+  // 1 => score with the event-driven DAG schedule of the step (overlap of
+  // a2a with bottom-MLP compute, allreduce with embedding update);
+  // 0 => closed-form serial sum (v1 behavior)
+  int32_t use_dag;
+  // model-axis size available for dense tensor parallelism (mesh data x
+  // model); 1 = pure DP mesh
+  int32_t model_axis;
 };
 
 // ---- op kinds
@@ -71,6 +93,13 @@ struct FFSimOp {
   double sub_count;    // row-split degree of the owning table (slots/table)
   double wire_row_bytes;  // pooled-row bytes ON THE WIRE (compute dtype,
                           // e.g. bf16 = dim*2; 0 => row_bytes, i.e. f32)
+  // ---- v2 fields ----
+  // graph stage for the DAG builder: 0 = before the pooled exchange
+  // (bottom MLP — overlaps the fwd all-to-all), 1 = after it
+  // (interaction + top MLP), 2 = anywhere
+  int32_t stage;
+  double act_bytes;    // fwd output activation bytes (global batch) — the
+                       // TP activation-psum volume
 };
 
 // ---- simulate one training step under a table placement --------------------
@@ -112,5 +141,46 @@ double ffsim_schedule_dag(int32_t num_devices,
                           int32_t num_tasks,
                           const int32_t* edge_src, const int32_t* edge_dst,
                           int32_t num_edges);
+
+// ======================= v2: joint per-op search ===========================
+// State vectors (all in/out for the search):
+//   owner[t] in [0, num_chips)  — first chip of table t's consecutive range
+//   split[t] in [1, split_cap]  — row-split degree (sub-tables on chips
+//                                 owner[t] .. owner[t]+split[t]-1 mod n)
+//   mode[t]  0 = placed, 1 = replicated (one-hot MXU, dense-grad allreduce)
+//   tp[j]    1 or model_axis    — per-dense-op tensor parallelism
+// This is the reference's per-op ParallelConfig search folded into ONE
+// annealer (reference: FFModel::optimize mutating every op's config,
+// model.cc:1928-1991; propagate along volume-weighted edges model.cc:1830).
+
+double ffsim2_simulate(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, const int32_t* tp,
+                       int32_t num_dense, double opt_state_factor);
+
+// out9: [0]=dense_us [1]=embed_fwd_max [2]=embed_upd_max [3]=all2all
+// [4]=allreduce [5]=dense_update [6]=mem_penalty [7]=makespan(dag or sum)
+// [8]=closed_form_sum
+void ffsim2_breakdown(const FFSimMachine* m, const FFSimOp* ops,
+                      int32_t num_ops, const int32_t* owner,
+                      const int32_t* split, const int32_t* mode,
+                      int32_t num_tables, const int32_t* tp,
+                      int32_t num_dense, double opt_state_factor,
+                      double* out9);
+
+// Joint simulated annealing over (owner, split, mode, tp). Move set:
+// owner move / owner swap / split x2 / split /2 / mode flip / tp flip /
+// propagate (copy a dense op's tp along a volume-weighted random edge;
+// co-locate two tables). vocab_caps[t] bounds split[t] (can't split a
+// table beyond its rows). Returns best cost; best state written back.
+double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
+                     int32_t num_ops, int32_t* owner, int32_t* split,
+                     int32_t* mode, int32_t num_tables, int32_t* tp,
+                     int32_t num_dense, const int32_t* vocab_caps,
+                     const int32_t* edge_src, const int32_t* edge_dst,
+                     const double* edge_vol, int32_t num_edges,
+                     double opt_state_factor, int32_t split_cap,
+                     int64_t budget, double alpha, uint64_t seed);
 
 }  // extern "C"

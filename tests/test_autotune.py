@@ -117,9 +117,18 @@ def test_compile_with_search_budget_sets_assignment():
     plan.table_assignment = None
     model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
                   [], mesh=mesh, plan=plan)
-    assert plan.table_assignment is not None and len(plan.table_assignment) == 8
-    # the three big tables must be on three distinct shards
-    big = [plan.table_assignment[i] for i in (0, 1, 4)]
+    # the joint search may replicate small tables (mode axis); the
+    # assignment then covers exactly the placed ones
+    assert plan.table_assignment is not None
+    n_repl = len(plan.replicated_tables or [])
+    assert len(plan.table_assignment) + n_repl == 8
+    # the three big tables must be placed on three distinct shards
+    repl = set(plan.replicated_tables or [])
+    assert not repl & {0, 1, 4}, "big tables must not be replicated"
+    placed_order = [i for i in range(8) if i not in repl]
+    big = [
+        plan.table_assignment[placed_order.index(i)] for i in (0, 1, 4)
+    ]
     assert len(set(big)) == 3, plan.table_assignment
     # and it still trains
     feeds, labels = random_batches(cfg, 64, seed=0)

@@ -1,0 +1,255 @@
+"""v2 autotune engine: topology-aware machine model, DAG-scheduled step
+scoring, and the joint (owner, split, mode, tp) annealer.
+
+Reference analogs: EnhancedMachineModel per-link paths
+(include/simulator.h:153-236), SimTask DAG + event scheduling
+(src/runtime/simulator.cc:328-631), per-op ParallelConfig MCMC with
+volume-weighted propagation (src/runtime/model.cc:1830-1991)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dlrm_flexflow_tpu.autotune import bindings
+from dlrm_flexflow_tpu.autotune.machine import MachineSpec, preset
+from dlrm_flexflow_tpu.autotune.search import (
+    autotune_plan_joint,
+    graph_to_cost_spec_v2,
+)
+
+
+def _emb(vocab, lookups, dim=16, stage=0):
+    return {
+        "kind": bindings.KIND_EMBED, "table_rows": float(vocab),
+        "row_bytes": 4.0 * dim, "lookups": float(lookups),
+        "pooled_rows": float(lookups), "wire_row_bytes": 2.0 * dim,
+        "stage": stage,
+    }
+
+
+def _dense(flops, stage, param_bytes=0.0, act_bytes=0.0):
+    return {
+        "kind": bindings.KIND_DENSE, "flops": flops, "bytes": flops / 100.0,
+        "param_bytes": param_bytes, "stage": stage, "act_bytes": act_bytes,
+    }
+
+
+def _machine(n, **kw):
+    spec = preset("tpu_v5e", num_chips=n).torus_for(n)
+    return dataclasses.replace(spec, **kw)
+
+
+def test_a2a_scales_with_bisection_not_chip_count():
+    """64 chips as an 8x8 torus must beat 64 chips as a 1D ring ~4x on the
+    pooled exchange (per-axis bisection is what a v5e all-to-all rides)."""
+    ops = [_emb(1_000_000, 8192 * 64) for _ in range(8)]
+    owner = list(range(8))
+    split, mode, tp = [1] * 8, [0] * 8, []
+    sq = _machine(64)
+    assert (sq.ici_axis_x, sq.ici_axis_y) == (8, 8)
+    ring = dataclasses.replace(sq, ici_axis_x=64, ici_axis_y=1)
+    b_sq = bindings.breakdown2(sq.to_native(), ops, owner, split, mode, tp)
+    b_ring = bindings.breakdown2(ring.to_native(), ops, owner, split, mode, tp)
+    assert b_ring["all2all_us"] > 3.0 * b_sq["all2all_us"]
+    assert b_ring["all2all_us"] < 5.0 * b_sq["all2all_us"]
+
+
+def test_single_slice_has_no_dcn_stage():
+    """A v5e-64 slice is ONE ICI domain: the same config split across 8-chip
+    ICI domains (DCN between them) must cost strictly more."""
+    ops = [_emb(1_000_000, 8192 * 64) for _ in range(8)]
+    owner, split, mode, tp = list(range(8)), [1] * 8, [0] * 8, []
+    one_slice = _machine(64)
+    multi = dataclasses.replace(one_slice, ici_domain=8, ici_axis_x=2,
+                                ici_axis_y=4)
+    c1 = bindings.simulate2(one_slice.to_native(), ops, owner, split, mode, tp)
+    c8 = bindings.simulate2(multi.to_native(), ops, owner, split, mode, tp)
+    assert c8 > c1
+
+
+def test_dag_schedule_overlaps_exchange_with_bottom_mlp():
+    """The event-driven schedule must hide (part of) the all-to-all behind
+    stage-0 dense compute; the closed-form sum cannot."""
+    ops = [
+        _dense(5e12, stage=0),  # big bottom MLP, overlap candidate
+        *[_emb(1_000_000, 8192 * 16) for _ in range(8)],
+        _dense(1e11, stage=1),
+    ]
+    owner, split, mode = list(range(8)), [1] * 8, [0] * 8
+    tp = [1, 1]
+    m_dag = _machine(16)
+    m_closed = dataclasses.replace(m_dag, use_dag=0)
+    b = bindings.breakdown2(m_dag.to_native(), ops, owner, split, mode, tp)
+    assert b["all2all_us"] > 0
+    c_dag = bindings.simulate2(m_dag.to_native(), ops, owner, split, mode, tp)
+    c_closed = bindings.simulate2(
+        m_closed.to_native(), ops, owner, split, mode, tp
+    )
+    assert c_dag < c_closed
+    assert b["closed_form_us"] == pytest.approx(c_closed)
+    # with no overlap opportunity (no stage-0 dense) both agree much closer
+    ops2 = [*[_emb(1_000_000, 8192 * 16) for _ in range(8)],
+            _dense(1e11, stage=1)]
+    c2_dag = bindings.simulate2(
+        m_dag.to_native(), ops2, owner, split, mode, [1]
+    )
+    c2_closed = bindings.simulate2(
+        m_closed.to_native(), ops2, owner, split, mode, [1]
+    )
+    hidden_frac = (c_closed - c_dag) / c_closed
+    hidden_frac2 = (c2_closed - c2_dag) / c2_closed
+    assert hidden_frac > hidden_frac2
+
+
+def test_dag_flips_a_split_decision():
+    """Overlap awareness must change a SEARCH decision: row-splitting cuts
+    the per-chip embedding work but multiplies the exchange volume. The
+    closed-form sum pays the bigger all-to-all on the critical path and
+    refuses the split; the DAG schedule hides it behind the bottom MLP and
+    takes it. (reference: what SimTask scheduling sees that a serial sum
+    cannot, simulator.cc:500-560)"""
+    n = 16
+    lookups = 65536 * 16
+    ops = [
+        _dense(2e13, stage=0),  # big bottom MLP: the overlap window
+        *[_emb(2_000_000, lookups) for _ in range(4)],
+        _dense(1e11, stage=1),
+    ]
+    mode, tp = [0] * 4, [1, 1]
+    m_dag = _machine(n)
+    m_closed = dataclasses.replace(m_dag, use_dag=0)
+
+    def cost(m, s):
+        return bindings.simulate2(
+            m.to_native(), ops, [0, 1, 2, 3], [s] * 4, mode, tp
+        )
+
+    pref_dag = cost(m_dag, 16) - cost(m_dag, 1)
+    pref_closed = cost(m_closed, 16) - cost(m_closed, 1)
+    assert pref_dag < 0, f"DAG model should take the split: {pref_dag}"
+    assert pref_closed > 0, (
+        f"closed-form should refuse the split: {pref_closed}"
+    )
+
+
+def test_joint_search_touches_all_axes():
+    """One annealer run must exercise owner, split, AND mode moves: hot
+    uniform tables want splits, tiny tables want replication."""
+    n = 16
+    ops = (
+        [_emb(50_000_000, 65536) for _ in range(2)]   # huge, hot -> split
+        + [_emb(40, 65536) for _ in range(3)]          # tiny -> replicate
+        + [_dense(1e12, stage=0, param_bytes=1e6), _dense(1e12, stage=1,
+                                                          param_bytes=1e6)]
+    )
+    vocabs = [50_000_000, 50_000_000, 40, 40, 40]
+    owner, split, mode = [0] * 5, [1] * 5, [0] * 5
+    tp = [1, 1]
+    m = _machine(n)
+    o, s, mo, t, cost = bindings.search2(
+        m.to_native(), ops, owner, split, mode, tp, vocabs,
+        budget=8000, alpha=0.2, seed=7, split_cap=n,
+    )
+    start = bindings.simulate2(m.to_native(), ops, owner, split, mode, tp)
+    assert cost < start
+    assert max(s[:2]) > 1, f"hot tables should row-split, got {s}"
+    assert any(mv == 1 for mv in mo[2:]), f"tiny tables should replicate: {mo}"
+    assert len(set(o[:2])) == 2 or max(s[:2]) > 1
+
+
+def test_joint_search_tp_axis_and_propagate():
+    """With a model axis available and a grossly MXU-bound dense stack with
+    tiny activations, the annealer should turn on TP for at least one layer
+    (propagate moves copy it along volume-weighted edges)."""
+    ops = [
+        _emb(1_000_000, 8192),
+        _dense(8e13, stage=1, param_bytes=4e9, act_bytes=1e4),
+        _dense(8e13, stage=1, param_bytes=4e9, act_bytes=1e4),
+    ]
+    m = dataclasses.replace(_machine(8), model_axis=4)
+    o, s, mo, t, cost = bindings.search2(
+        m.to_native(), ops, [0], [1], [0], [1, 1], [1_000_000],
+        edges=[(0, 1, 1e9)], budget=6000, alpha=0.2, seed=3, split_cap=8,
+    )
+    base = bindings.simulate2(m.to_native(), ops, [0], [1], [0], [1, 1])
+    assert cost < base
+    assert any(x > 1 for x in t), f"TP should engage on an MXU-bound stack: {t}"
+
+
+def test_joint_beats_greedy_and_hand_placement_on_stress_config():
+    """BASELINE 'sharding-search stress': 100+ tables, 1K-50M rows. The
+    joint annealer must beat (a) the greedy LPT seed and (b) the hand
+    round-robin placement in simulated cost."""
+    rng = np.random.RandomState(0)
+    vocabs = [int(v) for v in 10 ** rng.uniform(3, 7.7, size=120)]
+    lookups = 8192 * 32
+    ops = [_emb(v, lookups) for v in vocabs] + [
+        _dense(2e12, stage=0, param_bytes=1e7),
+        _dense(2e12, stage=1, param_bytes=1e7),
+    ]
+    n = 32
+    m = _machine(n)
+    from dlrm_flexflow_tpu.autotune.search import _greedy_owner
+
+    greedy = _greedy_owner(ops, vocabs, n)
+    rr = [i % n for i in range(len(vocabs))]
+    ones = [1] * len(vocabs)
+    zeros = [0] * len(vocabs)
+    tp = [1, 1]
+    c_greedy = bindings.simulate2(m.to_native(), ops, greedy, ones, zeros, tp)
+    c_rr = bindings.simulate2(m.to_native(), ops, rr, ones, zeros, tp)
+    o, s, mo, t, c_best = bindings.search2(
+        m.to_native(), ops, list(greedy), list(ones), list(zeros), list(tp),
+        vocabs, budget=12000, alpha=0.1, seed=11, split_cap=n,
+    )
+    assert c_best < min(c_greedy, c_rr) * 0.999, (
+        f"joint {c_best:.1f} vs greedy {c_greedy:.1f} rr {c_rr:.1f}"
+    )
+
+
+def test_graph_lowering_v2_stages_and_edges():
+    from dlrm_flexflow_tpu import FFConfig
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[100, 200, 300],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[32, 8, 1],
+        batch_size=64,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=64))
+    ops, names, vocabs, nd, edges = graph_to_cost_spec_v2(model.graph, 64)
+    assert vocabs == [100, 200, 300]
+    dense = [o for o in ops if o["kind"] == bindings.KIND_DENSE]
+    assert len(dense) == nd == 4  # bot 4-16-8 = 2 layers + top 32-8-1 = 2
+    stages = [o["stage"] for o in dense]
+    assert 0 in stages and 1 in stages, stages
+    assert all(o["act_bytes"] > 0 for o in dense)
+    # bot-mlp chain + top-mlp chain edges exist with positive volume
+    assert len(edges) >= 3 and all(v > 0 for _, _, v in edges)
+
+
+def test_autotune_plan_joint_end_to_end():
+    from dlrm_flexflow_tpu import FFConfig
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[500000, 400000, 10, 300000, 20],
+        embedding_bag_size=1,
+        mlp_bot=[4, 8],
+        mlp_top=[48, 8, 1],
+        batch_size=128,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=128))
+    machine = _machine(8)
+    owner, cost, report = autotune_plan_joint(
+        model.graph, machine, 8192, budget=4000, seed=1, min_vocab=64,
+    )
+    assert cost > 0 and report["improvement"] >= 1.0
+    n_repl = len(report["replicated_tables"])
+    assert len(owner) + n_repl == 5
+    assert len(report["table_split"]) == len(owner)
+    assert report["breakdown"]["total_us"] == pytest.approx(cost)

@@ -1,0 +1,161 @@
+"""Packed-layout embedding tables + Pallas packed-update kernel (CPU
+interpret mode; the TPU-compiled path is exercised by bench/PERF runs).
+
+Reference analog for semantics: the embedding backward scatter-add
+(reference: src/ops/embedding.cu:192-217) fused with the optimizer update
+(src/runtime/optimizer_kernel.cu:44-113)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dlrm_flexflow_tpu.ops.pallas import packed_update as pu
+
+
+@pytest.mark.parametrize(
+    "v,d,k,c",
+    [(1000, 16, 256, 32), (333, 64, 128, 16), (64, 128, 500, 8), (5000, 32, 3000, 64)],
+)
+def test_kernel_parity_interpret(v, d, k, c):
+    rng = np.random.RandomState(0)
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table), chunk_packs=c)
+    rows = rng.randint(0, v + 5, k).astype(np.int32)  # some dropped
+    deltas = rng.randn(k, d).astype(np.float32)
+    ref = pu.packed_row_update_reference(
+        packed, jnp.asarray(rows), jnp.asarray(deltas), v, d
+    )
+    got = pu.packed_row_update(
+        packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_kernel_batched_multi_table():
+    rng = np.random.RandomState(1)
+    vocabs = [900, 1300, 77]
+    d, k, c = 16, 512, 32
+    tables = [rng.randn(v, d).astype(np.float32) for v in vocabs]
+    packs = [pu.pack_table(jnp.asarray(t), chunk_packs=c) for t in tables]
+    rows = [rng.randint(0, v, k).astype(np.int32) for v in vocabs]
+    deltas = [rng.randn(k, d).astype(np.float32) for _ in vocabs]
+    outs = pu.packed_row_update_batched(
+        packs, [jnp.asarray(r) for r in rows],
+        [jnp.asarray(g) for g in deltas], vocabs, d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+    )
+    for t, r, g, o, v in zip(tables, rows, deltas, outs, vocabs):
+        expect = t.copy()
+        np.add.at(expect, r, g)
+        np.testing.assert_allclose(
+            np.asarray(pu.unpack_table(o, v, d)), expect, atol=1e-4
+        )
+
+
+def test_pack_roundtrip_and_gather():
+    rng = np.random.RandomState(2)
+    v, d = 1000, 16
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table))
+    np.testing.assert_array_equal(
+        np.asarray(pu.unpack_table(packed, v, d)), table
+    )
+    rows = rng.randint(0, v, 777).astype(np.int32)
+    got = pu.packed_gather(packed, jnp.asarray(rows), d)
+    np.testing.assert_array_equal(np.asarray(got), table[rows])
+
+
+def _small_dlrm(packed_flag):
+    from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[500, 300, 800],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[64, 16, 1],
+        batch_size=32,
+    )
+    ffc = FFConfig(
+        batch_size=32, compute_dtype="float32",
+        onehot_embedding_threshold=0, packed_tables=packed_flag,
+    )
+    model = make_dlrm_model(cfg, ffc)
+    return cfg, model
+
+
+def test_packed_training_matches_scatter_path():
+    """End-to-end: the packed engine (interpret kernels on CPU) must track
+    the XLA scatter path step for step."""
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    losses = {}
+    weights = {}
+    for flag in ("off", "on"):
+        cfg, model = _small_dlrm(flag)
+        model.compile(
+            SGDOptimizer(lr=0.05),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+        )
+        packed_ops = [
+            op for op in model.graph.compute_ops
+            if getattr(op, "packed", False)
+        ]
+        if flag == "on":
+            assert len(packed_ops) == 3, "all three tables should pack"
+        else:
+            assert not packed_ops
+        feeds, labels = random_batches(cfg, 32 * 4, seed=3)
+        ls = []
+        for i in range(4):
+            batch = {k: v[32 * i : 32 * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[32 * i : 32 * (i + 1)]))
+        losses[flag] = ls
+        weights[flag] = model.get_weights("table_0")["weight"]
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=2e-3, atol=2e-3)
+    # bf16 delta rounding bounds the weight divergence
+    np.testing.assert_allclose(
+        weights["on"], weights["off"], atol=5e-3
+    )
+
+
+def test_packed_adagrad_matches_scatter_path():
+    from dlrm_flexflow_tpu import LossType, MetricsType
+    from dlrm_flexflow_tpu.training.optimizer import RowWiseAdagradOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    losses = {}
+    for flag in ("off", "on"):
+        cfg, model = _small_dlrm(flag)
+        model.compile(
+            RowWiseAdagradOptimizer(lr=0.05),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+        )
+        feeds, labels = random_batches(cfg, 32 * 3, seed=4)
+        ls = []
+        for i in range(3):
+            batch = {k: v[32 * i : 32 * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[32 * i : 32 * (i + 1)]))
+        losses[flag] = ls
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=5e-3, atol=5e-3)
+
+
+def test_packed_weight_io_roundtrip():
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+
+    _, model = _small_dlrm("on")
+    model.compile(
+        SGDOptimizer(lr=0.01),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY],
+    )
+    w = model.get_weights("table_0")["weight"]
+    assert w.shape == (500, 16), "get_weights must unpack to logical shape"
+    w2 = np.random.RandomState(5).randn(500, 16).astype(np.float32)
+    model.set_weights("table_0", {"weight": w2})
+    np.testing.assert_allclose(model.get_weights("table_0")["weight"], w2, atol=1e-6)
