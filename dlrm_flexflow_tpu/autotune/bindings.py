@@ -46,6 +46,9 @@ class FFSimMachine(ctypes.Structure):
         ("update_pass_gbps", ctypes.c_double),
         ("update_ns_per_row", ctypes.c_double),
         ("use_dag", ctypes.c_int32),
+        ("routed_exchange", ctypes.c_int32),
+        ("routed_cap", ctypes.c_double),
+        ("routing_ns_per_entry", ctypes.c_double),
         ("model_axis", ctypes.c_int32),
     ]
 

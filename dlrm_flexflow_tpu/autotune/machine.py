@@ -59,6 +59,11 @@ class MachineSpec:
     # score with the event-driven DAG schedule (a2a overlaps bottom MLP,
     # allreduce overlaps the embedding update)
     use_dag: int = 1
+    # routed (capacity-bucketed) exchange model: wire independent of the
+    # split degree + per-entry routing cost (parallel/routed_exchange.py)
+    routed_exchange: int = 0
+    routed_cap: float = 2.0
+    routing_ns_per_entry: float = 3.0
     # model-axis size available for dense TP (mesh data x model); 1 = none
     model_axis: int = 1
 

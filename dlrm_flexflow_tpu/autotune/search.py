@@ -555,16 +555,28 @@ def autotune_plan_joint(
     rr_cost = bindings.simulate2(
         m, ops, rr, [1] * nt, base_mode, tp0, opt_state_factor
     )
+    # the exchange mode (dense slot exchange vs routed capacity buckets,
+    # parallel/routed_exchange.py) is itself a strategy axis: search under
+    # both machine models and keep the cheaper plan
+    modes = [0, 1] if (n > 1 and machine.routed_exchange == 0) else [
+        machine.routed_exchange
+    ]
     best = None
-    per_seed = max(200, budget // len(seeds))
-    for i, (o0, s0, mo0) in enumerate(seeds):
-        o, s, mo, tp, c = bindings.search2(
-            m, ops, o0, s0, mo0, list(tp0), vocabs, edges,
-            budget=per_seed, alpha=alpha, seed=seed + 31 * i,
-            opt_state_factor=opt_state_factor, split_cap=cap,
-        )
-        if best is None or c < best[-1]:
-            best = (o, s, mo, tp, c)
+    best_routed = 0
+    per_seed = max(200, budget // (len(seeds) * len(modes)))
+    for routed_flag in modes:
+        m_mode = machine.to_native()
+        m_mode.routed_exchange = routed_flag
+        for i, (o0, s0, mo0) in enumerate(seeds):
+            o, s, mo, tp, c = bindings.search2(
+                m_mode, ops, o0, s0, mo0, list(tp0), vocabs, edges,
+                budget=per_seed, alpha=alpha, seed=seed + 31 * i,
+                opt_state_factor=opt_state_factor, split_cap=cap,
+            )
+            if best is None or c < best[-1]:
+                best = (o, s, mo, tp, c)
+                best_routed = routed_flag
+                m = m_mode
     owner, split, mode, tp, cost = best
     # the runtime collection holds only the PLACED tables (replicated ones
     # stay as one-hot ops — passes.py excludes plan.replicated_tables), so
@@ -578,6 +590,7 @@ def autotune_plan_joint(
         "table_split": [split[i] for i in placed],
         "replicated_tables": [i for i, mv in enumerate(mode) if mv == 1],
         "tp": tp,
+        "exchange": "routed" if best_routed else "dense",
         "breakdown": bindings.breakdown2(
             m, ops, owner, split, mode, tp, opt_state_factor
         ),

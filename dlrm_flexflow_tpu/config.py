@@ -74,6 +74,10 @@ class FFConfig:
     # whole-table kernel pass cost more than the XLA scatter they replace
     # (measured crossover on v5e; "on" ignores the threshold)
     packed_min_rows: int = 32768
+    # pooled-embedding exchange mode for the sharded collection: "dense"
+    # slot exchange or "routed" capacity buckets (scale-out mode; wire and
+    # per-chip work independent of split degree). Plan-level setting wins.
+    exchange: str = "dense"
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -164,6 +168,8 @@ class FFConfig:
                 self.use_pallas = take()
             elif a == "--packed-tables":
                 self.packed_tables = take()
+            elif a == "--exchange":
+                self.exchange = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -518,6 +518,8 @@ class FFModel:
                 self.plan = plan
             # hierarchical pooled exchange (ICI combine before DCN): default
             # the host grouping from the config / the actual process layout
+            if plan.exchange == "dense" and self.config.exchange != "dense":
+                plan.exchange = self.config.exchange
             if plan.chips_per_host is None and self.config.chips_per_host:
                 cph = self.config.chips_per_host
                 # With a 2D data-x-model mesh, each DATA-axis index spans
@@ -871,6 +873,9 @@ class FFModel:
             # enable_parameter_parallel op_specs)
             if any(t > 1 for t in (report or {}).get("tp", [])):
                 self._search_tp = report["tp"]
+            # exchange mode chosen by the search (dense vs routed buckets)
+            if (report or {}).get("exchange") and plan.exchange == "dense":
+                plan.exchange = report["exchange"]
             # the cost model scored the hierarchical exchange; make the
             # runtime execute it only when the mesh really spans multiple
             # ICI domains (a single slice is all-ICI — flat is optimal)

@@ -63,14 +63,22 @@ class EmbeddingCollection(Op):
         )  # [B, T, H]
         pool = params["pool"]
         if ctx.mesh is not None and ctx.mesh.shape.get("data", 1) > 1:
-            out = sharded_embedding_lookup(
-                self.layout,
-                pool,
-                idx,
-                ctx.mesh,
-                self.aggr,
-                compute_dtype=None,
-            )  # [B, T, D]
+            if self.layout.exchange == "routed":
+                from ..parallel.routed_exchange import routed_embedding_lookup
+
+                out = routed_embedding_lookup(
+                    self.layout, pool, idx, ctx.mesh, self.aggr,
+                    cap_factor=self.layout.routed_cap_factor,
+                )
+            else:
+                out = sharded_embedding_lookup(
+                    self.layout,
+                    pool,
+                    idx,
+                    ctx.mesh,
+                    self.aggr,
+                    compute_dtype=None,
+                )  # [B, T, D]
         else:
             # single flat gather over the whole pool: remap per-table indices
             # to pool-global rows, one embedding_bag for all tables
@@ -103,6 +111,17 @@ class EmbeddingCollection(Op):
         g_pooled = jnp.stack(g_out_list, axis=1)  # [B, T, D]
         pool = params["pool"]
         if ctx.mesh is not None and ctx.mesh.shape.get("data", 1) > 1:
+            if self.layout.exchange == "routed":
+                from ..parallel.routed_exchange import (
+                    routed_embedding_sparse_update,
+                )
+
+                pool, sstate = routed_embedding_sparse_update(
+                    self.layout, pool, sstate, idx, g_pooled, ctx.mesh,
+                    optimizer, self.aggr, lr=lr,
+                    cap_factor=self.layout.routed_cap_factor,
+                )
+                return {"pool": pool}, sstate
             from ..parallel.embedding_collection import (
                 sharded_embedding_sparse_update,
             )

@@ -111,6 +111,12 @@ class ShardedEmbeddingLayout:
     # TPU devices process-major, so contiguous data-axis ranges ARE hosts).
     # None / not dividing num_shards => flat single-stage exchange.
     chips_per_host: Optional[int] = None
+    # "dense" = slot exchange (every slot ships its dense [batch] partial);
+    # "routed" = capacity-bucketed source routing (routed_exchange.py) —
+    # per-chip work and wire O(B_loc*T*H), independent of split degree
+    exchange: str = "dense"
+    # sub-bucket capacity factor for routed mode (0 = exact/fat)
+    routed_cap_factor: float = 2.0
     # derived
     t_max: int = 0  # max sub-tables per shard (exchange slots per shard)
     r_pad: int = 0  # padded rows per shard

@@ -147,6 +147,10 @@ class ShardingPlan:
     # exchange; None/0 = flat single-stage all-to-all. Splits get co-located
     # within a host so DCN carries one partial row per (host, table).
     chips_per_host: Optional[int] = None
+    # pooled-exchange mode: "dense" slot exchange or "routed" capacity
+    # buckets (parallel/routed_exchange.py; SUM pooling only)
+    exchange: str = "dense"
+    routed_cap_factor: float = 2.0
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------ exec
@@ -246,6 +250,7 @@ class ShardingPlan:
         return ShardedEmbeddingLayout(
             list(vocab_sizes), dim, num_shards, assignment,
             split=list(split) if split else None, chips_per_host=cph,
+            exchange=self.exchange, routed_cap_factor=self.routed_cap_factor,
         )
 
     # ------------------------------------------------------------------ file IO
@@ -262,6 +267,8 @@ class ShardingPlan:
             "table_split": self.table_split,
             "replicated_tables": self.replicated_tables,
             "chips_per_host": self.chips_per_host,
+            "exchange": self.exchange,
+            "routed_cap_factor": self.routed_cap_factor,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -282,6 +289,8 @@ class ShardingPlan:
             table_split=doc.get("table_split"),
             replicated_tables=doc.get("replicated_tables"),
             chips_per_host=doc.get("chips_per_host"),
+            exchange=doc.get("exchange", "dense"),
+            routed_cap_factor=doc.get("routed_cap_factor", 2.0),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 

@@ -238,6 +238,9 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
   std::vector<double> rows_bytes(n, 0.0);
   double dense_param_bytes = 0, repl_bytes_per_chip = 0;
   double slot_payload = 0, domain_payload = 0;
+  const bool routed = m.routed_exchange > 0;
+  const double rcap = m.routed_cap > 0 ? m.routed_cap : 2.0;
+  double routed_wire = 0, routed_entries = 0;
   int ti = 0, dj = 0;
   for (int i = 0; i < num_ops; i++) {
     const FFSimOp& op = ops[i];
@@ -273,11 +276,20 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
       }
       const double prows = op.pooled_rows > 0 ? op.pooled_rows : op.lookups;
       const double wrb = op.wire_row_bytes > 0 ? op.wire_row_bytes : op.row_bytes;
-      slot_payload += s * wrb * prows;
-      if (n_slices > 1) {
-        const int spans =
-            std::min(n_slices, (int)((o0 % dom + s + dom - 1) / dom));
-        domain_payload += wrb * prows * spans;
+      if (routed) {
+        // capacity buckets: idx there + rows back (fwd) + grads there
+        // (bwd), independent of the split degree. Unsplit sub-buckets are
+        // exact (factor 1); split ones carry the capacity factor.
+        const double cap_eff = s > 1 ? rcap : 1.0;
+        routed_wire += cap_eff * op.lookups * (4.0 + 2.0 * wrb);
+        routed_entries += op.lookups;
+      } else {
+        slot_payload += s * wrb * prows;
+        if (n_slices > 1) {
+          const int spans =
+              std::min(n_slices, (int)((o0 % dom + s + dom - 1) / dom));
+          domain_payload += wrb * prows * spans;
+        }
       }
     } else {
       double denom = dpar;
@@ -300,11 +312,29 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
           std::max(op.flops / fpu, op.bytes / bpu) / denom;
     }
   }
+  if (routed && n > 1) {
+    // source-side routing (batched sort + bucket slices + reassembly),
+    // paid by every chip on both fwd and bwd
+    const double route_us =
+        routed_entries / n * m.routing_ns_per_entry * 1e-3;
+    for (int d = 0; d < n; d++) {
+      c.gather_us[d] += route_us;
+      c.upd_us[d] += route_us;
+    }
+  }
   c.embed_fwd_max = *std::max_element(c.gather_us.begin(), c.gather_us.end());
   c.embed_upd_max = *std::max_element(c.upd_us.begin(), c.upd_us.end());
 
   // pooled exchange (fwd) + grad exchange (bwd)
-  if (n > 1) {
+  if (routed && n > 1) {
+    // three compact all-to-alls folded into one bytes total (a2a_us is
+    // already the fwd+bwd sum, so no extra 2x below)
+    c.a2a_us = a2a_slice_us(m, routed_wire / n, dom);
+    if (n_slices > 1)
+      c.a2a_us += link_time_us(
+          m, routed_wire / n * double(n_slices - 1) / n_slices, m.dcn_gbps,
+          m.dcn_latency_us, n_slices - 1);
+  } else if (n > 1) {
     double t_ici = a2a_slice_us(m, slot_payload / n, dom);
     double t_dcn = 0;
     if (n_slices > 1) {

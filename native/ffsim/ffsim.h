@@ -65,6 +65,13 @@ struct FFSimMachine {
   // a2a with bottom-MLP compute, allreduce with embedding update);
   // 0 => closed-form serial sum (v1 behavior)
   int32_t use_dag;
+  // routed (capacity-bucketed) exchange model (parallel/routed_exchange.py):
+  // wire = cap * lookups * (idx + 2*row) bytes per chip, independent of the
+  // split degree, plus a per-entry routing cost (batched sort + bucket
+  // slices). 0 = dense slot exchange (slot_payload model).
+  int32_t routed_exchange;
+  double routed_cap;            // capacity factor (default 2)
+  double routing_ns_per_entry;  // per lookup-entry routing cost
   // model-axis size available for dense tensor parallelism (mesh data x
   // model); 1 = pure DP mesh
   int32_t model_axis;

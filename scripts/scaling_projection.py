@@ -1,56 +1,67 @@
-"""Scaling projection: cost-model examples/s at 1..N chips.
+"""Scaling projection: cost-model examples/s at 1..N chips (ffsim v2).
 
 The BASELINE.md north star asks for >= 85% examples/s scaling efficiency
 from 1 host to a v5e-64 slice; only one physical chip is reachable here, so
 this harness (a) anchors the native ffsim cost model against the MEASURED
 1-chip throughput, then (b) projects the table-parallel plan across slice
-sizes with the MCMC-searched placement, printing per-chip examples/s and
-scaling efficiency. The same protocol the reference uses for its simulator
-("simulated makespan per strategy", src/runtime/model.cc:1953-1955),
-anchored in real measurement like its profile-then-simulate design.
+sizes with the JOINT (owner, split, mode) annealer, printing per-chip
+examples/s and scaling efficiency. Same protocol as the reference's
+simulated-makespan reporting (src/runtime/model.cc:1953-1955), anchored in
+real measurement like its profile-then-simulate design.
+
+v2 model notes (this round):
+- a v5e-64 is ONE ICI slice (8x8 2D torus): the exchange rides per-axis
+  bisection; there is NO DCN inside the slice (round 1 wrongly modeled
+  host-to-host DCN and ring ICI -> 72.7%)
+- the packed-update kernel replaces the scatter (update cost = table pass
+  + ~2 ns/row instead of 75 ns/row), so far smaller split degrees hold the
+  per-chip update at its floor
+- the step is scored by the event-driven DAG schedule: the pooled exchange
+  overlaps the bottom MLP, the dense-grad allreduce overlaps the embedding
+  update
 
 Run: python scripts/scaling_projection.py [--config kaggle|summit]
-     [--per-chip-batch 8192] [--measured-exps 1270000 --measured-batch 65536]
+     [--per-chip-batch 8192] [--measured-exps 2959898 --measured-batch 65536]
 """
 import argparse
 import sys
 
 sys.path.insert(0, ".")
 
-from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType, SGDOptimizer
+from dlrm_flexflow_tpu import FFConfig
 from dlrm_flexflow_tpu.autotune.machine import preset
-from dlrm_flexflow_tpu.autotune.search import autotune_plan, graph_to_cost_spec
+from dlrm_flexflow_tpu.autotune.search import autotune_plan_joint
 from dlrm_flexflow_tpu.models.dlrm import kaggle_config, make_dlrm_model, summit_config
 
 
 def build(config_name: str, batch: int):
-    # graph only: the cost model needs op shapes/stats, not initialized
-    # parameters (compile() would allocate the full tables)
     cfg = {"kaggle": kaggle_config, "summit": summit_config}[config_name](
         batch_size=batch
     )
     return make_dlrm_model(cfg, FFConfig(batch_size=batch, compute_dtype="bfloat16"))
 
 
+def machine_for(chips: int):
+    return preset("tpu_v5e", num_chips=chips).torus_for(chips)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle", choices=["kaggle", "summit"])
     ap.add_argument("--per-chip-batch", type=int, default=8192)
-    ap.add_argument("--measured-exps", type=float, default=0.0,
-                    help="measured 1-chip examples/s for anchoring")
-    ap.add_argument("--measured-batch", type=int, default=0)
-    ap.add_argument("--budget", type=int, default=4000)
+    ap.add_argument("--measured-exps", type=float, default=2_959_898.0,
+                    help="measured 1-chip examples/s for anchoring (0=off)")
+    ap.add_argument("--measured-batch", type=int, default=65536)
+    ap.add_argument("--budget", type=int, default=12000)
     args = ap.parse_args()
 
-    # anchor: simulate 1 chip at the measured batch, scale step_overhead /
-    # bandwidths implicitly via the anchor ratio
     anchor_ratio = 1.0
     if args.measured_exps > 0 and args.measured_batch > 0:
         model = build(args.config, args.measured_batch)
-        m1 = preset("tpu_v5e", num_chips=1)
-        _, pred_us, _ = autotune_plan(model.graph, m1, args.measured_batch,
-                                      budget=1, min_vocab=8192,
-                                      exchange_dtype_bytes=2.0)
+        _, pred_us, _ = autotune_plan_joint(
+            model.graph, machine_for(1), args.measured_batch, budget=1,
+            min_vocab=8192, exchange_dtype_bytes=2.0,
+        )
         pred_exps = args.measured_batch / (pred_us / 1e6)
         anchor_ratio = args.measured_exps / pred_exps
         print(f"# anchor: measured {args.measured_exps:,.0f} ex/s, "
@@ -59,13 +70,13 @@ def main():
     rows = []
     base_per_chip = None
     for chips in (1, 4, 8, 16, 32, 64):
-        gb = args.per_chip_batch * chips  # weak scaling (per-chip batch fixed)
+        gb = args.per_chip_batch * chips  # weak scaling
         model = build(args.config, gb)
-        m = preset("tpu_v5e", num_chips=chips)
-        owner, best_us, report = autotune_plan(
-            model.graph, m, gb, budget=args.budget if chips > 1 else 1,
-            search_splits=chips > 1,
-            min_vocab=8192,  # match the runtime one-hot threshold default
+        owner, best_us, report = autotune_plan_joint(
+            model.graph, machine_for(chips), gb,
+            budget=args.budget if chips > 1 else 1,
+            allow_splits=chips > 1,
+            min_vocab=8192,  # seed mode matches the runtime one-hot default
             exchange_dtype_bytes=2.0,  # bench runs bf16 compute
         )
         exps = gb / (best_us / 1e6) * anchor_ratio
@@ -81,7 +92,6 @@ def main():
         print(f"chips={chips:3d} global_bs={gb:7d} projected={exps:12,.0f} ex/s "
               f"per-chip={per_chip:10,.0f} scaling-eff={eff:6.1%} "
               f"split_tables={n_split}(max {max(sp) if sp else 1})  [{bd_s}]")
-    # north star (BASELINE.md): 1 host (8 chips) -> 64 chips
     per = {c: pc for c, _, pc, _ in rows}
     if 8 in per and 64 in per:
         host_eff = per[64] / per[8]
