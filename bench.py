@@ -168,7 +168,10 @@ def main():
     a2a_gbps = 0.0
     layout = getattr(model, "_embedding_layout", None)
     if mesh is not None and layout is not None:
-        step_bytes = 3 * layout.pooled_exchange_bytes(args.batch_size)
+        dtype_bytes = 2 if args.compute_dtype in ("bfloat16", "float16") else 4
+        step_bytes = layout.step_exchange_bytes(
+            args.batch_size, dtype_bytes=dtype_bytes
+        )
         a2a_gbps = step_bytes * args.steps / dt / 1e9
     print(
         f"# config={args.config} bs={args.batch_size} steps={args.steps} "

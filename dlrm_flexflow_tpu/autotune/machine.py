@@ -137,38 +137,53 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
     import jax.numpy as jnp
     import numpy as np
 
-    table = jnp.zeros((vocab, dim), jnp.float32)
+    # measure STREAMS concurrent gathers/scatters: the model charges each
+    # table's lookup at gather_gbps and a DLRM step runs its tables'
+    # gathers concurrently, so the effective per-stream bandwidth is what
+    # the cost model needs (a serial single-gather measurement would
+    # overstate the cost ~4x — latency hiding across independent ops)
+    streams = 8
+    tables = [jnp.zeros((vocab, dim), jnp.float32) for _ in range(streams)]
     idx = jnp.asarray(
-        np.random.default_rng(0).integers(0, vocab, size=(batch,)), jnp.int32
+        np.random.default_rng(0).integers(
+            0, vocab, size=(streams, batch)
+        ), jnp.int32,
     )
     g = jnp.ones((batch, dim), jnp.float32)
 
     @jax.jit
-    def gather_n(t, i):
+    def gather_n(ts, i):
         def body(c, k):
-            # vary the indices per step so the loop isn't hoisted
-            return c + jnp.take(t, (i + k) % vocab, axis=0).sum(), 0.0
+            acc = jnp.zeros(())
+            for s, t in enumerate(ts):
+                # vary the indices per step so the loop isn't hoisted
+                acc = acc + t.at[(i[s] + k) % vocab].get(
+                    mode="promise_in_bounds"
+                )[0, 0]
+            return c + acc, 0.0
         c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(repeats))
         return c
 
     @jax.jit
-    def scatter_n(t, i, g):
-        def body(t, k):
-            return t.at[(i + k) % vocab].add(g), 0.0
-        t, _ = jax.lax.scan(body, t, jnp.arange(repeats))
-        return t
+    def scatter_n(ts, i, g):
+        def body(ts, k):
+            return tuple(
+                t.at[(i[s] + k) % vocab].add(g) for s, t in enumerate(ts)
+            ), 0.0
+        ts, _ = jax.lax.scan(body, tuple(ts), jnp.arange(repeats))
+        # consume every chain (returning one table would let XLA dead-code
+        # the other streams and inflate the measurement streams-fold)
+        return sum(t[0, 0] for t in ts)
 
-    _ = float(gather_n(table, idx))
+    _ = float(gather_n(tables, idx))
     t0 = time.perf_counter()
-    _ = float(gather_n(table, idx))
-    g_time = (time.perf_counter() - t0) / repeats
+    _ = float(gather_n(tables, idx))
+    g_time = (time.perf_counter() - t0) / repeats / streams
 
-    t2 = scatter_n(table, idx, g)
-    _ = float(t2[0, 0])
+    _ = float(scatter_n(tables, idx, g))
     t0 = time.perf_counter()
-    t2 = scatter_n(table, idx, g)
-    _ = float(t2[0, 0])
-    s_time = (time.perf_counter() - t0) / repeats
+    _ = float(scatter_n(tables, idx, g))
+    s_time = (time.perf_counter() - t0) / repeats / streams
 
     bytes_moved = batch * dim * 4
     return dataclasses.replace(
@@ -176,3 +191,88 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
         gather_gbps=max(bytes_moved / g_time / 1e9, 0.1),
         scatter_gbps=max(bytes_moved / s_time / 1e9, 0.1),
     )
+
+
+def solve_update_model(t1_s: float, k1: int, t2_s: float, k2: int,
+                       table_bytes_total: float):
+    """Fit t(K) = 2*table_bytes/pass_bw + K*ns from two measurements of the
+    packed-update kernel (pure function; unit-tested)."""
+    ns = (t2_s - t1_s) / max(k2 - k1, 1) * 1e9
+    ns = max(0.1, ns)
+    pass_time = max(t1_s - k1 * ns * 1e-9, 1e-6)
+    pass_gbps = 2.0 * table_bytes_total / pass_time / 1e9
+    return max(10.0, min(pass_gbps, 3000.0)), min(ns, 1000.0)
+
+
+def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
+                     tables: int = 4, repeats: int = 8) -> MachineSpec:
+    """Measure the packed-update kernel's table-pass bandwidth and
+    per-row cost on the real device and fold them into the spec — the v2
+    analog of the reference's per-(op,config) kernel profiling
+    (src/runtime/model.cu:20-64). Two K points separate the two terms."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.pallas.packed_update import pack_table, packed_row_update_batched
+
+    packs = [
+        pack_table(jnp.zeros((vocab, dim), jnp.float32)) for _ in range(tables)
+    ]
+    table_bytes = float(sum(p.size * 4 for p in packs))
+
+    def timed_at(k: int) -> float:
+        idx = jax.random.randint(
+            jax.random.PRNGKey(1), (repeats, tables, k), 0, vocab, jnp.int32
+        )
+        g = jnp.ones((tables, k, dim), jnp.float32)
+
+        @jax.jit
+        def loop(packs, idx):
+            def body(c, i):
+                newc = packed_row_update_batched(
+                    list(c), [i[t] for t in range(tables)],
+                    [g[t] for t in range(tables)], [vocab] * tables, dim,
+                )
+                return tuple(newc), 0.0
+            c, _ = jax.lax.scan(body, tuple(packs), idx)
+            return c[0]
+
+        out = loop(packs, idx)
+        _ = float(jnp.sum(out).astype(jnp.float32))
+        t0 = time.perf_counter()
+        out = loop(packs, idx)
+        _ = float(jnp.sum(out).astype(jnp.float32))
+        return (time.perf_counter() - t0) / repeats
+
+    k1, k2 = 16384, 65536
+    t1, t2 = timed_at(k1), timed_at(k2)
+    pass_gbps, ns = solve_update_model(
+        t1, k1 * tables, t2, k2 * tables, table_bytes
+    )
+    return dataclasses.replace(
+        spec, update_pass_gbps=pass_gbps, update_ns_per_row=ns
+    )
+
+
+def calibrate_or_cached(spec: MachineSpec, cache_path: str) -> MachineSpec:
+    """Auto-calibration at first compile (reference: profile-then-simulate,
+    measured per-op costs cached across the search): load the cached
+    machine file if present, else measure on the device and write it."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        cached = MachineSpec.from_file(cache_path)
+        return dataclasses.replace(
+            cached,
+            num_chips=spec.num_chips, chips_per_host=spec.chips_per_host,
+            ici_axis_x=spec.ici_axis_x, ici_axis_y=spec.ici_axis_y,
+            ici_domain=spec.ici_domain, model_axis=spec.model_axis,
+        )
+    spec = calibrate(spec)
+    spec = calibrate_packed(spec)
+    if cache_path:
+        spec.save(cache_path)
+    return spec

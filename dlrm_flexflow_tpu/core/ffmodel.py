@@ -846,6 +846,23 @@ class FFModel:
         # (a v5e slice is one all-ICI 2D torus; DCN only across slices)
         if machine.ici_axis_x <= 0 and machine.ici_domain <= 0:
             machine = machine.torus_for(n)  # one all-ICI slice by default
+        # auto-calibration at first compile on a real TPU: measure the
+        # gather/scatter/packed-update constants once, cache the machine
+        # file next to the strategy file, load on re-runs (reference:
+        # measured per-(op,config) costs, model.cu:20-64)
+        if (
+            not self.config.machine_model_file
+            and _jax.default_backend() == "tpu"
+        ):
+            from ..autotune.machine import calibrate_or_cached
+
+            cache = (
+                self.config.export_strategy_file + ".machine.json"
+                if self.config.export_strategy_file
+                else ".ffsim_machine.json"
+            )
+            machine = calibrate_or_cached(machine, cache)
+            print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 
         owner, cost_us, report = autotune_plan_joint(

@@ -40,7 +40,7 @@ def load_criteo(
             y = np.asarray(z["y"], np.float32)
     else:
         assert HAS_H5PY, f"h5py unavailable; convert {path} to .npz"
-        with h5py.File(path, "r") as f:  # pragma: no cover
+        with h5py.File(path, "r") as f:
             x_int = np.asarray(f["X_int"], np.float32)
             x_cat = np.asarray(f["X_cat"], np.int64)
             y = np.asarray(f["y"], np.float32)

@@ -29,10 +29,45 @@ def _synthetic_classification(
     return x.reshape((n,) + shape), y
 
 
+def _read_idx(path: str) -> np.ndarray:
+    """Read an IDX-format file (the canonical MNIST distribution:
+    train-images-idx3-ubyte[.gz] etc. — magic, dims, big-endian)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = int.from_bytes(f.read(4), "big")
+        ndim = magic & 0xFF
+        dtype = {
+            0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+            0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64,
+        }[(magic >> 8) & 0xFF]
+        shape = tuple(
+            int.from_bytes(f.read(4), "big") for _ in range(ndim)
+        )
+        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
+        return data.reshape(shape).astype(dtype)
+
+
 def load_mnist(path: Optional[str] = None, synthetic_n: int = 10000):
-    """reference: keras/datasets/mnist.py load_data(). Local 'mnist.npz'
-    (keras format: x_train/y_train/x_test/y_test) or synthetic surrogate.
+    """reference: keras/datasets/mnist.py load_data(). `path` may be a
+    keras-style 'mnist.npz' OR a directory holding the canonical IDX files
+    (train-images-idx3-ubyte[.gz], train-labels-idx1-ubyte[.gz],
+    t10k-images-idx3-ubyte[.gz], t10k-labels-idx1-ubyte[.gz]); without a
+    path a deterministic synthetic surrogate is produced.
     Returns ((x_train, y_train), (x_test, y_test)) with x uint8 [N, 28, 28]."""
+    if path and os.path.isdir(path):
+        def find(stem):
+            for suffix in ("", ".gz"):
+                p = os.path.join(path, stem + suffix)
+                if os.path.exists(p):
+                    return p
+            raise FileNotFoundError(f"{stem}[.gz] not in {path}")
+
+        return (
+            (_read_idx(find("train-images-idx3-ubyte")),
+             _read_idx(find("train-labels-idx1-ubyte")).astype(np.int64)),
+            (_read_idx(find("t10k-images-idx3-ubyte")),
+             _read_idx(find("t10k-labels-idx1-ubyte")).astype(np.int64)),
+        )
     if path and os.path.exists(path):
         with np.load(path, allow_pickle=True) as f:
             return (f["x_train"], f["y_train"]), (f["x_test"], f["y_test"])

@@ -266,6 +266,32 @@ class ShardedEmbeddingLayout:
         total = global_batch * h * self.th_max * self.dim * dtype_bytes
         return total * (h - 1) // h
 
+    def step_exchange_bytes(self, global_batch: int, bag: int = 1,
+                            dtype_bytes: int = 4) -> int:
+        """Total interconnect bytes of ONE training step's pooled exchange
+        under this layout's mode (fwd + bwd; the BASELINE.md all-to-all
+        GB/s metric). Dense mode: 2 pooled all-to-alls + the index
+        exchange. Routed: compact index + row + grad buckets, independent
+        of split degree."""
+        n = self.num_shards
+        if self.exchange == "routed":
+            total = 0
+            split = self.split or [1] * self.num_tables
+            for t in range(self.num_tables):
+                s = max(1, split[t])
+                cap = (
+                    1.0 if (s == 1 or self.routed_cap_factor <= 0)
+                    else self.routed_cap_factor
+                )
+                entries = global_batch * bag * cap
+                # idx there (fwd) + rows back (fwd) + idx + grads (bwd)
+                total += int(entries * (2 * 4 + 2 * self.dim * dtype_bytes))
+            return total * (n - 1) // n
+        idx_bytes = 4 * global_batch * n * self.t_max * bag * (n - 1) // n
+        return 3 * self.pooled_exchange_bytes(global_batch, dtype_bytes) + (
+            2 * idx_bytes  # fwd + bwd index exchanges
+        )
+
     def init_params(self, key: jax.Array, initializer, dtype=jnp.float32) -> jax.Array:
         """Build [N, R_pad, D] with each table initialized as one standalone
         [vocab, D] table (fan shapes match single-table init; sub-tables

@@ -253,3 +253,37 @@ def test_autotune_plan_joint_end_to_end():
     assert len(owner) + n_repl == 5
     assert len(report["table_split"]) == len(owner)
     assert report["breakdown"]["total_us"] == pytest.approx(cost)
+
+
+def test_solve_update_model_roundtrip():
+    from dlrm_flexflow_tpu.autotune.machine import solve_update_model
+
+    table_bytes = 4 * 1_000_000 * 16 * 4.0
+    true_pass, true_ns = 900.0, 2.0
+    def t(k):
+        return 2 * table_bytes / (true_pass * 1e9) + k * true_ns * 1e-9
+    pass_gbps, ns = solve_update_model(
+        t(65536), 65536, t(262144), 262144, table_bytes
+    )
+    assert abs(pass_gbps - true_pass) / true_pass < 0.01
+    assert abs(ns - true_ns) < 0.05
+
+
+def test_calibrate_or_cached_load_path(tmp_path):
+    from dlrm_flexflow_tpu.autotune.machine import (
+        MachineSpec, calibrate_or_cached, preset,
+    )
+
+    cached = preset("tpu_v5e", num_chips=1)
+    cached.update_pass_gbps = 777.0
+    cached.update_ns_per_row = 3.14
+    cached.gather_gbps = 42.0
+    path = str(tmp_path / "m.machine.json")
+    cached.save(path)
+    spec = preset("tpu_v5e", num_chips=16).torus_for(16)
+    out = calibrate_or_cached(spec, path)
+    # measured constants come from the cache; topology stays current
+    assert out.update_pass_gbps == 777.0
+    assert out.gather_gbps == 42.0
+    assert out.num_chips == 16 and out.ici_domain == 16
+    assert (out.ici_axis_x, out.ici_axis_y) == (4, 4)

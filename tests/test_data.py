@@ -135,3 +135,25 @@ def test_loader_shuffled_batches_use_native_gather():
             assert lbl[r, 0] == labels[j, 0]
             seen.append(j)
     assert sorted(seen) == list(range(64))
+
+
+def test_load_criteo_h5_fixture(tmp_path):
+    """The reference's primary dataset format (HDF5 X_int/X_cat/y,
+    examples/cpp/DLRM/dlrm.cc:281-325) loads via the same schema."""
+    h5py = pytest.importorskip("h5py")
+    from dlrm_flexflow_tpu.data.criteo import load_criteo
+
+    rng = np.random.RandomState(0)
+    x_int = rng.rand(32, 13).astype(np.float32)
+    x_cat = rng.randint(0, 50, (32, 4)).astype(np.int64)
+    y = rng.randint(0, 2, 32).astype(np.float32)
+    path = str(tmp_path / "criteo.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("X_int", data=x_int)
+        f.create_dataset("X_cat", data=x_cat)
+        f.create_dataset("y", data=y)
+    feeds, labels, vocabs = load_criteo(path)
+    np.testing.assert_allclose(feeds["dense_features"], x_int)
+    np.testing.assert_array_equal(feeds["sparse_2"][:, 0], x_cat[:, 2])
+    assert labels.shape == (32, 1)
+    assert vocabs == [int(x_cat[:, i].max()) + 1 for i in range(4)]

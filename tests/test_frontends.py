@@ -396,3 +396,74 @@ def test_keras_embedding_layer_trains():
     y = rng.randint(0, 2, (32, 1)).astype(np.float32)
     hist = model.fit(x, y, epochs=1, verbose=False)
     assert 0.0 <= hist["accuracy"] <= 1.0
+
+
+def test_mnist_idx_file_loader(tmp_path):
+    """Canonical IDX-format MNIST files (as downloaded) load correctly,
+    gzipped and raw (reference: keras/datasets/mnist.py load_data)."""
+    import gzip as _gzip
+    import struct
+
+    from dlrm_flexflow_tpu.frontends.datasets import load_mnist
+
+    rng = np.random.RandomState(0)
+
+    def write_idx_images(path, arr, gz=False):
+        head = struct.pack(">i", 0x00000803) + struct.pack(
+            ">iii", arr.shape[0], arr.shape[1], arr.shape[2]
+        )
+        data = head + arr.astype(np.uint8).tobytes()
+        (_gzip.open(path, "wb") if gz else open(path, "wb")).write(data)
+
+    def write_idx_labels(path, arr, gz=False):
+        data = struct.pack(">i", 0x00000801) + struct.pack(
+            ">i", arr.shape[0]
+        ) + arr.astype(np.uint8).tobytes()
+        (_gzip.open(path, "wb") if gz else open(path, "wb")).write(data)
+
+    xtr = rng.randint(0, 255, (12, 28, 28)).astype(np.uint8)
+    ytr = rng.randint(0, 10, 12).astype(np.uint8)
+    xte = rng.randint(0, 255, (5, 28, 28)).astype(np.uint8)
+    yte = rng.randint(0, 10, 5).astype(np.uint8)
+    d = str(tmp_path)
+    write_idx_images(f"{d}/train-images-idx3-ubyte.gz", xtr, gz=True)
+    write_idx_labels(f"{d}/train-labels-idx1-ubyte.gz", ytr, gz=True)
+    write_idx_images(f"{d}/t10k-images-idx3-ubyte", xte)
+    write_idx_labels(f"{d}/t10k-labels-idx1-ubyte", yte)
+    (tr_x, tr_y), (te_x, te_y) = load_mnist(d)
+    np.testing.assert_array_equal(tr_x, xtr)
+    np.testing.assert_array_equal(tr_y, ytr.astype(np.int64))
+    np.testing.assert_array_equal(te_x, xte)
+    np.testing.assert_array_equal(te_y, yte.astype(np.int64))
+
+
+def test_mnist_npz_and_cifar_pickle_loaders(tmp_path):
+    import pickle as _pickle
+
+    from dlrm_flexflow_tpu.frontends.datasets import load_cifar10, load_mnist
+
+    rng = np.random.RandomState(1)
+    xtr = rng.randint(0, 255, (8, 28, 28)).astype(np.uint8)
+    ytr = rng.randint(0, 10, 8)
+    np.savez(tmp_path / "mnist.npz", x_train=xtr, y_train=ytr,
+             x_test=xtr[:2], y_test=ytr[:2])
+    (a, b), (c, d) = load_mnist(str(tmp_path / "mnist.npz"))
+    np.testing.assert_array_equal(a, xtr)
+
+    cdir = tmp_path / "cifar"
+    cdir.mkdir()
+    for i in range(1, 6):
+        batch = {
+            b"data": rng.randint(0, 255, (4, 3072)).astype(np.uint8),
+            b"labels": list(rng.randint(0, 10, 4)),
+        }
+        with open(cdir / f"data_batch_{i}", "wb") as f:
+            _pickle.dump(batch, f)
+    with open(cdir / "test_batch", "wb") as f:
+        _pickle.dump({
+            b"data": rng.randint(0, 255, (3, 3072)).astype(np.uint8),
+            b"labels": list(rng.randint(0, 10, 3)),
+        }, f)
+    (cx, cy), (tx, ty) = load_cifar10(str(cdir))
+    assert cx.shape == (20, 3, 32, 32) and tx.shape == (3, 3, 32, 32)
+    assert len(cy) == 20 and len(ty) == 3

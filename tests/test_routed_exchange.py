@@ -174,3 +174,29 @@ def test_routed_model_end_to_end():
             ls.append(model.train_batch(batch, labels[bs * i : bs * (i + 1)]))
         losses[mode] = ls
     np.testing.assert_allclose(losses["routed"], losses["dense"], rtol=1e-5)
+
+
+def test_step_exchange_bytes_reporting():
+    """The bench's all-to-all GB/s metric must not rot: byte counts are
+    computed from the layout and asserted here for all three modes."""
+    n, b = 8, 64
+    layout_d = _layout([100, 200, 300, 400], [1, 1, 1, 1], n)
+    # dense: pooled fwd+bwd (3x pooled volume) + 2 index exchanges
+    pooled = b * n * layout_d.t_max * layout_d.dim * 4 * (n - 1) // n
+    idx = 4 * b * n * layout_d.t_max * (n - 1) // n
+    assert layout_d.step_exchange_bytes(b) == 3 * pooled + 2 * idx
+
+    layout_r = _layout([100, 200, 300, 400], [1, 2, 4, 1], n)
+    layout_r.exchange = "routed"
+    layout_r.routed_cap_factor = 2.0
+    expect = 0
+    for s in (1, 2, 4, 1):
+        cap = 1.0 if s == 1 else 2.0
+        expect += int(b * cap * (8 + 2 * layout_r.dim * 4))
+    assert layout_r.step_exchange_bytes(b) == expect * (n - 1) // n
+    # routed volume must be split-degree independent (same tables, deeper
+    # splits -> byte count does NOT grow with t_max the way dense does)
+    layout_r8 = _layout([100, 200, 300, 400], [1, 8, 8, 1], n)
+    layout_r8.exchange = "routed"
+    layout_r8.routed_cap_factor = 2.0
+    assert layout_r8.step_exchange_bytes(b) == layout_r.step_exchange_bytes(b)
