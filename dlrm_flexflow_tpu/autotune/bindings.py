@@ -45,6 +45,7 @@ class FFSimMachine(ctypes.Structure):
         ("ici_domain", ctypes.c_int32),
         ("update_pass_gbps", ctypes.c_double),
         ("update_ns_per_row", ctypes.c_double),
+        ("update_us_per_table", ctypes.c_double),
         ("use_dag", ctypes.c_int32),
         ("routed_exchange", ctypes.c_int32),
         ("routed_cap", ctypes.c_double),

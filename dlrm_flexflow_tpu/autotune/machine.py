@@ -51,11 +51,12 @@ class MachineSpec:
     # chips per ICI domain (slice); 0 => num_chips (single slice)
     ici_domain: int = 0
     # packed-update kernel model (ops/pallas/packed_update.py): sequential
-    # table-pass bandwidth + per-lookup overhead. Calibrated from the
-    # measured 10-table batched update (2.86 ms for 655k rows incl. 1.3 GB
-    # of table passes). 0 => legacy scatter model.
+    # table-pass bandwidth + per-lookup overhead + per-table fixed cost
+    # (kernel launch, chunk-starts prep). Calibrated on-device at compile.
+    # 0 => legacy scatter model.
     update_pass_gbps: float = 900.0
     update_ns_per_row: float = 2.0
+    update_us_per_table: float = 100.0
     # score with the event-driven DAG schedule (a2a overlaps bottom MLP,
     # allreduce overlaps the embedding update)
     use_dag: int = 1
@@ -193,39 +194,53 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
     )
 
 
-def solve_update_model(t1_s: float, k1: int, t2_s: float, k2: int,
-                       table_bytes_total: float):
-    """Fit t(K) = 2*table_bytes/pass_bw + K*ns from two measurements of the
-    packed-update kernel (pure function; unit-tested)."""
-    ns = (t2_s - t1_s) / max(k2 - k1, 1) * 1e9
-    ns = max(0.1, ns)
-    pass_time = max(t1_s - k1 * ns * 1e-9, 1e-6)
-    pass_gbps = 2.0 * table_bytes_total / pass_time / 1e9
-    return max(10.0, min(pass_gbps, 3000.0)), min(ns, 1000.0)
+def solve_update_model4(m1: float, m2: float, m3: float, m4: float,
+                        k1: int, k2: int, t1: int, t2: int,
+                        tb_small: float, tb_big: float):
+    """Fit t(K, T, V) = F + T*(2*tb/pass + per_table) + T*K*ns from FOUR
+    packed-update measurements: (k1, t1, small), (k2, t1, small),
+    (k2, t2, small), (k2, t1, big). A vocab-varied point isolates the
+    bytes-proportional pass from the per-table fixed cost (kernel launch,
+    chunk-starts prep) — conflating them overcharges multi-million-row
+    tables; the per-step fixed term F keeps both honest. Returns
+    (pass_gbps, ns, per_table_us, fixed_us)."""
+    ns = (m2 - m1) / max(t1 * (k2 - k1), 1) * 1e9
+    ns = max(0.1, min(ns, 1000.0))
+    pass_per_byte = max((m4 - m2) / max(t1 * 2.0 * (tb_big - tb_small), 1.0),
+                        1e-13)
+    pass_gbps = max(10.0, min(1.0 / pass_per_byte / 1e9, 3000.0))
+    per_table = max(
+        (m3 - m2 - (t2 - t1) * k2 * ns * 1e-9) / max(t2 - t1, 1)
+        - 2.0 * tb_small / (pass_gbps * 1e9),
+        0.0,
+    )
+    fixed = (m1 - t1 * (2.0 * tb_small / (pass_gbps * 1e9) + per_table)
+             - t1 * k1 * ns * 1e-9)
+    return pass_gbps, ns, per_table * 1e6, max(0.0, fixed) * 1e6
 
 
 def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
-                     tables: int = 4, repeats: int = 8) -> MachineSpec:
-    """Measure the packed-update kernel's table-pass bandwidth and
-    per-row cost on the real device and fold them into the spec — the v2
-    analog of the reference's per-(op,config) kernel profiling
-    (src/runtime/model.cu:20-64). Two K points separate the two terms."""
+                     repeats: int = 8) -> MachineSpec:
+    """Measure the packed-update kernel's table-pass bandwidth, per-row
+    cost, and per-step fixed overhead on the real device — the v2 analog
+    of the reference's per-(op,config) kernel profiling
+    (src/runtime/model.cu:20-64). Three (K, tables) points separate the
+    three terms."""
     import time
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ..ops.pallas.packed_update import pack_table, packed_row_update_batched
 
-    packs = [
-        pack_table(jnp.zeros((vocab, dim), jnp.float32)) for _ in range(tables)
-    ]
-    table_bytes = float(sum(p.size * 4 for p in packs))
-
-    def timed_at(k: int) -> float:
+    def timed_at(k: int, tables: int, v: int = 0) -> float:
+        v = v or vocab
+        packs = [
+            pack_table(jnp.zeros((v, dim), jnp.float32))
+            for _ in range(tables)
+        ]
         idx = jax.random.randint(
-            jax.random.PRNGKey(1), (repeats, tables, k), 0, vocab, jnp.int32
+            jax.random.PRNGKey(1), (repeats, tables, k), 0, v, jnp.int32
         )
         g = jnp.ones((tables, k, dim), jnp.float32)
 
@@ -234,26 +249,77 @@ def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
             def body(c, i):
                 newc = packed_row_update_batched(
                     list(c), [i[t] for t in range(tables)],
-                    [g[t] for t in range(tables)], [vocab] * tables, dim,
+                    [g[t] for t in range(tables)], [v] * tables, dim,
                 )
                 return tuple(newc), 0.0
             c, _ = jax.lax.scan(body, tuple(packs), idx)
-            return c[0]
+            return sum(cc[0, 0] for cc in c)
 
         out = loop(packs, idx)
-        _ = float(jnp.sum(out).astype(jnp.float32))
+        _ = float(out)
         t0 = time.perf_counter()
         out = loop(packs, idx)
-        _ = float(jnp.sum(out).astype(jnp.float32))
+        _ = float(out)
         return (time.perf_counter() - t0) / repeats
 
-    k1, k2 = 16384, 65536
-    t1, t2 = timed_at(k1), timed_at(k2)
-    pass_gbps, ns = solve_update_model(
-        t1, k1 * tables, t2, k2 * tables, table_bytes
+    k1, k2, t1, t2 = 16384, 65536, 4, 8
+    big_vocab = vocab * 4
+    m1, m2, m3 = timed_at(k1, t1), timed_at(k2, t1), timed_at(k2, t2)
+    m4 = timed_at(k2, t1, big_vocab)
+    tb_small = float(
+        pack_table(jnp.zeros((vocab, dim), jnp.float32)).size * 4
+    )
+    tb_big = float(
+        pack_table(jnp.zeros((big_vocab, dim), jnp.float32)).size * 4
+    )
+    pass_gbps, ns, per_table_us, fixed_us = solve_update_model4(
+        m1, m2, m3, m4, k1, k2, t1, t2, tb_small, tb_big
     )
     return dataclasses.replace(
-        spec, update_pass_gbps=pass_gbps, update_ns_per_row=ns
+        spec, update_pass_gbps=pass_gbps, update_ns_per_row=ns,
+        update_us_per_table=per_table_us,
+        step_overhead_us=spec.step_overhead_us + fixed_us,
+    )
+
+
+def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
+                            vocab: int = 1_000_000, batch: int = 65536,
+                            streams: int = 8,
+                            repeats: int = 8) -> MachineSpec:
+    """Measure the PACKED forward gather (the runtime's actual lookup path,
+    ops/pallas/packed_update.packed_gather) with concurrent streams at the
+    bench batch regime; gather_gbps becomes the aggregate effective rate."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.packed_update import pack_table, packed_gather
+
+    packs = [
+        pack_table(jnp.zeros((vocab, dim), jnp.float32))
+        for _ in range(streams)
+    ]
+    idx = jax.random.randint(
+        jax.random.PRNGKey(2), (repeats, streams, batch), 0, vocab, jnp.int32
+    )
+
+    @jax.jit
+    def loop(packs, idx):
+        def body(c, i):
+            acc = jnp.zeros(())
+            for s, p in enumerate(packs):
+                acc = acc + packed_gather(p, i[s], dim)[0, 0]
+            return c + acc, 0.0
+        c, _ = jax.lax.scan(body, jnp.zeros(()), idx)
+        return c
+
+    _ = float(loop(packs, idx))
+    t0 = time.perf_counter()
+    _ = float(loop(packs, idx))
+    g_time = (time.perf_counter() - t0) / repeats / streams
+    return dataclasses.replace(
+        spec, gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1)
     )
 
 
@@ -272,6 +338,7 @@ def calibrate_or_cached(spec: MachineSpec, cache_path: str) -> MachineSpec:
             ici_domain=spec.ici_domain, model_axis=spec.model_axis,
         )
     spec = calibrate(spec)
+    spec = calibrate_packed_gather(spec)
     spec = calibrate_packed(spec)
     if cache_path:
         spec.save(cache_path)

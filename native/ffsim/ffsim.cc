@@ -268,7 +268,8 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
           c.upd_us[dev] +=
               2.0 * (op.table_rows / s) * op.row_bytes /
                   (m.update_pass_gbps * 1e3) +
-              (op.lookups / s) * m.update_ns_per_row * 1e-3;
+              (op.lookups / s) * m.update_ns_per_row * 1e-3 +
+              m.update_us_per_table;
         } else {
           c.upd_us[dev] += bytes / scatter_bpu;
         }

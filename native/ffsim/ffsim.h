@@ -61,6 +61,8 @@ struct FFSimMachine {
   // update_pass_gbps==0 => legacy scatter model (scatter_gbps).
   double update_pass_gbps;
   double update_ns_per_row;
+  double update_us_per_table;  // per-sub-table fixed cost (kernel launch,
+                               // chunk-starts prep) — NOT bytes-proportional
   // 1 => score with the event-driven DAG schedule of the step (overlap of
   // a2a with bottom-MLP compute, allreduce with embedding update);
   // 0 => closed-form serial sum (v1 behavior)

@@ -255,18 +255,24 @@ def test_autotune_plan_joint_end_to_end():
     assert report["breakdown"]["total_us"] == pytest.approx(cost)
 
 
-def test_solve_update_model_roundtrip():
-    from dlrm_flexflow_tpu.autotune.machine import solve_update_model
+def test_solve_update_model4_roundtrip():
+    from dlrm_flexflow_tpu.autotune.machine import solve_update_model4
 
-    table_bytes = 4 * 1_000_000 * 16 * 4.0
-    true_pass, true_ns = 900.0, 2.0
-    def t(k):
-        return 2 * table_bytes / (true_pass * 1e9) + k * true_ns * 1e-9
-    pass_gbps, ns = solve_update_model(
-        t(65536), 65536, t(262144), 262144, table_bytes
+    tb1 = 1_000_000 * 16 * 4.0
+    tb4 = 4 * tb1
+    true_pass, true_ns, true_pt, true_fixed = 700.0, 2.0, 3.3e-4, 1.5e-3
+    def t(k, tables, tb):
+        return (true_fixed
+                + tables * (2 * tb / (true_pass * 1e9) + true_pt)
+                + tables * k * true_ns * 1e-9)
+    pass_gbps, ns, pt_us, fixed_us = solve_update_model4(
+        t(16384, 4, tb1), t(65536, 4, tb1), t(65536, 8, tb1),
+        t(65536, 4, tb4), 16384, 65536, 4, 8, tb1, tb4,
     )
     assert abs(pass_gbps - true_pass) / true_pass < 0.01
     assert abs(ns - true_ns) < 0.05
+    assert abs(pt_us - 330.0) < 5.0
+    assert abs(fixed_us - 1500.0) < 10.0
 
 
 def test_calibrate_or_cached_load_path(tmp_path):
