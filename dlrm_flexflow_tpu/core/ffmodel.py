@@ -541,6 +541,23 @@ class FFModel:
                 from ..parallel.plan import enable_parameter_parallel
 
                 enable_parameter_parallel(plan, self.graph)
+            if plan.packed_pool is None:
+                # packed pool storage: scatter-free local updates via the
+                # Pallas packed kernel — TPU + plain-SGD row updates only
+                from ..ops.pallas import pallas_supported as _psup
+
+                plan.packed_pool = bool(
+                    (
+                        self.config.packed_tables == "on"
+                        or (
+                            self.config.packed_tables == "auto"
+                            and self.config.use_pallas != "off"
+                            and _psup()
+                        )
+                    )
+                    and isinstance(optimizer, SGDOptimizer)
+                    and optimizer.momentum == 0.0
+                )
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 

@@ -117,6 +117,12 @@ class ShardedEmbeddingLayout:
     exchange: str = "dense"
     # sub-bucket capacity factor for routed mode (0 = exact/fat)
     routed_cap_factor: float = 2.0
+    # packed pool storage ([R_pad*D/128, 128] per shard): the local row
+    # update runs the Pallas packed kernel (ops/pallas/packed_update.py)
+    # instead of the XLA scatter; requires D | 128, SUM pooling, and a
+    # row-local plain-SGD-style update (set by compile)
+    packed_pool: bool = False
+    pool_chunk_packs: int = 2048
     # derived
     t_max: int = 0  # max sub-tables per shard (exchange slots per shard)
     r_pad: int = 0  # padded rows per shard
@@ -165,6 +171,12 @@ class ShardedEmbeddingLayout:
                 off += length
             rows.append(off)
         self.r_pad = _round_up(max(max(rows), 1), 8)
+        if self.packed_pool and 128 % self.dim != 0:
+            self.packed_pool = False  # packed layout needs D | 128
+        if self.packed_pool:
+            # align so the packed pool tiles into whole kernel chunks
+            rows_per_chunk = self.pool_chunk_packs * 128 // self.dim
+            self.r_pad = _round_up(self.r_pad, rows_per_chunk)
         # remember the physical host grouping even when the hierarchical
         # exchange is degenerate (used by DCN-byte reporting for flat mode)
         self._phys_chips_per_host = self.chips_per_host
@@ -231,7 +243,13 @@ class ShardedEmbeddingLayout:
         return self.split is not None and any(s > 1 for s in self.split)
 
     def param_shape(self):
+        if self.packed_pool:
+            return (self.num_shards, self.pool_packs, 128)
         return (self.num_shards, self.r_pad, self.dim)
+
+    @property
+    def pool_packs(self) -> int:
+        return self.r_pad * self.dim // 128
 
     def param_spec(self, axis: str = "data") -> P:
         return P(axis, None, None)
@@ -296,19 +314,25 @@ class ShardedEmbeddingLayout:
         """Build [N, R_pad, D] with each table initialized as one standalone
         [vocab, D] table (fan shapes match single-table init; sub-tables
         slice it, so split degree does not change the init)."""
-        pool = jnp.zeros(self.param_shape(), dtype)
         tables = {
             t: initializer(jax.random.fold_in(key, t), (v, self.dim), dtype)
             for t, v in enumerate(self.vocab_sizes)
         }
+        logical = jnp.zeros((self.num_shards, self.r_pad, self.dim), dtype)
         for i, (t, start, length) in enumerate(self.subs):
             s = self.owner[i]
             off = int(self.row_offset[i])
-            pool = pool.at[s, off : off + length].set(tables[t][start : start + length])
-        return pool
+            logical = logical.at[s, off : off + length].set(
+                tables[t][start : start + length]
+            )
+        if self.packed_pool:
+            return logical.reshape(self.param_shape())
+        return logical
 
     def extract_table(self, pool, t: int) -> jax.Array:
         """Debug/checkpoint helper: recover table t as [vocab, D]."""
+        if self.packed_pool:
+            pool = pool.reshape(self.num_shards, self.r_pad, self.dim)
         parts = []
         for i, (tt, start, length) in enumerate(self.subs):
             if tt != t:
@@ -353,6 +377,38 @@ def _expand_by_slot(layout, idx_local):
     return jnp.where(keep, remapped, -1)
 
 
+
+def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
+                          optimizer, lr=None):
+    """Apply the per-shard row update: the Pallas packed kernel when the
+    pool is packed (scatter-free, ops/pallas/packed_update.py), else the
+    optimizer's scatter path. rows >= r_pad drop."""
+    if layout.packed_pool:
+        import jax as _jax
+
+        from ..ops.pallas.packed_update import packed_row_update
+        from ..training.optimizer import SGDOptimizer as _SGD
+
+        assert sstate2d is None, "packed pool supports stateless row updates"
+        assert isinstance(optimizer, _SGD) and optimizer.momentum == 0.0
+        rate = optimizer.lr if lr is None else lr
+        g = grads.astype(jnp.float32)
+        if optimizer.weight_decay != 0.0:
+            from ..ops.pallas.packed_update import packed_gather
+
+            decay = packed_gather(
+                pool_local2d, jnp.minimum(rows, layout.r_pad - 1), layout.dim
+            )
+            g = g + optimizer.weight_decay * decay
+        new_pool = packed_row_update(
+            pool_local2d, rows, -rate * g, layout.r_pad, layout.dim,
+            chunk_packs=layout.pool_chunk_packs,
+            interpret=_jax.default_backend() != "tpu",
+        )
+        return new_pool, None
+    return optimizer.sparse_row_update(pool_local2d, sstate2d, rows, grads, lr=lr)
+
+
 def sharded_embedding_lookup(
     layout: ShardedEmbeddingLayout,
     pool: jax.Array,  # [N, R_pad, D] sharded P(axis, None, None)
@@ -394,9 +450,16 @@ def sharded_embedding_lookup(
         )  # [N*B_loc, t_max, H]
         nb = n * b_loc
         flat = sent.reshape(nb * t_max, h)
-        table2d = pool_local[0]
         valid = flat >= 0
-        rows = jnp.take(table2d, jnp.where(valid, flat, 0), axis=0)
+        safe = jnp.where(valid, flat, 0)
+        if layout.packed_pool:
+            from ..ops.pallas.packed_update import packed_gather
+
+            rows = packed_gather(
+                pool_local[0], safe.reshape(-1), layout.dim
+            ).reshape(safe.shape + (layout.dim,))
+        else:
+            rows = jnp.take(pool_local[0], safe, axis=0)
         if compute_dtype is not None:
             rows = rows.astype(compute_dtype)
         rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
@@ -546,7 +609,9 @@ def sharded_embedding_sparse_update(
             g[:, :, None, :], (nb, t_max, h, g.shape[-1])
         ).reshape(nb * t_max * h, -1)
         st = sstate_local[0] if has_state else None
-        table, st = optimizer.sparse_row_update(pool_local[0], st, rows, grads, lr=lr)
+        table, st = local_pool_row_update(
+            layout, pool_local[0], st, rows, grads, optimizer, lr=lr
+        )
         if has_state:
             return table[None], st[None]
         return table[None]

@@ -151,6 +151,10 @@ class ShardingPlan:
     # buckets (parallel/routed_exchange.py; SUM pooling only)
     exchange: str = "dense"
     routed_cap_factor: float = 2.0
+    # store the sharded pool packed ([R_pad*D/128, 128] per shard) so the
+    # local row update runs the Pallas packed kernel instead of the XLA
+    # scatter (set by compile() from backend + optimizer; None = off)
+    packed_pool: Optional[bool] = None
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------ exec
@@ -251,6 +255,7 @@ class ShardingPlan:
             list(vocab_sizes), dim, num_shards, assignment,
             split=list(split) if split else None, chips_per_host=cph,
             exchange=self.exchange, routed_cap_factor=self.routed_cap_factor,
+            packed_pool=bool(self.packed_pool),
         )
 
     # ------------------------------------------------------------------ file IO

@@ -244,9 +244,13 @@ def routed_lookup_local(plan: RoutedPlan, layout, pool_local, idx_local,
     recv = jax.lax.all_to_all(
         bucket, axis, split_axis=0, concat_axis=0, tiled=True
     )  # [N_src, C_max] dest-local rows for MY sub-tables
-    table2d = pool_local[0]
-    safe = jnp.minimum(recv.reshape(-1), table2d.shape[0] - 1)
-    rows = jnp.take(table2d, safe, axis=0)
+    safe = jnp.minimum(recv.reshape(-1), layout.r_pad - 1)
+    if layout.packed_pool:
+        from ..ops.pallas.packed_update import packed_gather
+
+        rows = packed_gather(pool_local[0], safe, layout.dim)
+    else:
+        rows = jnp.take(pool_local[0], safe, axis=0)
     rows = jnp.where(
         (recv.reshape(-1) < layout.r_pad)[:, None], rows,
         jnp.zeros((), rows.dtype),
@@ -309,9 +313,12 @@ def routed_update_local(plan: RoutedPlan, layout, pool_local, sstate_local,
     recv_g = jax.lax.all_to_all(
         bucket_g, axis, split_axis=0, concat_axis=0, tiled=True
     ).reshape(-1, d)
+    from .embedding_collection import local_pool_row_update
+
     st = sstate_local[0] if sstate_local is not None else None
-    table, st = optimizer.sparse_row_update(
-        pool_local[0], st, recv_rows, recv_g.astype(jnp.float32), lr=lr
+    table, st = local_pool_row_update(
+        layout, pool_local[0], st, recv_rows, recv_g.astype(jnp.float32),
+        optimizer, lr=lr,
     )
     return table, st
 
