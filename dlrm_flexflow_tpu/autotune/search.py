@@ -419,6 +419,7 @@ def graph_to_cost_spec_v2(
     table_names: List[str] = []
     vocabs: List[int] = []
     edges: List[tuple] = []
+    dense_names: List[str] = []
     dense_idx_of_op = {}
     past_exchange = False
     embed_producers = set()
@@ -473,6 +474,7 @@ def graph_to_cost_spec_v2(
             }
             if kind == bindings.KIND_DENSE:
                 j = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
+                dense_names.append(op.name)
                 seen = set()
                 for t in op.inputs:
                     src = dense_idx_of_op.get(t.owner_op.name)
@@ -490,7 +492,8 @@ def graph_to_cost_spec_v2(
                         break
             ops.append(entry)
     num_dense = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
-    return ops, table_names, vocabs, num_dense, edges
+    assert len(dense_names) == num_dense
+    return ops, table_names, vocabs, num_dense, edges, dense_names
 
 
 def _greedy_owner(ops, vocabs, n: int) -> List[int]:
@@ -527,7 +530,7 @@ def autotune_plan_joint(
     greedy, and water-filled-split starts (the cheaper simulated result
     wins). Returns (per_table_owner, cost_us, report); report carries
     table_split / replicated_tables / tp / breakdown."""
-    ops, names, vocabs, num_dense, edges = graph_to_cost_spec_v2(
+    ops, names, vocabs, num_dense, edges, dense_names = graph_to_cost_spec_v2(
         graph, global_batch, exchange_dtype_bytes
     )
     nt = len(vocabs)
@@ -590,6 +593,7 @@ def autotune_plan_joint(
         "table_split": [split[i] for i in placed],
         "replicated_tables": [i for i, mv in enumerate(mode) if mv == 1],
         "tp": tp,
+        "tp_ops": [dense_names[j] for j, x in enumerate(tp) if x > 1],
         "exchange": "routed" if best_routed else "dense",
         "breakdown": bindings.breakdown2(
             m, ops, owner, split, mode, tp, opt_state_factor

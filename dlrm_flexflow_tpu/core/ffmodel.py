@@ -863,6 +863,9 @@ class FFModel:
         # (a v5e slice is one all-ICI 2D torus; DCN only across slices)
         if machine.ici_axis_x <= 0 and machine.ici_domain <= 0:
             machine = machine.torus_for(n)  # one all-ICI slice by default
+        # the mesh's model axis is the TP degree available to the search
+        if "model" in mesh.axis_names and machine.model_axis <= 1:
+            machine.model_axis = int(mesh.shape["model"])
         # auto-calibration at first compile on a real TPU: measure the
         # gather/scatter/packed-update constants once, cache the machine
         # file next to the strategy file, load on re-runs (reference:
@@ -903,9 +906,15 @@ class FFModel:
                 plan.table_split = split
             if (report or {}).get("replicated_tables") is not None:
                 plan.replicated_tables = report["replicated_tables"]
-            # per-op dense TP chosen by the search (runtime analog:
-            # enable_parameter_parallel op_specs)
-            if any(t > 1 for t in (report or {}).get("tp", [])):
+            # per-op dense TP chosen by the search: materialize the specs
+            # (reference analog: --enable-parameter-parallel, but per op)
+            tp_ops = set((report or {}).get("tp_ops", []))
+            if tp_ops and "model" in mesh.axis_names:
+                from ..parallel.plan import enable_parameter_parallel
+
+                enable_parameter_parallel(
+                    plan, self.graph, min_out_dim=2, only=tp_ops
+                )
                 self._search_tp = report["tp"]
             # exchange mode chosen by the search (dense vs routed buckets)
             if (report or {}).get("exchange") and plan.exchange == "dense":

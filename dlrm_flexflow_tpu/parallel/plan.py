@@ -313,7 +313,8 @@ def dlrm_hybrid_plan(policy: str = "greedy") -> ShardingPlan:
 
 
 def enable_parameter_parallel(
-    plan: ShardingPlan, graph, model_axis: str = "model", min_out_dim: int = 64
+    plan: ShardingPlan, graph, model_axis: str = "model", min_out_dim: int = 64,
+    only=None,
 ) -> ShardingPlan:
     """Add tensor-parallel (reference vocabulary: parameter-parallel) specs
     for Dense layers: the [out, in] kernel is sharded on its output-channel
@@ -330,6 +331,9 @@ def enable_parameter_parallel(
         plan.mesh_axes = tuple(plan.mesh_axes) + (model_axis,)
     for op in graph.compute_ops:
         if not isinstance(op, Dense) or op.out_dim < min_out_dim:
+            continue
+        if only is not None and op.name not in only:
+            # per-op TP selection from the joint search (tp_ops)
             continue
         if op.out_dim % 2 != 0:  # unsplittable heads (e.g. final dim 1)
             continue

@@ -220,7 +220,7 @@ def test_graph_lowering_v2_stages_and_edges():
         batch_size=64,
     )
     model = make_dlrm_model(cfg, FFConfig(batch_size=64))
-    ops, names, vocabs, nd, edges = graph_to_cost_spec_v2(model.graph, 64)
+    ops, names, vocabs, nd, edges, dnames = graph_to_cost_spec_v2(model.graph, 64)
     assert vocabs == [100, 200, 300]
     dense = [o for o in ops if o["kind"] == bindings.KIND_DENSE]
     assert len(dense) == nd == 4  # bot 4-16-8 = 2 layers + top 32-8-1 = 2
@@ -293,3 +293,44 @@ def test_calibrate_or_cached_load_path(tmp_path):
     assert out.gather_gbps == 42.0
     assert out.num_chips == 16 and out.ici_domain == 16
     assert (out.ici_axis_x, out.ici_axis_y) == (4, 4)
+
+
+def test_search_tp_applied_to_plan():
+    """When the mesh has a model axis and the joint search picks TP for a
+    dense op, compile must materialize the per-op sharding specs."""
+    import jax as _jax
+
+    from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    n = 8
+    bs = 8 * n
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[100000, 50],
+        embedding_bag_size=1,
+        # grossly MXU-bound dense stack with big params: TP should engage
+        mlp_bot=[13, 4096, 16],
+        mlp_top=[48, 4096, 1],
+        batch_size=bs,
+    )
+    ffc = FFConfig(batch_size=bs, compute_dtype="float32", search_budget=6000,
+                   onehot_embedding_threshold=1000)
+    model = make_dlrm_model(cfg, ffc)
+    mesh = make_mesh((n // 2, 2), ("data", "model"))
+    plan = dlrm_hybrid_plan()
+    plan.table_assignment = None
+    model.compile(SGDOptimizer(lr=0.01), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [], mesh=mesh, plan=plan)
+    rep = model._search_report
+    if rep.get("tp_ops"):
+        assert all(name in plan.op_specs for name in rep["tp_ops"]), (
+            rep["tp_ops"], list(plan.op_specs),
+        )
+    # either way the model must train
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    feeds, labels = random_batches(cfg, bs, seed=0)
+    assert np.isfinite(float(model.train_batch(feeds, labels)))
