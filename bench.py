@@ -31,7 +31,8 @@ INFER_BASELINE_EXAMPLES_PER_SEC = 4_400_000.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle",
-                    choices=["tiny", "kaggle", "mlperf", "summit"])
+                    choices=["tiny", "kaggle", "mlperf", "mlperf-lite",
+                             "summit"])
     # default batch is the best-known single-chip config (PERF.md sweep);
     # --reference-batch also reports the bs=8192 row for cross-round
     # comparability
@@ -57,6 +58,7 @@ def main():
         kaggle_config,
         make_dlrm_model,
         mlperf_config,
+        mlperf_lite_config,
         summit_config,
         tiny_config,
     )
@@ -65,6 +67,7 @@ def main():
         "tiny": tiny_config,
         "kaggle": kaggle_config,
         "mlperf": lambda batch_size: mlperf_config(batch_size=batch_size, num_tables=8),
+        "mlperf-lite": mlperf_lite_config,
         "summit": summit_config,
     }[args.config](batch_size=args.batch_size)
 

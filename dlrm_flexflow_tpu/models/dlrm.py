@@ -234,6 +234,16 @@ def mlperf_config(batch_size: int = 2048, num_tables: int = 26) -> DLRMConfig:
     )
 
 
+def mlperf_lite_config(batch_size: int = 2048, vocab_cap: int = 2_000_000) -> DLRMConfig:
+    """MLPerf Terabyte shapes (26 tables, D=128, dot interaction) with the
+    multi-hundred-million-row vocabs clipped so the model fits ONE chip —
+    the single-chip proxy for the pod-scale config (the full vocabs need
+    the table-parallel plan or host offload, training/host_offload.py)."""
+    cfg = mlperf_config(batch_size=batch_size)
+    cfg.embedding_size = [min(v, vocab_cap) for v in cfg.embedding_size]
+    return cfg
+
+
 def summit_config(batch_size: int = 512) -> DLRMConfig:
     """reference: examples/cpp/DLRM/run_summit.sh — synthetic 8x1M-row
     tables dim 64, bot 64-512-512-64, top 576-1024-1024-1024-1 (the
