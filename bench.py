@@ -16,8 +16,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 # Round-1 anchor measured on 1x TPU v5e (this framework, first working build):
 # kaggle-config DLRM, bf16 compute, SGD, batch 8192, sparse embedding updates
 # -> 902,918 examples/s. Later rounds are measured against this so

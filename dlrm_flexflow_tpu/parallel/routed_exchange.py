@@ -32,8 +32,6 @@ SUM pooling only (like row-splits: partials must sum exactly).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -96,10 +94,6 @@ class RoutedPlan:
         self.h = h
         self.b_loc = b_loc
         self.s_count = s_count
-        # owner view: for each dest, its slots in bucket order
-        self.dest_slots: List[List[int]] = [[] for _ in range(n)]
-        for i in range(s_count):
-            self.dest_slots[int(self.slot_dest[i])].append(i)
 
 
 def _classify(plan: RoutedPlan, layout, idx_local):

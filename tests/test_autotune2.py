@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from dlrm_flexflow_tpu.autotune import bindings
-from dlrm_flexflow_tpu.autotune.machine import MachineSpec, preset
+from dlrm_flexflow_tpu.autotune.machine import preset
 from dlrm_flexflow_tpu.autotune.search import (
     autotune_plan_joint,
     graph_to_cost_spec_v2,
@@ -276,9 +276,7 @@ def test_solve_update_model4_roundtrip():
 
 
 def test_calibrate_or_cached_load_path(tmp_path):
-    from dlrm_flexflow_tpu.autotune.machine import (
-        MachineSpec, calibrate_or_cached, preset,
-    )
+    from dlrm_flexflow_tpu.autotune.machine import calibrate_or_cached, preset
 
     cached = preset("tpu_v5e", num_chips=1)
     cached.update_pass_gbps = 777.0
@@ -298,8 +296,6 @@ def test_calibrate_or_cached_load_path(tmp_path):
 def test_search_tp_applied_to_plan():
     """When the mesh has a model axis and the joint search picks TP for a
     dense op, compile must materialize the per-op sharding specs."""
-    import jax as _jax
-
     from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
     from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
     from dlrm_flexflow_tpu.parallel.mesh import make_mesh

@@ -5,7 +5,6 @@ Reference analog for semantics: the embedding backward scatter-add
 (reference: src/ops/embedding.cu:192-217) fused with the optimizer update
 (src/runtime/optimizer_kernel.cu:44-113)."""
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

@@ -6,7 +6,6 @@ is the scale-out mode: per-chip work O(B_loc*T*H), wire independent of the
 split degree (VERDICT round-1 item #2; reference analog: Legion ships only
 the region intersections a consumer needs, simulator.cc:357-388)."""
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
@@ -133,8 +132,6 @@ def test_routed_capacity_drop_is_consistent():
 def test_routed_model_end_to_end():
     """Full model training with plan.exchange='routed' matches the dense
     exchange step for step on the fake mesh."""
-    import jax as _jax
-
     from dlrm_flexflow_tpu import (
         FFConfig, LossType, MetricsType, SGDOptimizer,
     )
