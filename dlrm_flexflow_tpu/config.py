@@ -72,8 +72,9 @@ class FFConfig:
     # "auto" packs a table only when its per-step update stream has at
     # least this many rows (batch * bag): below it the stream-sort and
     # whole-table kernel pass cost more than the XLA scatter they replace
-    # (measured crossover on v5e; "on" ignores the threshold)
-    packed_min_rows: int = 32768
+    # (measured on v5e: packed wins 1.36x at 16384 rows and loses at 8192;
+    # "on" ignores the threshold)
+    packed_min_rows: int = 16384
     # pooled-embedding exchange mode for the sharded collection: "dense"
     # slot exchange or "routed" capacity buckets (scale-out mode; wire and
     # per-chip work independent of split degree). Plan-level setting wins.
