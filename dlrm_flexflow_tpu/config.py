@@ -79,6 +79,11 @@ class FFConfig:
     # slot exchange or "routed" capacity buckets (scale-out mode; wire and
     # per-chip work independent of split degree). Plan-level setting wins.
     exchange: str = "dense"
+    # input pipeline precomputes the packed-update routing metadata
+    # (sort order / pack positions / chunk starts) on the HOST so the
+    # device step skips its stream sort (train_batch/fit path; bench
+    # has --host-routing)
+    host_routing: bool = False
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -171,6 +176,8 @@ class FFConfig:
                 self.packed_tables = take()
             elif a == "--exchange":
                 self.exchange = take()
+            elif a == "--host-routing":
+                self.host_routing = True
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

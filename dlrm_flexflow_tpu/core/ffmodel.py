@@ -681,6 +681,7 @@ class FFModel:
                 params[op.name] = op.pack_params(params[op.name])
             else:
                 op.packed = False
+        self._route_ops = [op for op in sparse_ops if getattr(op, "packed", False)]
 
         def forward_only(params, feeds, training, rng):
             ctx = OpContext(
@@ -756,9 +757,23 @@ class FFModel:
             new_params = dict(new_dense)
             from ..training.sparse_engine import apply_sparse_updates
 
+            # host-precomputed routing metadata rides in reserved feed keys
+            # ("_route:<op>:<field>"; see compute_routes) — index-derived,
+            # so the input pipeline supplies it and the step skips the
+            # on-device stream sort
+            route_fields: Dict[str, Dict[str, Any]] = {}
+            for key in feeds:
+                if key.startswith("_route:"):
+                    _, opn, field = key.split(":", 2)
+                    route_fields.setdefault(opn, {})[field] = feeds[key]
+            routes = {
+                k: (v["order"], v["psmod"], v["starts"])
+                for k, v in route_fields.items()
+                if len(v) == 3
+            }
             upd_params, sstates = apply_sparse_updates(
                 sparse_ops, params, sparse_xs, g_over, opt,
-                opt_state["sparse"], ctx0, lr=lr,
+                opt_state["sparse"], ctx0, lr=lr, routes=routes,
             )
             new_params.update(upd_params)
             metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
@@ -967,6 +982,8 @@ class FFModel:
         """One fused step = reference forward+zero_gradients+backward+update
         (the reference hot loop, dlrm.cc:162-183)."""
         assert self._compiled
+        if self.config.host_routing and getattr(self, "_route_ops", None):
+            feeds = {**feeds, **self.compute_routes(feeds)}
         feeds, labels = self._stage(feeds, labels)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
         self._params, self._opt_state, self._metrics_total, loss = self._train_step(
@@ -1191,6 +1208,30 @@ class FFModel:
             else:
                 new[k] = v
         self._params = {**self._params, op_name: new}
+
+    def compute_routes(self, feeds) -> Dict[str, Any]:
+        """HOST-side routing metadata for the packed embedding update (the
+        sort order / pack positions / chunk starts are pure functions of
+        the indices): computed off the device's critical path by the input
+        pipeline (ffdata threaded radix sort) and attached to the batch
+        under reserved '_route:<op>:<field>' keys. The jitted step then
+        skips its on-device bitonic sort."""
+        import numpy as _np
+
+        from ..ops.pallas.packed_update import host_pack_routes
+
+        out: Dict[str, Any] = {}
+        for op in getattr(self, "_route_ops", []) or []:
+            idx = _np.asarray(feeds[op.inputs[0].owner_op.name])
+            rows = _np.where(idx >= 0, idx, op.num_entries).reshape(-1)
+            o, pm, st = host_pack_routes(
+                rows, op.num_entries, op.out_dim, op.chunk_packs
+            )
+            pre = f"_route:{op.name}:"
+            out[pre + "order"] = o
+            out[pre + "psmod"] = pm
+            out[pre + "starts"] = st
+        return out
 
     def set_learning_rate(self, lr: float) -> None:
         """reference: Optimizer::set_learning_rate exposed to Keras LR

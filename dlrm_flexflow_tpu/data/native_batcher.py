@@ -42,6 +42,11 @@ def get_lib():
                 ctypes.c_int32, ctypes.POINTER(u8p), i64p, i64p, i64p,
                 ctypes.c_int64, ctypes.POINTER(u8p), ctypes.c_int32,
             ]
+            lib.ffdata_argsort_i64_batch.restype = None
+            lib.ffdata_argsort_i64_batch.argtypes = [
+                i64p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -127,3 +132,28 @@ def scatter_add_f32(table: np.ndarray, idx: np.ndarray, grads: np.ndarray,
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_float(scale), num_threads,
     )
+
+
+def argsort_i64_batch(keys: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    """Stable argsort per row of an int64 [T, K] array, one thread per row
+    (the host-routing sort for the packed embedding update)."""
+    keys = np.ascontiguousarray(keys, np.int64)
+    t, k = keys.shape
+    lib = get_lib()
+    if lib is None:
+        return np.argsort(keys, axis=1, kind="stable").astype(np.int32)
+    out = np.empty((t, k), np.int32)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    lib.ffdata_argsort_i64_batch(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads,
+    )
+    return out
+
+
+def argsort_i64(keys: np.ndarray, num_threads: int = 0) -> np.ndarray:
+    return argsort_i64_batch(
+        np.ascontiguousarray(keys, np.int64)[None], num_threads
+    )[0]

@@ -102,10 +102,14 @@ def _prep_streams(
     d: int,
     chunk_packs_t: Sequence[int],
     delta_dtype=jnp.bfloat16,
+    routes=None,
 ):
     """Sort + expand all T update streams (ONE batched key sort, per-table
     payload gathers). Returns per-table (starts [n_chunks+1] i32,
-    ps_pk [K_pad/128, 128] i32, g_exp [K_pad, 128] delta_dtype)."""
+    ps_pk [K_pad/128, 128] i32, g_exp [K_pad, 128] delta_dtype).
+    `routes`: optional per-table (order [K], psmod [K], starts) device
+    arrays precomputed on the HOST (host_pack_routes) — skips the
+    on-device sort and chunk-starts passes."""
     t, k = rows_tk.shape
     rpp = rows_per_pack(d)
     n_chunks_t = [
@@ -120,11 +124,19 @@ def _prep_streams(
     in_range = rows_tk < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
     p = jnp.where(in_range, rows_tk // rpp, sentinel)
     sub = jnp.where(in_range, rows_tk % rpp, 0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-    ps, order = jax.lax.sort((p, iota_k), dimension=1, num_keys=1)
-    # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
-    # packed 128 positions per row for the kernel's transposed one-hot
-    psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
+    if routes is not None:
+        # host-routed: the sort order, in-chunk pack positions, and chunk
+        # starts are index-derived, so the input pipeline precomputed them
+        # (host_pack_routes / ffdata) — the on-device bitonic sort and
+        # counts pass disappear from the step
+        order = jnp.stack([r[0] for r in routes]).astype(jnp.int32)
+        psmod = jnp.stack([r[1] for r in routes]).astype(jnp.int32)
+    else:
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+        ps, order = jax.lax.sort((p, iota_k), dimension=1, num_keys=1)
+        # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
+        # packed 128 positions per row for the kernel's transposed one-hot
+        psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
     k_pad = (-(-k // TILE) + 1) * TILE  # one spare tile for tail over-read
     pad = k_pad - k
     ps_pk = jnp.concatenate(
@@ -149,7 +161,9 @@ def _prep_streams(
         # invariant so this reads the UNsorted pack ids. Falls back to
         # searchsorted when the chunk count would blow up the compare.
         nc = n_chunks_t[i]
-        if nc <= 2048:
+        if routes is not None:
+            starts = routes[i][2].astype(jnp.int32)
+        elif nc <= 2048:
             cid = jnp.minimum(p[i] // chunk_packs_t[i], nc)
             counts = jnp.sum(
                 (
@@ -333,16 +347,19 @@ def packed_row_update_batched(
     chunk_packs=1024,
     delta_dtype=jnp.bfloat16,
     interpret: bool = False,
+    routes=None,
 ) -> List[jax.Array]:
     """table[rows[i]] += deltas[i] for every table, duplicates summed,
     out-of-range rows dropped. All tables must share K and D so the key
     sort batches into one lax.sort call. chunk_packs: int or per-table
-    list (each table's packed array must be padded to its chunk size)."""
+    list (each table's packed array must be padded to its chunk size).
+    routes: optional host-precomputed (order, psmod, starts) per table."""
     if isinstance(chunk_packs, int):
         chunk_packs = [chunk_packs] * len(packed_tables)
     rows_tk = jnp.stack(rows_list)
     streams = _prep_streams(
-        rows_tk, deltas_list, vocab_sizes, d, chunk_packs, delta_dtype
+        rows_tk, deltas_list, vocab_sizes, d, chunk_packs, delta_dtype,
+        routes=routes,
     )
     out = []
     for packed, c, (starts, ps_pk, g_exp) in zip(
@@ -379,3 +396,27 @@ def packed_row_update_reference(
     pp = packed.shape[0]
     flat = jnp.pad(table.reshape(-1), (0, pp * LANES - v * d))
     return flat.reshape(pp, LANES)
+
+
+def host_pack_routes(rows, v: int, d: int, chunk_packs: int):
+    """HOST-side route computation for one table's update stream (numpy):
+    the sort order, in-chunk pack positions, and chunk starts are pure
+    functions of the indices, so the input pipeline computes them off the
+    critical path (ffdata provides a threaded sort) and the device step
+    skips its bitonic sort. rows: [K] int-like, <0 or >=v drops."""
+    import numpy as _np
+
+    rows = _np.asarray(rows).reshape(-1).astype(_np.int64)
+    rpp = rows_per_pack(d)
+    pp, n_chunks = packed_num_packs(v, d, chunk_packs)
+    sent = n_chunks * chunk_packs
+    p = _np.where((rows >= 0) & (rows < v), rows // rpp, sent)
+    from ...data import native_batcher as _nb
+
+    order = _nb.argsort_i64(p)
+    ps = p[order]
+    psmod = _np.where(ps < sent, ps % chunk_packs, chunk_packs).astype(_np.int32)
+    starts = _np.searchsorted(
+        ps, _np.arange(n_chunks + 1, dtype=_np.int64) * chunk_packs
+    ).astype(_np.int32)
+    return order.astype(_np.int32), psmod, starts

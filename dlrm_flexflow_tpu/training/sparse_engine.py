@@ -40,6 +40,7 @@ def apply_sparse_updates(
     sstates: Dict[str, object],
     ctx,
     lr=None,
+    routes=None,
 ):
     """Returns (new_params_subset, new_sstates). `g_over[op]` is the list of
     pooled-output gradients for op; `sparse_xs[op]` its index inputs."""
@@ -76,6 +77,13 @@ def apply_sparse_updates(
         grads_l = [it[2] for it in items]
         tables = [params[op.name]["weight"] for op in ops_g]
         vocabs = [op.num_entries for op in ops_g]
+        # host-precomputed routes only apply when the whole group has them
+        # (the stream prep is batched across the group)
+        grp_routes = None
+        if routes:
+            rts = [routes.get(op.name) for op in ops_g]
+            if all(r is not None for r in rts):
+                grp_routes = rts
 
         if isinstance(opt, SGDOptimizer):
             rate = opt.lr if lr is None else lr
@@ -92,6 +100,7 @@ def apply_sparse_updates(
             new_tables = packed_row_update_batched(
                 tables, rows_l, deltas, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
+                routes=grp_routes,
             )
             for op, nt in zip(ops_g, new_tables):
                 new_params[op.name] = {**params[op.name], "weight": nt}
@@ -112,6 +121,7 @@ def apply_sparse_updates(
             new_accs = packed_row_update_batched(
                 accs, rows_l, gsq, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
+                routes=grp_routes,
             )
             # phase 2: rows scaled by the POST-update accumulator (matches
             # RowWiseAdagradOptimizer.sparse_row_update)
@@ -125,6 +135,7 @@ def apply_sparse_updates(
             new_tables = packed_row_update_batched(
                 tables, rows_l, deltas, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
+                routes=grp_routes,
             )
             for op, nt, na in zip(ops_g, new_tables, new_accs):
                 new_params[op.name] = {**params[op.name], "weight": nt}

@@ -11,6 +11,8 @@
 // threads — so large-batch input pipelines keep up with the device.
 //
 // Flat C ABI (ctypes-friendly), no dependencies beyond the C++17 stdlib.
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -143,6 +145,63 @@ void ffdata_scatter_add_f32(float* table, int64_t table_rows, int64_t dim,
   }
   std::vector<std::thread> threads;
   for (int32_t t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+}
+
+// Batched stable argsort of int64 keys: order[t] = argsort(keys[t]) for T
+// independent arrays, one thread per array (threads capped). Feeds the
+// host-routing path of the packed embedding update (the sort order of an
+// update stream is index-derived, so the input pipeline computes it off
+// the device's critical path — ops/pallas/packed_update.host_pack_routes).
+void ffdata_argsort_i64_batch(const int64_t* keys, int32_t t, int64_t k,
+                              int32_t* order, int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::vector<int32_t> work;
+  auto sort_one = [&](int32_t ti) {
+    const int64_t* kk = keys + (int64_t)ti * k;
+    int32_t* oo = order + (int64_t)ti * k;
+    // LSD radix over 11-bit digits (keys are pack ids, far below 2^33):
+    // stable, O(k) per pass — ~6x a comparison sort at 65k keys
+    int64_t maxk = 0;
+    for (int64_t i = 0; i < k; ++i)
+      if (kk[i] > maxk) maxk = kk[i];
+    constexpr int kBits = 11;
+    constexpr int kBuckets = 1 << kBits;
+    std::vector<int32_t> a(k), b(k);
+    for (int64_t i = 0; i < k; ++i) a[i] = (int32_t)i;
+    std::vector<int32_t> count(kBuckets);
+    for (int shift = 0; (maxk >> shift) > 0 || shift == 0; shift += kBits) {
+      std::fill(count.begin(), count.end(), 0);
+      for (int64_t i = 0; i < k; ++i)
+        count[(kk[a[i]] >> shift) & (kBuckets - 1)]++;
+      int32_t pos = 0;
+      for (int c = 0; c < kBuckets; ++c) {
+        int32_t n = count[c];
+        count[c] = pos;
+        pos += n;
+      }
+      for (int64_t i = 0; i < k; ++i)
+        b[count[(kk[a[i]] >> shift) & (kBuckets - 1)]++] = a[i];
+      std::swap(a, b);
+    }
+    std::memcpy(oo, a.data(), sizeof(int32_t) * k);
+  };
+  if (num_threads == 1 || t == 1) {
+    for (int32_t ti = 0; ti < t; ++ti) sort_one(ti);
+    return;
+  }
+  std::vector<std::thread> threads;
+  std::atomic<int32_t> next{0};
+  int32_t nt = num_threads < t ? num_threads : t;
+  for (int32_t w = 0; w < nt; ++w) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int32_t ti = next.fetch_add(1);
+        if (ti >= t) return;
+        sort_one(ti);
+      }
+    });
+  }
   for (auto& th : threads) th.join();
 }
 

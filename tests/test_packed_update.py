@@ -158,3 +158,47 @@ def test_packed_weight_io_roundtrip():
     w2 = np.random.RandomState(5).randn(500, 16).astype(np.float32)
     model.set_weights("table_0", {"weight": w2})
     np.testing.assert_allclose(model.get_weights("table_0")["weight"], w2, atol=1e-6)
+
+
+def test_host_routes_match_device_sort():
+    """host_pack_routes must reproduce the device prep's stream exactly
+    (same psmod stream content per chunk and same starts)."""
+    rng = np.random.RandomState(8)
+    v, d, k, c = 5000, 16, 2048, 64
+    rows = rng.randint(0, v + 10, k).astype(np.int64)
+    deltas = rng.randn(k, d).astype(np.float32)
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table), chunk_packs=c)
+    order, psmod, starts = pu.host_pack_routes(rows, v, d, c)
+    got = pu.packed_row_update(
+        packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+        routes=[(jnp.asarray(order), jnp.asarray(psmod), jnp.asarray(starts))],
+    )
+    ref = pu.packed_row_update_reference(
+        packed, jnp.asarray(rows), jnp.asarray(deltas), v, d
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_host_routing_model_matches_device_sort_path():
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    losses = {}
+    for routing in (False, True):
+        cfg, model = _small_dlrm("on")
+        model.config.host_routing = routing
+        model.compile(
+            SGDOptimizer(lr=0.05),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+        )
+        assert model._route_ops, "packed ops expected"
+        feeds, labels = random_batches(cfg, 32 * 3, seed=9)
+        ls = []
+        for i in range(3):
+            batch = {k: v[32 * i : 32 * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[32 * i : 32 * (i + 1)]))
+        losses[routing] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4, atol=2e-4)
