@@ -39,10 +39,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=65536)
     ap.add_argument("--packed-tables", default="auto",
                     choices=["auto", "on", "off"])
-    ap.add_argument("--host-routing", action="store_true",
+    ap.add_argument("--host-routing", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="attach host-precomputed packed-update routing "
-                         "metadata to each batch (the input pipeline's job "
-                         "in production; removes the on-device stream sort)")
+                         "metadata to each batch (the production input "
+                         "pipeline contract: index-derived, computed off "
+                         "the critical path by ffdata's threaded sort; "
+                         "--no-host-routing measures the on-device sort)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
