@@ -523,6 +523,7 @@ def autotune_plan_joint(
     max_split: Optional[int] = None,
     exchange_dtype_bytes: float = 4.0,
     allow_splits: bool = True,
+    enable_propagation: bool = True,
 ):
     """Joint annealer over (owner, split, mode[, dense tp]) in the native
     core — the reference's per-op ParallelConfig MCMC (model.cc:1928-1991)
@@ -533,6 +534,10 @@ def autotune_plan_joint(
     ops, names, vocabs, num_dense, edges, dense_names = graph_to_cost_spec_v2(
         graph, global_batch, exchange_dtype_bytes
     )
+    if not enable_propagation:
+        # reference parity: config-propagation moves along graph edges are
+        # gated by --enable-propagation (model.cc:2255; propagate at 1830)
+        edges = []
     nt = len(vocabs)
     n = machine.num_chips
     m = machine.to_native()

@@ -555,8 +555,13 @@ class FFModel:
                             and _psup()
                         )
                     )
-                    and isinstance(optimizer, SGDOptimizer)
-                    and optimizer.momentum == 0.0
+                    and (
+                        (
+                            isinstance(optimizer, SGDOptimizer)
+                            and optimizer.momentum == 0.0
+                        )
+                        or type(optimizer).__name__ == "RowWiseAdagradOptimizer"
+                    )
                 )
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
@@ -801,7 +806,11 @@ class FFModel:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
                     st = jax.device_put(
-                        st, NamedSharding(mesh, P(plan.batch_axis, None))
+                        st,
+                        NamedSharding(
+                            mesh,
+                            P(plan.batch_axis, *([None] * (st.ndim - 1))),
+                        ),
                     )
                 sstates[op.name] = st
             opt_state = {"dense": opt.init(dense_init), "sparse": sstates}
@@ -913,6 +922,7 @@ class FFModel:
                 2.0 if self.config.compute_dtype in ("bfloat16", "float16")
                 else 4.0
             ),
+            enable_propagation=self.config.enable_propagation,
         )
         if owner:
             plan.table_assignment = owner

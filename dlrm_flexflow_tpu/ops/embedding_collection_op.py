@@ -102,7 +102,18 @@ class EmbeddingCollection(Op):
 
     # ---- sparse-gradient path (see FFModel.compile) -------------------------
     def sparse_state_init(self, optimizer):
-        return optimizer.sparse_init(self.layout.param_shape())
+        lay = self.layout
+        if lay.packed_pool:
+            st = optimizer.sparse_init((lay.num_shards, lay.r_pad, lay.dim))
+            if st is None:
+                return None
+            # per-row accumulators replicated over the row's D lanes so the
+            # packed kernel maintains them ([N, R_pad] -> [N, Pp, 128])
+            rep = jnp.broadcast_to(
+                st[:, :, None], (lay.num_shards, lay.r_pad, lay.dim)
+            ).astype(jnp.float32)
+            return rep.reshape(lay.param_shape())
+        return optimizer.sparse_init(lay.param_shape())
 
     def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx, lr=None):
         idx = jnp.stack(

@@ -382,28 +382,48 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
                           optimizer, lr=None):
     """Apply the per-shard row update: the Pallas packed kernel when the
     pool is packed (scatter-free, ops/pallas/packed_update.py), else the
-    optimizer's scatter path. rows >= r_pad drop."""
+    optimizer's scatter path. rows >= r_pad drop. Packed supports plain
+    SGD and row-wise AdaGrad (accumulators stored packed, lane-replicated
+    per row, maintained by the same kernel)."""
     if layout.packed_pool:
         import jax as _jax
 
-        from ..ops.pallas.packed_update import packed_row_update
-        from ..training.optimizer import SGDOptimizer as _SGD
+        from ..ops.pallas.packed_update import packed_gather, packed_row_update
+        from ..training.optimizer import (
+            RowWiseAdagradOptimizer as _RWA,
+            SGDOptimizer as _SGD,
+        )
 
-        assert sstate2d is None, "packed pool supports stateless row updates"
-        assert isinstance(optimizer, _SGD) and optimizer.momentum == 0.0
-        rate = optimizer.lr if lr is None else lr
+        interpret = _jax.default_backend() != "tpu"
+        rate = (optimizer.lr if lr is None else lr)
         g = grads.astype(jnp.float32)
+        kw = dict(
+            chunk_packs=layout.pool_chunk_packs, interpret=interpret,
+        )
+        if isinstance(optimizer, _RWA):
+            gsq = jnp.broadcast_to(
+                jnp.mean(jnp.square(g), axis=-1, keepdims=True), g.shape
+            )
+            acc2 = packed_row_update(
+                sstate2d, rows, gsq, layout.r_pad, layout.dim, **kw
+            )
+            a_rows = packed_gather(
+                acc2, jnp.minimum(rows, layout.r_pad - 1), layout.dim
+            )[:, :1]
+            deltas = (-rate * jax.lax.rsqrt(a_rows + optimizer.epsilon)) * g
+            new_pool = packed_row_update(
+                pool_local2d, rows, deltas, layout.r_pad, layout.dim, **kw
+            )
+            return new_pool, acc2
+        assert sstate2d is None, "packed pool: stateless or row-wise AdaGrad"
+        assert isinstance(optimizer, _SGD) and optimizer.momentum == 0.0
         if optimizer.weight_decay != 0.0:
-            from ..ops.pallas.packed_update import packed_gather
-
             decay = packed_gather(
                 pool_local2d, jnp.minimum(rows, layout.r_pad - 1), layout.dim
             )
             g = g + optimizer.weight_decay * decay
         new_pool = packed_row_update(
-            pool_local2d, rows, -rate * g, layout.r_pad, layout.dim,
-            chunk_packs=layout.pool_chunk_packs,
-            interpret=_jax.default_backend() != "tpu",
+            pool_local2d, rows, -rate * g, layout.r_pad, layout.dim, **kw
         )
         return new_pool, None
     return optimizer.sparse_row_update(pool_local2d, sstate2d, rows, grads, lr=lr)
@@ -617,16 +637,17 @@ def sharded_embedding_sparse_update(
         return table[None]
 
     if has_state:
+        st_spec = P(axis, *([None] * (sstate.ndim - 1)))
         return jax.shard_map(
             local_fn,
             mesh=mesh,
             in_specs=(
                 layout.param_spec(axis),
-                P(axis, None),
+                st_spec,
                 P(axis, None, None),
                 P(axis, None, None),
             ),
-            out_specs=(layout.param_spec(axis), P(axis, None)),
+            out_specs=(layout.param_spec(axis), st_spec),
             check_vma=False,
         )(pool, sstate, indices, g_pooled)
     out = jax.shard_map(

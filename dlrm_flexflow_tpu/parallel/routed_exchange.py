@@ -360,13 +360,14 @@ def routed_embedding_sparse_update(layout, pool, sstate, indices, g_pooled,
         return table[None]
 
     if has_state:
+        st_spec = P(axis, *([None] * (sstate.ndim - 1)))
         return jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(
-                layout.param_spec(axis), P(axis, None),
+                layout.param_spec(axis), st_spec,
                 P(axis, None, None), P(axis, None, None),
             ),
-            out_specs=(layout.param_spec(axis), P(axis, None)),
+            out_specs=(layout.param_spec(axis), st_spec),
             check_vma=False,
         )(pool, sstate, indices, g_pooled)
     out = jax.shard_map(

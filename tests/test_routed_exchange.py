@@ -248,3 +248,50 @@ def test_packed_pool_matches_unpacked(mode):
         losses[packed] = ls
     # bf16 kernel deltas vs f32 scatter deltas: small tolerance
     np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("mode", ["dense", "routed"])
+def test_packed_pool_adagrad_matches_unpacked(mode):
+    """Row-wise AdaGrad on a packed pool (accumulators lane-replicated,
+    maintained by the packed kernel) must match the unpacked scatter path."""
+    from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+    from dlrm_flexflow_tpu.training.optimizer import RowWiseAdagradOptimizer
+
+    n = 8
+    bs = 8 * n
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[64, 200, 96, 300],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[80, 16, 1],
+        batch_size=bs,
+    )
+    feeds, labels = random_batches(cfg, bs * 2, seed=11)
+    losses = {}
+    for packed in (False, True):
+        plan = dlrm_hybrid_plan()
+        plan.exchange = mode
+        plan.routed_cap_factor = 0.0
+        plan.table_split = [2 if v >= 96 else 1 for v in cfg.embedding_size]
+        plan.packed_pool = packed
+        model = make_dlrm_model(
+            cfg, FFConfig(batch_size=bs, compute_dtype="float32",
+                          onehot_embedding_threshold=0)
+        )
+        model.compile(
+            RowWiseAdagradOptimizer(lr=0.05),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+            mesh=make_mesh((n,), ("data",)), plan=plan,
+        )
+        assert model._embedding_layout.packed_pool == packed
+        ls = []
+        for i in range(2):
+            batch = {k: v[bs * i : bs * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[bs * i : bs * (i + 1)]))
+        losses[packed] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3, atol=5e-3)
