@@ -196,7 +196,7 @@ def main():
         f"# config={args.config} bs={args.batch_size} steps={args.steps} "
         f"dt={dt:.3f}s devices={n_dev} mesh={'yes' if mesh else 'no'} "
         f"examples/s={examples_per_sec:,.0f} per-chip={per_chip:,.0f} "
-        f"all-to-all={a2a_gbps:.2f}GB/s loss={float(loss):.4f}",
+        f"all-to-all={a2a_gbps:.4g}GB/s loss={float(loss):.4f}",
         file=sys.stderr,
     )
     print(
@@ -211,7 +211,7 @@ def main():
                        else INFER_BASELINE_EXAMPLES_PER_SEC), 4),
                 "examples_per_sec_per_chip": round(per_chip, 1),
                 "devices": n_dev if args.mesh else 1,
-                "all_to_all_gbps": round(a2a_gbps, 3),
+                "all_to_all_gbps": round(a2a_gbps, 6),
                 "loss": round(loss, 5),
             }
         )

@@ -67,6 +67,12 @@ class MachineSpec:
     routing_ns_per_entry: float = 3.0
     # model-axis size available for dense TP (mesh data x model); 1 = none
     model_axis: int = 1
+    # measured/predicted full-step ratio from FFModel.calibrate_step_residual
+    # (the profile-then-simulate loop closed over the WHOLE step: per-kernel
+    # constants above get the per-op costs right, the residual absorbs what
+    # the analytic model cannot see — scheduler slack, fusion effects).
+    # Not part of the native struct; applied to reported predictions.
+    step_residual: float = 1.0
 
     def torus_for(self, n: int) -> "MachineSpec":
         """Fill in the slice torus axes for an n-chip v5e-style slice
@@ -81,6 +87,10 @@ class MachineSpec:
         return dataclasses.replace(
             self, num_chips=n, ici_axis_x=x, ici_axis_y=n // x, ici_domain=n
         )
+
+    def predict_step_us(self, raw_model_us: float) -> float:
+        """Calibrated absolute prediction (model output x step residual)."""
+        return raw_model_us * (self.step_residual or 1.0)
 
     def to_native(self) -> FFSimMachine:
         m = FFSimMachine()

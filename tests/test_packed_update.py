@@ -202,3 +202,33 @@ def test_host_routing_model_matches_device_sort_path():
             ls.append(model.train_batch(batch, labels[32 * i : 32 * (i + 1)]))
         losses[routing] = ls
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4, atol=2e-4)
+
+
+def test_packed_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/restore with packed-layout tables: raw packed params
+    round-trip, training resumes, and get_weights stays logical-shaped."""
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.training.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    cfg, model = _small_dlrm("on")
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 32, seed=12)
+    model.train_batch(feeds, labels)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, model)
+    w_before = model.get_weights("table_0")["weight"]
+
+    cfg2, model2 = _small_dlrm("on")
+    model2.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                   [MetricsType.METRICS_ACCURACY])
+    restore_checkpoint(path, model2)
+    np.testing.assert_allclose(
+        model2.get_weights("table_0")["weight"], w_before, atol=1e-6
+    )
+    l1 = model.train_batch(feeds, labels)
+    l2 = model2.train_batch(feeds, labels)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
