@@ -274,6 +274,7 @@ class ShardingPlan:
             "chips_per_host": self.chips_per_host,
             "exchange": self.exchange,
             "routed_cap_factor": self.routed_cap_factor,
+            "packed_pool": self.packed_pool,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -296,6 +297,7 @@ class ShardingPlan:
             chips_per_host=doc.get("chips_per_host"),
             exchange=doc.get("exchange", "dense"),
             routed_cap_factor=doc.get("routed_cap_factor", 2.0),
+            packed_pool=doc.get("packed_pool"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 
