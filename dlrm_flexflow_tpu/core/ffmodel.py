@@ -1260,6 +1260,10 @@ class FFModel:
             np.broadcast_to(labels, (steps,) + np.asarray(labels).shape)
         )
         rng0 = jax.random.PRNGKey(self.config.seed)
+        # timing must not perturb the live model: snapshot training state and
+        # restore after the runs (the timed executable's state outputs are
+        # only consumed as a device-sync point)
+        saved = (self._params, self._opt_state, self._metrics_total)
 
         def run():
             p, o, t, loss = self._multi_step(
@@ -1269,10 +1273,13 @@ class FFModel:
             self._params, self._opt_state, self._metrics_total = p, o, t
             return float(loss)
 
-        run()  # compile + warm
-        t0 = _time.perf_counter()
-        run()
-        measured_us = (_time.perf_counter() - t0) / steps * 1e6
+        try:
+            run()  # compile + warm
+            t0 = _time.perf_counter()
+            run()
+            measured_us = (_time.perf_counter() - t0) / steps * 1e6
+        finally:
+            self._params, self._opt_state, self._metrics_total = saved
         _, pred_us, _ = autotune_plan_joint(
             self.graph, machine, bs, budget=1,
             min_vocab=self.config.onehot_embedding_threshold,

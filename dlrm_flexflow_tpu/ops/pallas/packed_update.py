@@ -121,7 +121,12 @@ def _prep_streams(
         [n * c for n, c in zip(n_chunks_t, chunk_packs_t)], jnp.int32
     )[:, None]
     rows_tk = rows_tk.astype(jnp.int32)
-    in_range = rows_tk < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
+    # negatives drop too (matching host_pack_routes' documented contract):
+    # a negative row would floor-divide to pack -1 and silently accumulate
+    # into the wrong pack of chunk 0
+    in_range = (rows_tk >= 0) & (
+        rows_tk < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
+    )
     p = jnp.where(in_range, rows_tk // rpp, sentinel)
     sub = jnp.where(in_range, rows_tk % rpp, 0)
     if routes is not None:

@@ -404,8 +404,11 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
             gsq = jnp.broadcast_to(
                 jnp.mean(jnp.square(g), axis=-1, keepdims=True), g.shape
             )
+            # accumulator adds stream f32 (bf16 deltas would quantize the
+            # running sum to ~8 mantissa bits and drift over long runs)
             acc2 = packed_row_update(
-                sstate2d, rows, gsq, layout.r_pad, layout.dim, **kw
+                sstate2d, rows, gsq, layout.r_pad, layout.dim,
+                delta_dtype=jnp.float32, **kw
             )
             a_rows = packed_gather(
                 acc2, jnp.minimum(rows, layout.r_pad - 1), layout.dim

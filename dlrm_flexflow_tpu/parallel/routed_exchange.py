@@ -107,12 +107,14 @@ def _classify(plan: RoutedPlan, layout, idx_local):
         [max(1, (layout.split or [1] * layout.num_tables)[tt])
          for tt in range(layout.num_tables)], jnp.int32
     )[None, :, None]
+    vocab = jnp.asarray(layout.vocab_sizes, jnp.int32)[None, :, None]
+    valid = (r >= 0) & (r < vocab)  # out-of-vocab drops, matching dense mode
     k = jnp.clip(r // jnp.maximum(chunk, 1), 0, nsub - 1)
-    slot = jnp.where(r >= 0, base + k, plan.s_count)
+    slot = jnp.where(valid, base + k, plan.s_count)
     lbase = jnp.asarray(np.append(plan.slot_lbase, 0))
     rstart = jnp.asarray(np.append(plan.slot_rstart, 0))
     lrow = jnp.take(lbase, slot) + r - jnp.take(rstart, slot)
-    lrow = jnp.where(r >= 0, lrow, layout.r_pad)  # sentinel row: dropped
+    lrow = jnp.where(valid, lrow, layout.r_pad)  # sentinel row: dropped
     return slot.reshape(b, t * h), lrow.reshape(b, t * h)
 
 

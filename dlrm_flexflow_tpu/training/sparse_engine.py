@@ -118,10 +118,13 @@ def apply_sparse_updates(
                 for g in grads_l
             ]
             accs = [sstates[op.name] for op in ops_g]
+            # accumulator increments stream f32: a bf16 delta quantizes each
+            # accumulator add to ~8 mantissa bits and drifts from the
+            # reference's f32 accumulation over long runs
             new_accs = packed_row_update_batched(
                 accs, rows_l, gsq, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
-                routes=grp_routes,
+                routes=grp_routes, delta_dtype=jnp.float32,
             )
             # phase 2: rows scaled by the POST-update accumulator (matches
             # RowWiseAdagradOptimizer.sparse_row_update)

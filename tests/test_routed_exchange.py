@@ -295,3 +295,44 @@ def test_packed_pool_adagrad_matches_unpacked(mode):
             ls.append(model.train_batch(batch, labels[bs * i : bs * (i + 1)]))
         losses[packed] = ls
     np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3, atol=5e-3)
+
+
+def test_routed_out_of_vocab_drops_like_dense():
+    """Out-of-vocab positive indices must drop (dense-mode semantics), not
+    clip into another sub-table's rows (round-2 advisor finding: _classify
+    clipped r >= vocab into the last sub-table and corrupted neighbors)."""
+    n, b, h = 8, 32, 2
+    vocabs = [50, 123, 77, 260]
+    split = [2, 3, 1, 8]
+    rng = np.random.RandomState(7)
+    layout = _layout(vocabs, split, n)
+    mesh = make_mesh((n,), ("data",))
+    pool = jnp.asarray(rng.randn(*layout.param_shape()).astype(np.float32))
+    idx = np.full((b, len(vocabs), h), -1, np.int64)
+    for t, v in enumerate(vocabs):
+        r = rng.rand(b, h)
+        vals = rng.randint(0, v, (b, h))
+        vals = np.where(r > 0.8, vals + v, vals)   # 20% out-of-vocab
+        idx[:, t, :] = np.where(r > 0.95, -1, vals)  # some negatives too
+    idx = jnp.asarray(idx)
+    dense = sharded_embedding_lookup(
+        layout, pool, idx, mesh, AggrMode.AGGR_MODE_SUM
+    )
+    routed = routed_embedding_lookup(
+        layout, pool, idx, mesh, AggrMode.AGGR_MODE_SUM, cap_factor=0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(dense), rtol=1e-5, atol=1e-5
+    )
+    g = jnp.asarray(rng.randn(b, len(vocabs), 8).astype(np.float32))
+    opt = SGDOptimizer(lr=0.1)
+    p_dense, _ = sharded_embedding_sparse_update(
+        layout, pool, None, idx, g, mesh, opt, AggrMode.AGGR_MODE_SUM
+    )
+    p_routed, _ = routed_embedding_sparse_update(
+        layout, pool, None, idx, g, mesh, opt, AggrMode.AGGR_MODE_SUM,
+        cap_factor=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_routed), np.asarray(p_dense), rtol=1e-5, atol=1e-5
+    )
