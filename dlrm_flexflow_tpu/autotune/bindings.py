@@ -149,6 +149,17 @@ def get_lib():
             ctypes.c_double, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_double, ctypes.c_uint64,
         ]
+        # v2g: graph-generic DAG scoring (real op edges instead of the
+        # 3-stage DLRM shape)
+        oe_tail = [i32p, i32p, ctypes.c_int32]
+        lib.ffsim2g_simulate.restype = ctypes.c_double
+        lib.ffsim2g_simulate.argtypes = sim2_head + oe_tail
+        lib.ffsim2g_breakdown.restype = None
+        lib.ffsim2g_breakdown.argtypes = (
+            sim2_head + oe_tail + [ctypes.POINTER(ctypes.c_double)]
+        )
+        lib.ffsim2g_search.restype = ctypes.c_double
+        lib.ffsim2g_search.argtypes = lib.ffsim2_search.argtypes + oe_tail
         _lib = lib
     return _lib
 
@@ -215,11 +226,20 @@ def mcmc_search(machine: FFSimMachine, ops: Sequence[dict], owner: Sequence[int]
 
 
 def simulate2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
-              tp, opt_state_factor: float = 0.0) -> float:
-    """v2 simulate: joint (owner, split, mode, tp) state."""
+              tp, opt_state_factor: float = 0.0, op_edges=()) -> float:
+    """v2 simulate: joint (owner, split, mode, tp) state. With `op_edges`
+    [(src_op_idx, dst_op_idx)] the step is scored on the graph-generic task
+    DAG (ffsim2g, reference simulator.cc:328-498) instead of the staged one."""
     lib = get_lib()
     arr = _ops_array(ops)
     nt, nd = len(owner), len(tp)
+    if op_edges:
+        return lib.ffsim2g_simulate(
+            ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+            _i32(mode), nt, _i32(tp), nd, opt_state_factor,
+            _i32([e[0] for e in op_edges]), _i32([e[1] for e in op_edges]),
+            len(op_edges),
+        )
     return lib.ffsim2_simulate(
         ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
         _i32(mode), nt, _i32(tp), nd, opt_state_factor,
@@ -227,14 +247,22 @@ def simulate2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
 
 
 def breakdown2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
-               tp, opt_state_factor: float = 0.0) -> dict:
+               tp, opt_state_factor: float = 0.0, op_edges=()) -> dict:
     lib = get_lib()
     arr = _ops_array(ops)
     out = (ctypes.c_double * 9)()
-    lib.ffsim2_breakdown(
-        ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
-        _i32(mode), len(owner), _i32(tp), len(tp), opt_state_factor, out,
-    )
+    if op_edges:
+        lib.ffsim2g_breakdown(
+            ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+            _i32(mode), len(owner), _i32(tp), len(tp), opt_state_factor,
+            _i32([e[0] for e in op_edges]), _i32([e[1] for e in op_edges]),
+            len(op_edges), out,
+        )
+    else:
+        lib.ffsim2_breakdown(
+            ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+            _i32(mode), len(owner), _i32(tp), len(tp), opt_state_factor, out,
+        )
     keys = ["dense_us", "embed_fwd_max_us", "embed_upd_max_us", "all2all_us",
             "allreduce_us", "update_us", "mem_penalty_us", "total_us",
             "closed_form_us"]
@@ -244,8 +272,11 @@ def breakdown2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
 def search2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
             tp, vocab_caps, edges=(), budget: int = 20000,
             alpha: float = 0.05, seed: int = 0,
-            opt_state_factor: float = 0.0, split_cap: int = 0):
-    """Joint annealer. edges: [(src_dense_idx, dst_dense_idx, volume)].
+            opt_state_factor: float = 0.0, split_cap: int = 0,
+            op_edges=()):
+    """Joint annealer. edges: [(src_dense_idx, dst_dense_idx, volume)] for
+    the propagate moves; op_edges: [(src_op_idx, dst_op_idx)] — when given,
+    candidates are scored on the graph-generic task DAG.
     Returns (owner, split, mode, tp, best_cost)."""
     lib = get_lib()
     arr = _ops_array(ops)
@@ -258,11 +289,20 @@ def search2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
     ev = (ctypes.c_double * max(1, len(edges)))(
         *([float(e[2]) for e in edges] or [0.0])
     )
-    cost = lib.ffsim2_search(
-        ctypes.byref(machine), arr, len(ops), own, spl, mod, nt, tpa, nd,
-        caps, es, ed, ev, len(edges), opt_state_factor, split_cap,
-        budget, alpha, seed,
-    )
+    if op_edges:
+        cost = lib.ffsim2g_search(
+            ctypes.byref(machine), arr, len(ops), own, spl, mod, nt, tpa, nd,
+            caps, es, ed, ev, len(edges), opt_state_factor, split_cap,
+            budget, alpha, seed,
+            _i32([e[0] for e in op_edges]), _i32([e[1] for e in op_edges]),
+            len(op_edges),
+        )
+    else:
+        cost = lib.ffsim2_search(
+            ctypes.byref(machine), arr, len(ops), own, spl, mod, nt, tpa, nd,
+            caps, es, ed, ev, len(edges), opt_state_factor, split_cap,
+            budget, alpha, seed,
+        )
     return (list(own[:nt]), list(spl[:nt]), list(mod[:nt]),
             list(tpa[:nd]), cost)
 

@@ -414,13 +414,19 @@ def graph_to_cost_spec_v2(
     propagate moves (reference: volume-weighted graph walks,
     model.h:287-289).
 
-    Returns (ops, table_names, vocabs, num_dense, edges)."""
+    Returns (ops, table_names, vocabs, num_dense, edges, dense_names,
+    op_edges) — op_edges are producer-consumer pairs over the FFSimOp index
+    space (every entry, including glue ops), from which the graph-generic
+    task DAG is built (reference: the SimTask DAG follows the actual op
+    graph, src/runtime/simulator.cc:328-498)."""
     ops: List[dict] = []
     table_names: List[str] = []
     vocabs: List[int] = []
     edges: List[tuple] = []
+    op_edges: List[tuple] = []
     dense_names: List[str] = []
     dense_idx_of_op = {}
+    ffop_idx_of_op = {}  # graph-op name -> [FFSimOp indices]
     past_exchange = False
     embed_producers = set()
 
@@ -440,6 +446,7 @@ def graph_to_cost_spec_v2(
     for op in graph.compute_ops:
         if any(t.owner_op.name in embed_producers for t in op.inputs):
             past_exchange = True
+        i_lo = len(ops)
         stats = op.cost_stats()
         batch = op.outputs[0].shape[0] if op.outputs and op.outputs[0].shape else 1
         scale = global_batch / max(1, batch)
@@ -491,9 +498,25 @@ def graph_to_cost_spec_v2(
                         dense_idx_of_op[op.name] = (src[0], out_vol)
                         break
             ops.append(entry)
+        my_idxs = list(range(i_lo, len(ops)))
+        if my_idxs:
+            seen_src = set()
+            for t in op.inputs:
+                for src in ffop_idx_of_op.get(t.owner_op.name, ()):
+                    if src not in seen_src:
+                        seen_src.add(src)
+                        op_edges.extend((src, j) for j in my_idxs)
+            ffop_idx_of_op[op.name] = my_idxs
+        else:
+            # zero-entry op (e.g. shape-only glue that lowered to nothing):
+            # pass its producers through so edges span it
+            inherited = []
+            for t in op.inputs:
+                inherited.extend(ffop_idx_of_op.get(t.owner_op.name, ()))
+            ffop_idx_of_op[op.name] = list(dict.fromkeys(inherited))
     num_dense = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
     assert len(dense_names) == num_dense
-    return ops, table_names, vocabs, num_dense, edges, dense_names
+    return ops, table_names, vocabs, num_dense, edges, dense_names, op_edges
 
 
 def _greedy_owner(ops, vocabs, n: int) -> List[int]:
@@ -531,9 +554,8 @@ def autotune_plan_joint(
     greedy, and water-filled-split starts (the cheaper simulated result
     wins). Returns (per_table_owner, cost_us, report); report carries
     table_split / replicated_tables / tp / breakdown."""
-    ops, names, vocabs, num_dense, edges, dense_names = graph_to_cost_spec_v2(
-        graph, global_batch, exchange_dtype_bytes
-    )
+    (ops, names, vocabs, num_dense, edges, dense_names,
+     op_edges) = graph_to_cost_spec_v2(graph, global_batch, exchange_dtype_bytes)
     if not enable_propagation:
         # reference parity: config-propagation moves along graph edges are
         # gated by --enable-propagation (model.cc:2255; propagate at 1830)
@@ -544,7 +566,8 @@ def autotune_plan_joint(
     base_mode = [1 if v <= min_vocab else 0 for v in vocabs]
     tp0 = [1] * num_dense
     if nt == 0:
-        cost = bindings.simulate2(m, ops, [], [], [], tp0, opt_state_factor)
+        cost = bindings.simulate2(m, ops, [], [], [], tp0, opt_state_factor,
+                                  op_edges=op_edges)
         return [], cost, {"tables": [], "tp": tp0}
     cap = min(max_split or n, n)
     if not allow_splits:
@@ -561,7 +584,8 @@ def autotune_plan_joint(
         wf = _waterfill_splits(loads, n, cap, vocabs)
         seeds.append((greedy, wf, list(base_mode)))
     rr_cost = bindings.simulate2(
-        m, ops, rr, [1] * nt, base_mode, tp0, opt_state_factor
+        m, ops, rr, [1] * nt, base_mode, tp0, opt_state_factor,
+        op_edges=op_edges,
     )
     # the exchange mode (dense slot exchange vs routed capacity buckets,
     # parallel/routed_exchange.py) is itself a strategy axis: search under
@@ -580,6 +604,7 @@ def autotune_plan_joint(
                 m_mode, ops, o0, s0, mo0, list(tp0), vocabs, edges,
                 budget=per_seed, alpha=alpha, seed=seed + 31 * i,
                 opt_state_factor=opt_state_factor, split_cap=cap,
+                op_edges=op_edges,
             )
             if best is None or c < best[-1]:
                 best = (o, s, mo, tp, c)
@@ -601,7 +626,8 @@ def autotune_plan_joint(
         "tp_ops": [dense_names[j] for j, x in enumerate(tp) if x > 1],
         "exchange": "routed" if best_routed else "dense",
         "breakdown": bindings.breakdown2(
-            m, ops, owner, split, mode, tp, opt_state_factor
+            m, ops, owner, split, mode, tp, opt_state_factor,
+            op_edges=op_edges,
         ),
     }
     return [owner[i] for i in placed], cost, report

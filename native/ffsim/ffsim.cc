@@ -162,6 +162,9 @@ struct Costs2 {
   double embed_fwd_max = 0, embed_upd_max = 0;
   double a2a_us = 0, allreduce_us = 0, update_us = 0, mem_penalty = 0;
   std::vector<double> gather_us, upd_us;
+  // per-op per-chip fwd durations for the graph-generic DAG builder
+  // (0 for placed embeds — their cost lives in embed_fwd_max / a2a_us)
+  std::vector<double> op_fwd;
   double dense_total() const {
     return 3.0 * (stage_fwd[0] + stage_fwd[1] + stage_fwd[2]);
   }
@@ -235,6 +238,7 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
 
   c.gather_us.assign(n, 0.0);
   c.upd_us.assign(n, 0.0);
+  c.op_fwd.assign(num_ops, 0.0);
   std::vector<double> rows_bytes(n, 0.0);
   double dense_param_bytes = 0, repl_bytes_per_chip = 0;
   double slot_payload = 0, domain_payload = 0;
@@ -253,6 +257,7 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
         // replicated one-hot MXU path: dense DP work + dense-grad sync
         const double f = 2.0 * op.lookups * op.table_rows * dim;
         c.stage_fwd[st] += f / fpu / dpar;
+        c.op_fwd[i] = f / fpu / dpar;
         dense_param_bytes += op.table_rows * op.row_bytes;
         repl_bytes_per_chip += op.table_rows * op.row_bytes;
         continue;
@@ -301,16 +306,19 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
           denom = double(dpar) * max_m;
           // activation psum over the model submesh, fwd + bwd
           const double psum_b = op.act_bytes / std::max(1, dpar);
-          c.stage_fwd[st] += 2.0 * 2.0 * psum_b * double(max_m - 1) / max_m /
-                             (m.ici_gbps * 1e3) / 3.0;
+          const double psum_us = 2.0 * 2.0 * psum_b * double(max_m - 1) /
+                                 max_m / (m.ici_gbps * 1e3) / 3.0;
+          c.stage_fwd[st] += psum_us;
+          c.op_fwd[i] += psum_us;
           // (divided by 3: stage_fwd is tripled into fwd+bwd by closed())
           dense_param_bytes += op.param_bytes / max_m;
         } else {
           dense_param_bytes += op.param_bytes;
         }
       }
-      c.stage_fwd[st] +=
-          std::max(op.flops / fpu, op.bytes / bpu) / denom;
+      const double f = std::max(op.flops / fpu, op.bytes / bpu) / denom;
+      c.stage_fwd[st] += f;
+      c.op_fwd[i] += f;
     }
   }
   if (routed && n > 1) {
@@ -434,6 +442,134 @@ double dag_makespan(const FFSimMachine& m, const Costs2& c) {
 
 double simulate2_total(const FFSimMachine& m, const Costs2& c) {
   return m.use_dag > 0 ? dag_makespan(m, c) : c.closed();
+}
+
+// Graph-GENERIC task DAG (reference: SimTask DAG built from the actual op
+// graph for any model, simulator.cc:328-498). Two scheduling devices:
+//   0 = representative worst chip (dense DP work is symmetric across chips,
+//       so one chip's timeline IS the fleet's; the asymmetric embedding
+//       work enters as its max-over-chips aggregate),
+//   1 = the network (exchange halves, dense-grad allreduce).
+// Tasks: per-op fwd/bwd for every non-placed-embed op; one gather/update
+// aggregate for the placed embedding group; collective tasks between them.
+// Edges come from the REAL producer-consumer op edges, so what overlaps the
+// exchange is whatever the graph actually allows (in DLRM the bottom MLP;
+// in a transformer nothing — the whole stack consumes the embedding).
+double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
+                            int32_t num_ops, const int32_t* mode,
+                            int32_t num_tables, const int32_t* oe_src,
+                            const int32_t* oe_dst, int32_t n_oe,
+                            const Costs2& c) {
+  std::vector<double> dur;
+  std::vector<int32_t> dev;
+  auto add = [&](double d, int device) {
+    dur.push_back(d);
+    dev.push_back(device);
+    return (int32_t)dur.size() - 1;
+  };
+  std::vector<int32_t> es, ed;
+  auto edge = [&](int a, int b) {
+    if (a >= 0 && b >= 0) {
+      es.push_back(a);
+      ed.push_back(b);
+    }
+  };
+  constexpr int kNone = -1;
+  std::vector<int> fwd(num_ops, kNone), bwd(num_ops, kNone);
+  std::vector<char> placed(num_ops, 0);
+  bool any_placed = false;
+  {
+    int t = 0;
+    for (int i = 0; i < num_ops; i++) {
+      if (ops[i].kind == FFSIM_EMBED) {
+        const int ti = t++;
+        if (!mode || (ti < num_tables && mode[ti] == 0)) {
+          placed[i] = 1;
+          any_placed = true;
+          continue;
+        }
+      }
+      fwd[i] = add(c.op_fwd[i], 0);
+    }
+  }
+  // gathers first on each chip (they feed the exchange; ready-queue ties
+  // break by insertion order) — matching the staged DAG's ordering
+  int emb_f = kNone, a2a_f = kNone, a2a_b = kNone, emb_u = kNone;
+  if (any_placed) {
+    emb_f = add(c.embed_fwd_max, 0);
+    a2a_f = add(c.a2a_us / 2.0, 1);
+    edge(emb_f, a2a_f);
+  }
+  for (int i = num_ops - 1; i >= 0; i--)
+    if (fwd[i] != kNone) bwd[i] = add(2.0 * c.op_fwd[i], 0);
+  if (any_placed) {
+    a2a_b = add(c.a2a_us / 2.0, 1);
+    emb_u = add(c.embed_upd_max, 0);
+    edge(a2a_b, emb_u);
+  }
+  std::vector<char> has_succ(num_ops, 0);
+  for (int e = 0; e < n_oe; e++) {
+    const int a = oe_src[e], b = oe_dst[e];
+    if (a < 0 || a >= num_ops || b < 0 || b >= num_ops) continue;
+    has_succ[a] = 1;
+    if (placed[a] && !placed[b]) {
+      // embedding output reaches b through the pooled exchange
+      edge(a2a_f, fwd[b]);
+      edge(bwd[b], a2a_b);
+    } else if (!placed[a] && !placed[b]) {
+      edge(fwd[a], fwd[b]);
+      edge(bwd[b], bwd[a]);
+    } else if (!placed[a] && placed[b]) {
+      // dense op feeding an embedding (rare: computed indices); the gather
+      // group then waits on it
+      edge(fwd[a], emb_f);
+      edge(emb_u, bwd[a]);
+    }  // placed->placed: both inside the aggregate, no edge needed
+  }
+  // fwd-before-own-bwd, and loss turnaround at graph sinks
+  for (int i = 0; i < num_ops; i++) {
+    if (fwd[i] != kNone && bwd[i] != kNone) {
+      edge(fwd[i], bwd[i]);
+      if (!has_succ[i]) edge(fwd[i], bwd[i]);
+    }
+  }
+  // dense-grad allreduce after the bwd of every op that owns dense params
+  // (incl. replicated one-hot tables), then the dense optimizer update
+  const int ar = add(c.allreduce_us, 1);
+  const int du = add(c.update_us, 0);
+  edge(ar, du);
+  {
+    int t = 0;
+    bool any_param = false;
+    for (int i = 0; i < num_ops; i++) {
+      bool owns = ops[i].kind == FFSIM_DENSE && ops[i].param_bytes > 0;
+      if (ops[i].kind == FFSIM_EMBED) {
+        const int ti = t++;
+        owns = mode && ti < num_tables && mode[ti] == 1;
+      }
+      if (owns && bwd[i] != kNone) {
+        edge(bwd[i], ar);
+        any_param = true;
+      }
+    }
+    if (!any_param)  // keep the collective ordered after the backward
+      for (int i = 0; i < num_ops; i++)
+        if (bwd[i] != kNone) edge(bwd[i], ar);
+  }
+  const double span = ffsim_schedule_dag(
+      2, dur.data(), dev.data(), (int32_t)dur.size(), es.data(), ed.data(),
+      (int32_t)es.size());
+  return span + c.mem_penalty;
+}
+
+double simulate2g_total(const FFSimMachine& m, const FFSimOp* ops,
+                        int32_t num_ops, const int32_t* mode,
+                        int32_t num_tables, const int32_t* oe_src,
+                        const int32_t* oe_dst, int32_t n_oe, const Costs2& c) {
+  if (m.use_dag > 0 && n_oe > 0)
+    return dag_makespan_generic(m, ops, num_ops, mode, num_tables, oe_src,
+                                oe_dst, n_oe, c);
+  return simulate2_total(m, c);
 }
 
 }  // namespace
@@ -586,14 +722,50 @@ void ffsim2_breakdown(const FFSimMachine* m, const FFSimOp* ops,
   out9[8] = c.closed();
 }
 
-double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
-                     int32_t num_ops, int32_t* owner, int32_t* split,
-                     int32_t* mode, int32_t num_tables, int32_t* tp,
-                     int32_t num_dense, const int32_t* vocab_caps,
-                     const int32_t* edge_src, const int32_t* edge_dst,
-                     const double* edge_vol, int32_t num_edges,
-                     double opt_state_factor, int32_t split_cap,
-                     int64_t budget, double alpha, uint64_t seed) {
+double ffsim2g_simulate(const FFSimMachine* m, const FFSimOp* ops,
+                        int32_t num_ops, const int32_t* owner,
+                        const int32_t* split, const int32_t* mode,
+                        int32_t num_tables, const int32_t* tp,
+                        int32_t num_dense, double opt_state_factor,
+                        const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                        int32_t num_op_edges) {
+  Costs2 c = compute_costs2(*m, ops, num_ops, owner, split, mode, num_tables,
+                            tp, num_dense, opt_state_factor);
+  return simulate2g_total(*m, ops, num_ops, mode, num_tables, op_edge_src,
+                          op_edge_dst, num_op_edges, c);
+}
+
+void ffsim2g_breakdown(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, const int32_t* tp,
+                       int32_t num_dense, double opt_state_factor,
+                       const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                       int32_t num_op_edges, double* out9) {
+  Costs2 c = compute_costs2(*m, ops, num_ops, owner, split, mode, num_tables,
+                            tp, num_dense, opt_state_factor);
+  out9[0] = c.dense_total();
+  out9[1] = c.embed_fwd_max;
+  out9[2] = c.embed_upd_max;
+  out9[3] = c.a2a_us;
+  out9[4] = c.allreduce_us;
+  out9[5] = c.update_us;
+  out9[6] = c.mem_penalty;
+  out9[7] = simulate2g_total(*m, ops, num_ops, mode, num_tables, op_edge_src,
+                             op_edge_dst, num_op_edges, c);
+  out9[8] = c.closed();
+}
+
+double ffsim2g_search(const FFSimMachine* m, const FFSimOp* ops,
+                      int32_t num_ops, int32_t* owner, int32_t* split,
+                      int32_t* mode, int32_t num_tables, int32_t* tp,
+                      int32_t num_dense, const int32_t* vocab_caps,
+                      const int32_t* edge_src, const int32_t* edge_dst,
+                      const double* edge_vol, int32_t num_edges,
+                      double opt_state_factor, int32_t split_cap,
+                      int64_t budget, double alpha, uint64_t seed,
+                      const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                      int32_t num_op_edges) {
   const int n = std::max(1, (int)m->num_chips);
   const int max_m = m->model_axis > 1 ? (int)m->model_axis : 1;
   const int cap = split_cap > 0 ? std::min(split_cap, n) : n;
@@ -620,9 +792,10 @@ double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
             {mode, mode + num_tables},
             {tp, tp + num_dense}};
   auto eval = [&](const State& s) {
-    return ffsim2_simulate(m, ops, num_ops, s.owner.data(), s.split.data(),
-                           s.mode.data(), num_tables, s.tp.data(), num_dense,
-                           opt_state_factor);
+    return ffsim2g_simulate(m, ops, num_ops, s.owner.data(), s.split.data(),
+                            s.mode.data(), num_tables, s.tp.data(), num_dense,
+                            opt_state_factor, op_edge_src, op_edge_dst,
+                            num_op_edges);
   };
   State best = cur;
   double cur_cost = eval(cur), best_cost = cur_cost;
@@ -697,6 +870,20 @@ double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
   if (num_dense > 0)
     std::memcpy(tp, best.tp.data(), sizeof(int32_t) * num_dense);
   return best_cost;
+}
+
+double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
+                     int32_t num_ops, int32_t* owner, int32_t* split,
+                     int32_t* mode, int32_t num_tables, int32_t* tp,
+                     int32_t num_dense, const int32_t* vocab_caps,
+                     const int32_t* edge_src, const int32_t* edge_dst,
+                     const double* edge_vol, int32_t num_edges,
+                     double opt_state_factor, int32_t split_cap,
+                     int64_t budget, double alpha, uint64_t seed) {
+  return ffsim2g_search(m, ops, num_ops, owner, split, mode, num_tables, tp,
+                        num_dense, vocab_caps, edge_src, edge_dst, edge_vol,
+                        num_edges, opt_state_factor, split_cap, budget, alpha,
+                        seed, nullptr, nullptr, 0);
 }
 
 }  // extern "C"

@@ -192,4 +192,40 @@ double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
                      double opt_state_factor, int32_t split_cap,
                      int64_t budget, double alpha, uint64_t seed);
 
+// ================== v2g: graph-generic task-graph scoring ==================
+// Same state space as v2, but the step DAG is built from the ACTUAL op graph
+// (op_edge_src/dst index into the `ops` array) instead of the fixed DLRM
+// 3-stage shape: per-op fwd/bwd tasks on a representative worst-chip device,
+// exchange/allreduce collectives on a network device, wired by the real
+// producer-consumer edges (reference: the SimTask DAG is built from the op
+// graph for ANY model, src/runtime/simulator.cc:328-498; scheduling 500-560).
+// With num_op_edges == 0 (or use_dag == 0) these fall back to the v2 path.
+
+double ffsim2g_simulate(const FFSimMachine* m, const FFSimOp* ops,
+                        int32_t num_ops, const int32_t* owner,
+                        const int32_t* split, const int32_t* mode,
+                        int32_t num_tables, const int32_t* tp,
+                        int32_t num_dense, double opt_state_factor,
+                        const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                        int32_t num_op_edges);
+
+void ffsim2g_breakdown(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, const int32_t* tp,
+                       int32_t num_dense, double opt_state_factor,
+                       const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                       int32_t num_op_edges, double* out9);
+
+double ffsim2g_search(const FFSimMachine* m, const FFSimOp* ops,
+                      int32_t num_ops, int32_t* owner, int32_t* split,
+                      int32_t* mode, int32_t num_tables, int32_t* tp,
+                      int32_t num_dense, const int32_t* vocab_caps,
+                      const int32_t* edge_src, const int32_t* edge_dst,
+                      const double* edge_vol, int32_t num_edges,
+                      double opt_state_factor, int32_t split_cap,
+                      int64_t budget, double alpha, uint64_t seed,
+                      const int32_t* op_edge_src, const int32_t* op_edge_dst,
+                      int32_t num_op_edges);
+
 }  // extern "C"

@@ -220,7 +220,9 @@ def test_graph_lowering_v2_stages_and_edges():
         batch_size=64,
     )
     model = make_dlrm_model(cfg, FFConfig(batch_size=64))
-    ops, names, vocabs, nd, edges, dnames = graph_to_cost_spec_v2(model.graph, 64)
+    ops, names, vocabs, nd, edges, dnames, op_edges = graph_to_cost_spec_v2(
+        model.graph, 64
+    )
     assert vocabs == [100, 200, 300]
     dense = [o for o in ops if o["kind"] == bindings.KIND_DENSE]
     assert len(dense) == nd == 4  # bot 4-16-8 = 2 layers + top 32-8-1 = 2
@@ -229,6 +231,12 @@ def test_graph_lowering_v2_stages_and_edges():
     assert all(o["act_bytes"] > 0 for o in dense)
     # bot-mlp chain + top-mlp chain edges exist with positive volume
     assert len(edges) >= 3 and all(v > 0 for _, _, v in edges)
+    # op-level edges: every embedding table feeds some downstream op, and
+    # indices stay in range
+    embed_idx = {i for i, o in enumerate(ops) if o["kind"] == bindings.KIND_EMBED}
+    srcs = {a for a, _ in op_edges}
+    assert embed_idx <= srcs, (embed_idx, srcs)
+    assert all(0 <= a < len(ops) and 0 <= b < len(ops) for a, b in op_edges)
 
 
 def test_autotune_plan_joint_end_to_end():
@@ -330,3 +338,96 @@ def test_search_tp_applied_to_plan():
 
     feeds, labels = random_batches(cfg, bs, seed=0)
     assert np.isfinite(float(model.train_batch(feeds, labels)))
+
+
+# ================= v2g: graph-generic task-graph scoring ====================
+
+def test_generic_dag_matches_staged_on_dlrm():
+    """For the DLRM shape the generic DAG (built from real op edges) must
+    score within noise of the hand-staged DAG — same overlap structure,
+    derived instead of hardcoded."""
+    from dlrm_flexflow_tpu import FFConfig
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[1_000_000] * 6 + [50, 80],
+        embedding_bag_size=1,
+        mlp_bot=[13, 512, 256, 16],
+        mlp_top=[144, 512, 256, 1],
+        batch_size=256,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=256))
+    ops, names, vocabs, nd, edges, dnames, op_edges = graph_to_cost_spec_v2(
+        model.graph, 8192 * 8, exchange_dtype_bytes=2.0
+    )
+    n = 8
+    m = _machine(n).to_native()
+    nt = len(vocabs)
+    owner = [i % n for i in range(nt)]
+    split = [1] * nt
+    mode = [1 if v <= 128 else 0 for v in vocabs]
+    tp = [1] * nd
+    c_staged = bindings.simulate2(m, ops, owner, split, mode, tp)
+    c_generic = bindings.simulate2(m, ops, owner, split, mode, tp,
+                                   op_edges=op_edges)
+    assert c_generic == pytest.approx(c_staged, rel=0.15), (
+        c_generic, c_staged
+    )
+
+
+def test_generic_dag_sees_independence_the_staged_model_cannot():
+    """An op listed AFTER the exchange consumer gets stage=1, so the staged
+    DAG serializes it behind the all-to-all even when the real graph says
+    it is independent. The generic DAG reads the edges and overlaps it —
+    and that flips a split decision (the reference's SimTask DAG gets this
+    from the op graph for any model, simulator.cc:328-498)."""
+    n = 16
+    lookups = 65536 * 16
+    # op 0: embedding; op 1: big dense declared stage=1 but graph-
+    # independent of the exchange; op 2: small consumer of both
+    ops = [
+        *[_emb(2_000_000, lookups) for _ in range(4)],
+        _dense(2e13, stage=1),
+        _dense(1e11, stage=1),
+    ]
+    op_edges = [(4, 5), (0, 5), (1, 5), (2, 5), (3, 5)]
+    mode, tp = [0] * 4, [1, 1]
+    m = _machine(n)
+
+    def cost(split, generic):
+        return bindings.simulate2(
+            m.to_native(), ops, [0, 1, 2, 3], [split] * 4, mode, tp,
+            op_edges=op_edges if generic else (),
+        )
+
+    # generic hides the bigger split-exchange behind the independent dense
+    # op and takes the split; staged keeps it on the critical path
+    pref_generic = cost(16, True) - cost(1, True)
+    pref_staged = cost(16, False) - cost(1, False)
+    assert pref_generic < 0, f"generic DAG should take the split: {pref_generic}"
+    assert pref_staged > 0, f"staged model should refuse it: {pref_staged}"
+
+
+@pytest.mark.parametrize("builder", ["moe", "transformer"])
+def test_generic_dag_scores_zoo_models(builder):
+    """MoE and transformer graphs (shapes the 3-stage hardcode was wrong
+    for) must lower with op edges and autotune end-to-end on the generic
+    DAG path."""
+    from dlrm_flexflow_tpu.models import zoo
+
+    if builder == "moe":
+        model = zoo.moe_mlp(batch_size=64)
+    else:
+        model = zoo.transformer(batch_size=8)
+    ops, names, vocabs, nd, edges, dnames, op_edges = graph_to_cost_spec_v2(
+        model.graph, 1024
+    )
+    assert len(op_edges) > 0
+    machine = _machine(8)
+    owner, cost, report = autotune_plan_joint(
+        model.graph, machine, 1024, budget=1500, seed=2
+    )
+    assert cost > 0 and np.isfinite(cost)
+    if report.get("tables"):
+        assert report["breakdown"]["total_us"] == pytest.approx(cost)
