@@ -37,7 +37,7 @@ from ..ffconst import (
 )
 from ..training import losses as losses_lib
 from ..training import metrics as metrics_lib
-from ..training.optimizer import Optimizer, SGDOptimizer
+from ..training.optimizer import AdamOptimizer, Optimizer, SGDOptimizer
 from .graph import Graph, InputOp, Op, OpContext
 from .tensor import TensorSpec
 
@@ -543,7 +543,8 @@ class FFModel:
                 enable_parameter_parallel(plan, self.graph)
             if plan.packed_pool is None:
                 # packed pool storage: scatter-free local updates via the
-                # Pallas packed kernel — TPU + plain-SGD row updates only
+                # Pallas packed kernel (SGD incl. momentum, row-wise
+                # AdaGrad, and lazy Adam — m/v live in packed side pools)
                 from ..ops.pallas import pallas_supported as _psup
 
                 plan.packed_pool = bool(
@@ -556,10 +557,7 @@ class FFModel:
                         )
                     )
                     and (
-                        (
-                            isinstance(optimizer, SGDOptimizer)
-                            and optimizer.momentum == 0.0
-                        )
+                        isinstance(optimizer, (SGDOptimizer, AdamOptimizer))
                         or type(optimizer).__name__ == "RowWiseAdagradOptimizer"
                     )
                 )
@@ -759,6 +757,16 @@ class FFModel:
             )(dense_params, overrides)
             lr = opt_state["dense"].get("lr") if isinstance(opt_state["dense"], dict) else None
             new_dense, dstate = opt.update(g_dense, opt_state["dense"], dense_params)
+            if isinstance(opt, AdamOptimizer):
+                # sparse path gets the bias-corrected alpha_t for this step
+                # (reference: alpha_t precomputed per step, optimizer.cc)
+                t_f = dstate["step"].astype(jnp.float32)
+                base = lr if lr is not None else opt.alpha
+                lr = (
+                    base
+                    * jnp.sqrt(1.0 - jnp.power(opt.beta2, t_f))
+                    / (1.0 - jnp.power(opt.beta1, t_f))
+                )
             new_params = dict(new_dense)
             from ..training.sparse_engine import apply_sparse_updates
 

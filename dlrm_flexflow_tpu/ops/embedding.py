@@ -115,16 +115,27 @@ class Embedding(Op):
     def sparse_state_init(self, optimizer):
         st = optimizer.sparse_init((self.num_entries, self.out_dim))
         if st is not None and self.packed:
-            # per-row accumulators stored packed, replicated over the row's
-            # D lanes, so the same packed-update kernel maintains them
+            # optimizer state stored packed so the same packed-update kernel
+            # maintains it: per-row scalars (AdaGrad acc) lane-replicate over
+            # the row's D lanes; per-element pools (momentum velocity [V, D],
+            # Adam m/v stacked [2, V, D]) pack like the weight
             from .pallas.packed_update import pack_table
 
-            st = pack_table(
-                jnp.broadcast_to(
-                    st[:, None], (self.num_entries, self.out_dim)
-                ).astype(jnp.float32),
-                self.chunk_packs,
-            )
+            shape = (self.num_entries, self.out_dim)
+            if st.ndim == 1:  # per-row accumulator
+                st = pack_table(
+                    jnp.broadcast_to(st[:, None], shape).astype(jnp.float32),
+                    self.chunk_packs,
+                )
+            elif st.ndim == 2:  # per-element pool (velocity)
+                st = pack_table(st.astype(jnp.float32), self.chunk_packs)
+            else:  # stacked per-element pools (Adam m/v)
+                st = jnp.stack(
+                    [
+                        pack_table(s.astype(jnp.float32), self.chunk_packs)
+                        for s in st
+                    ]
+                )
         return st
 
     def pack_params(self, sub: dict) -> dict:

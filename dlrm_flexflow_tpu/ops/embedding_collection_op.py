@@ -103,17 +103,25 @@ class EmbeddingCollection(Op):
     # ---- sparse-gradient path (see FFModel.compile) -------------------------
     def sparse_state_init(self, optimizer):
         lay = self.layout
-        if lay.packed_pool:
-            st = optimizer.sparse_init((lay.num_shards, lay.r_pad, lay.dim))
-            if st is None:
-                return None
-            # per-row accumulators replicated over the row's D lanes so the
-            # packed kernel maintains them ([N, R_pad] -> [N, Pp, 128])
-            rep = jnp.broadcast_to(
-                st[:, :, None], (lay.num_shards, lay.r_pad, lay.dim)
-            ).astype(jnp.float32)
-            return rep.reshape(lay.param_shape())
-        return optimizer.sparse_init(lay.param_shape())
+        n, r, d = lay.num_shards, lay.r_pad, lay.dim
+        st = optimizer.sparse_init((n, r, d))
+        if st is None:
+            return None
+        if st.ndim == 4:  # Adam m/v stacked [2, N, R, D] -> shard-leading
+            st = jnp.moveaxis(st, 0, 1)
+        if not lay.packed_pool:
+            return st
+        # packed storage so the packed kernel maintains the state pools:
+        # per-row accumulators (AdaGrad [N, R]) lane-replicate over the
+        # row's D lanes; per-element pools reshape row-major (r_pad is
+        # chunk-aligned so this IS the packed layout)
+        if st.ndim == 2:
+            st = jnp.broadcast_to(st[:, :, None], (n, r, d))
+            return st.astype(jnp.float32).reshape(lay.param_shape())
+        if st.ndim == 3:  # velocity [N, R, D]
+            return st.astype(jnp.float32).reshape(lay.param_shape())
+        pp = lay.pool_packs  # [N, 2, R, D] -> [N, 2, Pp, 128]
+        return st.astype(jnp.float32).reshape(n, 2, pp, 128)
 
     def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx, lr=None):
         idx = jnp.stack(
@@ -159,10 +167,27 @@ class EmbeddingCollection(Op):
             g = g / count.astype(g.dtype)
         grads = jnp.broadcast_to(g[:, :, None, :], (b, t, h, d)).reshape(b * t * h, d)
         flat = pool.reshape(n * r, d)
-        sflat = sstate.reshape(n * r) if sstate is not None else None
+        # flatten the optimizer state to the row space the scatter expects:
+        # AdaGrad [N, R] -> [N*R]; velocity [N, R, D] -> [N*R, D];
+        # Adam [N, 2, R, D] -> [2, N*R, D]
+        if sstate is None:
+            sflat = None
+        elif sstate.ndim == 2:
+            sflat = sstate.reshape(n * r)
+        elif sstate.ndim == 3:
+            sflat = sstate.reshape(n * r, d)
+        else:
+            sflat = jnp.moveaxis(sstate, 1, 0).reshape(2, n * r, d)
         flat, sflat = optimizer.sparse_row_update(flat, sflat, rows, grads, lr=lr)
         pool = flat.reshape(n, r, d)
-        sstate = sflat.reshape(n, r) if sflat is not None else None
+        if sflat is None:
+            sstate = None
+        elif sflat.ndim == 1:
+            sstate = sflat.reshape(n, r)
+        elif sflat.ndim == 2:
+            sstate = sflat.reshape(n, r, d)
+        else:
+            sstate = jnp.moveaxis(sflat.reshape(2, n, r, d), 0, 1)
         return {"pool": pool}, sstate
 
     def cost_stats(self):

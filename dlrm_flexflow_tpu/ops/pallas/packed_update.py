@@ -95,21 +95,21 @@ def packed_gather(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
 # update-stream prep (XLA side)
 # --------------------------------------------------------------------------
 
-def _prep_streams(
-    rows_tk: jax.Array,          # [T, K] int32; >= v marks dropped entries
-    deltas_list: Sequence[jax.Array],  # T x [K, D]
+def prep_sorted_routes(
+    rows_tk: jax.Array,          # [T, K] int32; <0 or >= v marks dropped
     vocab_sizes: Sequence[int],
     d: int,
     chunk_packs_t: Sequence[int],
-    delta_dtype=jnp.bfloat16,
     routes=None,
 ):
-    """Sort + expand all T update streams (ONE batched key sort, per-table
-    payload gathers). Returns per-table (starts [n_chunks+1] i32,
-    ps_pk [K_pad/128, 128] i32, g_exp [K_pad, 128] delta_dtype).
-    `routes`: optional per-table (order [K], psmod [K], starts) device
-    arrays precomputed on the HOST (host_pack_routes) — skips the
-    on-device sort and chunk-starts passes."""
+    """Batched ROW-sort prep (no payloads): ONE lax.sort over all T tables'
+    row keys. Sorting by row (instead of pack id — rows are monotone in
+    packs so the chunk grouping is identical) makes duplicate rows adjacent,
+    which the lazy Adam/momentum paths need for first-occurrence flags.
+    Returns per-table (starts [n_chunks+1], ps_pk [K_pad/128, 128],
+    order [K], rows_sorted [K] with sentinel pp*rpp for dropped entries).
+    `routes`: optional host-precomputed (order, psmod, starts) per table
+    (host_pack_routes / ffdata) — skips the on-device sort + counts pass."""
     t, k = rows_tk.shape
     rpp = rows_per_pack(d)
     n_chunks_t = [
@@ -120,6 +120,7 @@ def _prep_streams(
     sentinel = jnp.asarray(
         [n * c for n, c in zip(n_chunks_t, chunk_packs_t)], jnp.int32
     )[:, None]
+    row_sent = sentinel * rpp
     rows_tk = rows_tk.astype(jnp.int32)
     # negatives drop too (matching host_pack_routes' documented contract):
     # a negative row would floor-divide to pack -1 and silently accumulate
@@ -127,8 +128,8 @@ def _prep_streams(
     in_range = (rows_tk >= 0) & (
         rows_tk < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
     )
-    p = jnp.where(in_range, rows_tk // rpp, sentinel)
-    sub = jnp.where(in_range, rows_tk % rpp, 0)
+    rk = jnp.where(in_range, rows_tk, row_sent)
+    p = rk // rpp  # sentinel row -> sentinel pack exactly
     if routes is not None:
         # host-routed: the sort order, in-chunk pack positions, and chunk
         # starts are index-derived, so the input pipeline precomputed them
@@ -136,9 +137,11 @@ def _prep_streams(
         # counts pass disappear from the step
         order = jnp.stack([r[0] for r in routes]).astype(jnp.int32)
         psmod = jnp.stack([r[1] for r in routes]).astype(jnp.int32)
+        rows_s = jnp.take_along_axis(rk, order, axis=1)
     else:
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-        ps, order = jax.lax.sort((p, iota_k), dimension=1, num_keys=1)
+        rows_s, order = jax.lax.sort((rk, iota_k), dimension=1, num_keys=1)
+        ps = rows_s // rpp
         # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
         # packed 128 positions per row for the kernel's transposed one-hot
         psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
@@ -150,16 +153,6 @@ def _prep_streams(
     ps_pk = ps_pk.reshape(t, k_pad // LANES, LANES)
     out = []
     for i in range(t):
-        # lane-expanded deltas, gathered into sorted order. Separate
-        # per-table gather ops so the TPU overlaps their latency.
-        gi = deltas_list[i].astype(delta_dtype)
-        oh_sub = (
-            sub[i][:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (k, rpp), 1)
-        ).astype(delta_dtype)
-        g_exp = (oh_sub[..., None] * gi[:, None, :]).reshape(k, LANES)
-        g_exp = g_exp.at[order[i]].get(mode="promise_in_bounds")
-        g_exp = jnp.pad(g_exp, ((0, pad), (0, 0)))
         # chunk starts in the sorted stream via per-chunk counts + cumsum
         # (a [K, n_chunks] compare-reduce; measured much faster than XLA's
         # searchsorted for the ~100-chunk regime). Counts are permutation
@@ -182,8 +175,54 @@ def _prep_streams(
             ).astype(jnp.int32)
         else:  # pragma: no cover - only reached for >16M-row tables
             edges = jnp.arange(nc + 1, dtype=jnp.int32) * chunk_packs_t[i]
-            starts = jnp.searchsorted(ps[i], edges).astype(jnp.int32)
-        out.append((starts, ps_pk[i], g_exp))
+            starts = jnp.searchsorted(
+                rows_s[i] // rpp, edges
+            ).astype(jnp.int32)
+        out.append((starts, ps_pk[i], order[i], rows_s[i]))
+    return out
+
+
+def lane_expand_sorted(g_sorted, sub_sorted, k_pad: int, delta_dtype):
+    """[K, D] sorted deltas + [K] in-pack row positions -> [K_pad, 128]
+    lane-expanded kernel stream (pad rows zero)."""
+    k, dd = g_sorted.shape
+    rpp = LANES // dd
+    gi = g_sorted.astype(delta_dtype)
+    if rpp == 1:
+        g_exp = gi
+    else:
+        oh_sub = (
+            sub_sorted[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (k, rpp), 1)
+        ).astype(delta_dtype)
+        g_exp = (oh_sub[..., None] * gi[:, None, :]).reshape(k, LANES)
+    return jnp.pad(g_exp, ((0, k_pad - k), (0, 0)))
+
+
+def _prep_streams(
+    rows_tk: jax.Array,          # [T, K] int32; <0 or >= v marks dropped
+    deltas_list: Sequence[jax.Array],  # T x [K, D]
+    vocab_sizes: Sequence[int],
+    d: int,
+    chunk_packs_t: Sequence[int],
+    delta_dtype=jnp.bfloat16,
+    routes=None,
+):
+    """Sort + expand all T update streams (ONE batched key sort, per-table
+    payload gathers). Returns per-table (starts, ps_pk, g_exp)."""
+    t, k = rows_tk.shape
+    rpp = rows_per_pack(d)
+    pre = prep_sorted_routes(rows_tk, vocab_sizes, d, chunk_packs_t, routes)
+    k_pad = (-(-k // TILE) + 1) * TILE
+    out = []
+    for i in range(t):
+        starts, ps_pk, order, rows_s = pre[i]
+        # payload gathered into sorted order; separate per-table gather ops
+        # so the TPU overlaps their latency
+        g_s = deltas_list[i].at[order].get(mode="promise_in_bounds")
+        sub_s = rows_s % rpp
+        g_exp = lane_expand_sorted(g_s, sub_s, k_pad, delta_dtype)
+        out.append((starts, ps_pk, g_exp))
     return out
 
 
@@ -392,6 +431,154 @@ def packed_row_update(
     )[0]
 
 
+def _first_flags(rows_s, row_sent):
+    """[K] sorted rows -> f32 {0,1}: 1 at the first occurrence of each
+    distinct valid row (duplicates are adjacent after the row sort)."""
+    prev = jnp.concatenate([jnp.full((1,), -1, rows_s.dtype), rows_s[:-1]])
+    return ((rows_s != prev) & (rows_s < row_sent)).astype(jnp.float32)
+
+
+def packed_lazy_adam_batched(
+    tables: List[jax.Array],       # packed [Pp, 128] f32 each
+    m_pools: List[jax.Array],      # packed f32
+    v_pools: List[jax.Array],      # packed f32
+    rows_list: Sequence[jax.Array],
+    grads_list: Sequence[jax.Array],   # T x [K, D] raw gradients
+    vocab_sizes: Sequence[int],
+    d: int,
+    *,
+    alpha_t,
+    beta1: float,
+    beta2: float,
+    epsilon: float,
+    weight_decay: float = 0.0,
+    chunk_packs=1024,
+    interpret: bool = False,
+    routes=None,
+):
+    """Scatter-free LAZY Adam on packed pools (VERDICT r2 item 3; reference
+    dense-Adam kernels: src/runtime/optimizer_kernel.cu:295-350 — lazy/
+    touched-rows-only is the sparse-embedding convention). Per touched row:
+      m <- b1*m + (1-b1)*G_r          (G_r = summed duplicate grads)
+      v <- b2*v + (1-b2)*sum(g_i^2)   (summed squares per occurrence)
+      w <- w - alpha_t * m / (sqrt(v) + eps)
+    Streams are row-sorted so duplicates are adjacent; the decay terms ride
+    first-occurrence entries and the same one-hot MXU kernel maintains all
+    three pools (m/v deltas stream f32, weight deltas bf16).
+    Returns (new_tables, new_m, new_v)."""
+    t = len(tables)
+    if isinstance(chunk_packs, int):
+        chunk_packs = [chunk_packs] * t
+    rows_tk = jnp.stack([r.astype(jnp.int32) for r in rows_list])
+    k = rows_tk.shape[1]
+    k_pad = (-(-k // TILE) + 1) * TILE
+    rpp = rows_per_pack(d)
+    pre = prep_sorted_routes(rows_tk, vocab_sizes, d, chunk_packs, routes)
+    new_t, new_m, new_v = [], [], []
+    for i in range(t):
+        starts, ps_pk, order, rows_s = pre[i]
+        pp, nc = packed_num_packs(vocab_sizes[i], d, chunk_packs[i])
+        row_sent = pp * rpp
+        safe = jnp.minimum(rows_s, row_sent - 1)
+        sub_s = rows_s % rpp
+        first = _first_flags(rows_s, row_sent)[:, None]
+        g_s = grads_list[i].astype(jnp.float32).at[order].get(
+            mode="promise_in_bounds"
+        )
+        if weight_decay != 0.0:
+            g_s = g_s + weight_decay * packed_gather(tables[i], safe, d)
+        m_old = packed_gather(m_pools[i], safe, d)
+        v_old = packed_gather(v_pools[i], safe, d)
+        dm = (1.0 - beta1) * g_s + first * (beta1 - 1.0) * m_old
+        dv = (1.0 - beta2) * jnp.square(g_s) + first * (beta2 - 1.0) * v_old
+        m2 = _packed_apply(
+            m_pools[i], starts, ps_pk,
+            lane_expand_sorted(dm, sub_s, k_pad, jnp.float32),
+            chunk_packs=chunk_packs[i], interpret=interpret,
+        )
+        v2 = _packed_apply(
+            v_pools[i], starts, ps_pk,
+            lane_expand_sorted(dv, sub_s, k_pad, jnp.float32),
+            chunk_packs=chunk_packs[i], interpret=interpret,
+        )
+        m_new = packed_gather(m2, safe, d)
+        v_new = packed_gather(v2, safe, d)
+        dw = first * (-alpha_t) * m_new / (jnp.sqrt(v_new) + epsilon)
+        w2 = _packed_apply(
+            tables[i], starts, ps_pk,
+            lane_expand_sorted(dw, sub_s, k_pad, jnp.float32),
+            chunk_packs=chunk_packs[i], interpret=interpret,
+        )
+        new_t.append(w2)
+        new_m.append(m2)
+        new_v.append(v2)
+    return new_t, new_m, new_v
+
+
+def packed_lazy_momentum_batched(
+    tables: List[jax.Array],
+    vel_pools: List[jax.Array],
+    rows_list: Sequence[jax.Array],
+    grads_list: Sequence[jax.Array],
+    vocab_sizes: Sequence[int],
+    d: int,
+    *,
+    lr,
+    momentum: float,
+    nesterov: bool = False,
+    weight_decay: float = 0.0,
+    chunk_packs=1024,
+    interpret: bool = False,
+    routes=None,
+):
+    """Scatter-free lazy momentum SGD on packed pools. Per touched row:
+    v <- mu*v + G_r; w <- w - lr*(v) (nesterov: w -= lr*(G_r + mu*v)).
+    Returns (new_tables, new_velocities)."""
+    t = len(tables)
+    if isinstance(chunk_packs, int):
+        chunk_packs = [chunk_packs] * t
+    rows_tk = jnp.stack([r.astype(jnp.int32) for r in rows_list])
+    k = rows_tk.shape[1]
+    k_pad = (-(-k // TILE) + 1) * TILE
+    rpp = rows_per_pack(d)
+    pre = prep_sorted_routes(rows_tk, vocab_sizes, d, chunk_packs, routes)
+    new_t, new_v = [], []
+    for i in range(t):
+        starts, ps_pk, order, rows_s = pre[i]
+        pp, nc = packed_num_packs(vocab_sizes[i], d, chunk_packs[i])
+        row_sent = pp * rpp
+        safe = jnp.minimum(rows_s, row_sent - 1)
+        sub_s = rows_s % rpp
+        first = _first_flags(rows_s, row_sent)[:, None]
+        g_s = grads_list[i].astype(jnp.float32).at[order].get(
+            mode="promise_in_bounds"
+        )
+        if weight_decay != 0.0:
+            g_s = g_s + weight_decay * packed_gather(tables[i], safe, d)
+        v_old = packed_gather(vel_pools[i], safe, d)
+        dvel = g_s + first * (momentum - 1.0) * v_old
+        v2 = _packed_apply(
+            vel_pools[i], starts, ps_pk,
+            lane_expand_sorted(dvel, sub_s, k_pad, jnp.float32),
+            chunk_packs=chunk_packs[i], interpret=interpret,
+        )
+        v_new = packed_gather(v2, safe, d)
+        if nesterov:
+            # G_r at the first entry = v_new - mu*v_old
+            step = (v_new - momentum * v_old) + momentum * v_new
+        else:
+            step = v_new
+        dw = first * (-lr) * step
+        w2 = _packed_apply(
+            tables[i], starts, ps_pk,
+            lane_expand_sorted(dw, sub_s, k_pad, jnp.float32),
+            chunk_packs=chunk_packs[i], interpret=interpret,
+        )
+        new_t.append(w2)
+        new_v.append(v2)
+    return new_t, new_v
+
+
 def packed_row_update_reference(
     packed: jax.Array, rows: jax.Array, deltas: jax.Array, v: int, d: int
 ) -> jax.Array:
@@ -408,18 +595,20 @@ def host_pack_routes(rows, v: int, d: int, chunk_packs: int):
     the sort order, in-chunk pack positions, and chunk starts are pure
     functions of the indices, so the input pipeline computes them off the
     critical path (ffdata provides a threaded sort) and the device step
-    skips its bitonic sort. rows: [K] int-like, <0 or >=v drops."""
+    skips its bitonic sort. Sorts by ROW (monotone in packs, so the chunk
+    grouping is unchanged; duplicate rows become adjacent for the lazy
+    Adam/momentum first-occurrence flags). rows: [K], <0 or >=v drops."""
     import numpy as _np
 
     rows = _np.asarray(rows).reshape(-1).astype(_np.int64)
     rpp = rows_per_pack(d)
     pp, n_chunks = packed_num_packs(v, d, chunk_packs)
     sent = n_chunks * chunk_packs
-    p = _np.where((rows >= 0) & (rows < v), rows // rpp, sent)
+    rk = _np.where((rows >= 0) & (rows < v), rows, sent * rpp)
     from ...data import native_batcher as _nb
 
-    order = _nb.argsort_i64(p)
-    ps = p[order]
+    order = _nb.argsort_i64(rk)
+    ps = rk[order] // rpp
     psmod = _np.where(ps < sent, ps % chunk_packs, chunk_packs).astype(_np.int32)
     starts = _np.searchsorted(
         ps, _np.arange(n_chunks + 1, dtype=_np.int64) * chunk_packs

@@ -388,18 +388,45 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
     if layout.packed_pool:
         import jax as _jax
 
-        from ..ops.pallas.packed_update import packed_gather, packed_row_update
+        from ..ops.pallas.packed_update import (
+            packed_gather,
+            packed_lazy_adam_batched,
+            packed_lazy_momentum_batched,
+            packed_row_update,
+        )
         from ..training.optimizer import (
+            AdamOptimizer as _Adam,
             RowWiseAdagradOptimizer as _RWA,
             SGDOptimizer as _SGD,
         )
 
         interpret = _jax.default_backend() != "tpu"
-        rate = (optimizer.lr if lr is None else lr)
         g = grads.astype(jnp.float32)
         kw = dict(
             chunk_packs=layout.pool_chunk_packs, interpret=interpret,
         )
+        if isinstance(optimizer, _Adam):
+            # lazy Adam on packed m/v side pools (lr = bias-corrected
+            # alpha_t from the engine)
+            (new_pools, new_m, new_v) = packed_lazy_adam_batched(
+                [pool_local2d], [sstate2d[0]], [sstate2d[1]], [rows], [g],
+                [layout.r_pad], layout.dim,
+                alpha_t=(optimizer.alpha if lr is None else lr),
+                beta1=optimizer.beta1, beta2=optimizer.beta2,
+                epsilon=optimizer.epsilon,
+                weight_decay=optimizer.weight_decay, **kw,
+            )
+            return new_pools[0], jnp.stack([new_m[0], new_v[0]])
+        if isinstance(optimizer, _SGD) and optimizer.momentum != 0.0:
+            new_pools, new_vel = packed_lazy_momentum_batched(
+                [pool_local2d], [sstate2d], [rows], [g],
+                [layout.r_pad], layout.dim,
+                lr=(optimizer.lr if lr is None else lr),
+                momentum=optimizer.momentum, nesterov=optimizer.nesterov,
+                weight_decay=optimizer.weight_decay, **kw,
+            )
+            return new_pools[0], new_vel[0]
+        rate = (optimizer.lr if lr is None else lr)
         if isinstance(optimizer, _RWA):
             gsq = jnp.broadcast_to(
                 jnp.mean(jnp.square(g), axis=-1, keepdims=True), g.shape

@@ -57,10 +57,15 @@ class SGDOptimizer(Optimizer):
     nesterov: bool = False
     weight_decay: float = 0.0
 
-    @property
-    def supports_sparse(self) -> bool:
-        # momentum would need dense velocity state; plain SGD is row-local
-        return self.momentum == 0.0
+    supports_sparse = True
+
+    def sparse_init(self, pool_shape, dtype=jnp.float32):
+        # momentum keeps a per-element velocity pool, updated LAZILY (only
+        # touched rows decay — the sparse-momentum convention; the reference
+        # keeps dense V regions and decays everything, optimizer_kernel.cu:62)
+        if self.momentum != 0.0:
+            return jnp.zeros(pool_shape, jnp.float32)
+        return None
 
     def sparse_row_update(self, table, state, rows, row_grads, lr=None):
         lr = self.lr if lr is None else lr
@@ -69,10 +74,26 @@ class SGDOptimizer(Optimizer):
             # once per occurrence; matches common sparse-SGD practice)
             decay = jnp.take(table, jnp.minimum(rows, table.shape[0] - 1), axis=0)
             row_grads = row_grads + self.weight_decay * decay
-        new_table = table.at[rows].add(
-            (-lr * row_grads).astype(table.dtype), mode="drop"
+        if self.momentum == 0.0:
+            new_table = table.at[rows].add(
+                (-lr * row_grads).astype(table.dtype), mode="drop"
+            )
+            return new_table, state
+        # lazy momentum: v[r] = mu*v[r] + G_r (G_r = summed duplicate grads,
+        # decay applied once per touched row per step), w[r] -= lr * step_r
+        g32 = row_grads.astype(jnp.float32)
+        G = jnp.zeros(table.shape, jnp.float32).at[rows].add(g32, mode="drop")
+        touched = (
+            jnp.zeros((table.shape[0],), jnp.float32)
+            .at[rows].add(1.0, mode="drop")[:, None]
+            > 0
         )
-        return new_table, state
+        v2 = jnp.where(touched, self.momentum * state + G, state)
+        step = G + self.momentum * v2 if self.nesterov else v2
+        new_table = jnp.where(
+            touched, table - (lr * step).astype(table.dtype), table
+        )
+        return new_table, v2
 
     def init(self, params):
         base = {"step": jnp.zeros((), jnp.int32), "lr": jnp.float32(self.lr)}
@@ -115,6 +136,43 @@ class AdamOptimizer(Optimizer):
     beta2: float = 0.999
     weight_decay: float = 0.0
     epsilon: float = 1e-8
+
+    # Sparse (lazy) Adam for embedding tables: only rows touched by the
+    # batch update their m/v/w — the sparse-Adam convention (the reference
+    # instead keeps dense m/v replica regions and updates every row each
+    # step, src/runtime/optimizer_kernel.cu:295-350; lazy is the standard
+    # DLRM treatment and what the packed kernel path implements).
+    # Duplicate-row semantics: per touched row, m gets the SUMMED duplicate
+    # gradient, v the summed SQUARES of each occurrence, decay once.
+    supports_sparse = True
+
+    def sparse_init(self, pool_shape, dtype=jnp.float32):
+        # m and v stacked on a new leading axis: [2, *pool_shape]
+        return jnp.zeros((2,) + tuple(pool_shape), jnp.float32)
+
+    def sparse_row_update(self, table, state, rows, row_grads, lr=None):
+        """`lr` must be the bias-corrected alpha_t (the engine computes it
+        from the shared step counter); falls back to raw alpha."""
+        alpha_t = self.alpha if lr is None else lr
+        g32 = row_grads.astype(jnp.float32)
+        if self.weight_decay != 0.0:
+            decay = jnp.take(table, jnp.minimum(rows, table.shape[0] - 1), axis=0)
+            g32 = g32 + self.weight_decay * decay.astype(jnp.float32)
+        m, v = state[0], state[1]
+        G = jnp.zeros(table.shape, jnp.float32).at[rows].add(g32, mode="drop")
+        Sq = jnp.zeros(table.shape, jnp.float32).at[rows].add(
+            jnp.square(g32), mode="drop"
+        )
+        touched = (
+            jnp.zeros((table.shape[0],), jnp.float32)
+            .at[rows].add(1.0, mode="drop")[:, None]
+            > 0
+        )
+        m2 = jnp.where(touched, self.beta1 * m + (1.0 - self.beta1) * G, m)
+        v2 = jnp.where(touched, self.beta2 * v + (1.0 - self.beta2) * Sq, v)
+        upd = alpha_t * m2 / (jnp.sqrt(v2) + self.epsilon)
+        new_table = jnp.where(touched, table - upd.astype(table.dtype), table)
+        return new_table, jnp.stack([m2, v2])
 
     def init(self, params):
         return {

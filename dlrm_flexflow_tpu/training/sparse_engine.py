@@ -22,9 +22,11 @@ import jax.numpy as jnp
 from ..ops.embedding import bag_row_grads
 from ..ops.pallas.packed_update import (
     packed_gather,
+    packed_lazy_adam_batched,
+    packed_lazy_momentum_batched,
     packed_row_update_batched,
 )
-from .optimizer import RowWiseAdagradOptimizer, SGDOptimizer
+from .optimizer import AdamOptimizer, RowWiseAdagradOptimizer, SGDOptimizer
 
 
 def _kernels_interpret() -> bool:
@@ -85,7 +87,36 @@ def apply_sparse_updates(
             if all(r is not None for r in rts):
                 grp_routes = rts
 
-        if isinstance(opt, SGDOptimizer):
+        if isinstance(opt, AdamOptimizer):
+            # lazy Adam on packed m/v side pools, same one-hot MXU kernel
+            # (lr here is the bias-corrected alpha_t from the engine caller)
+            alpha_t = opt.alpha if lr is None else lr
+            sts = [sstates[op.name] for op in ops_g]
+            m_pools = [s[0] for s in sts]
+            v_pools = [s[1] for s in sts]
+            new_tables, new_m, new_v = packed_lazy_adam_batched(
+                tables, m_pools, v_pools, rows_l, grads_l, vocabs, d,
+                alpha_t=alpha_t, beta1=opt.beta1, beta2=opt.beta2,
+                epsilon=opt.epsilon, weight_decay=opt.weight_decay,
+                chunk_packs=chunk_packs, interpret=interpret,
+                routes=grp_routes,
+            )
+            for op, nt, m2, v2 in zip(ops_g, new_tables, new_m, new_v):
+                new_params[op.name] = {**params[op.name], "weight": nt}
+                new_sstates[op.name] = jnp.stack([m2, v2])
+        elif isinstance(opt, SGDOptimizer) and opt.momentum != 0.0:
+            rate = opt.lr if lr is None else lr
+            vels = [sstates[op.name] for op in ops_g]
+            new_tables, new_vel = packed_lazy_momentum_batched(
+                tables, vels, rows_l, grads_l, vocabs, d,
+                lr=rate, momentum=opt.momentum, nesterov=opt.nesterov,
+                weight_decay=opt.weight_decay, chunk_packs=chunk_packs,
+                interpret=interpret, routes=grp_routes,
+            )
+            for op, nt, v2 in zip(ops_g, new_tables, new_vel):
+                new_params[op.name] = {**params[op.name], "weight": nt}
+                new_sstates[op.name] = v2
+        elif isinstance(opt, SGDOptimizer):
             rate = opt.lr if lr is None else lr
             if opt.weight_decay != 0.0:
                 # lazy decoupled decay on touched rows (duplicates decay

@@ -336,3 +336,94 @@ def test_routed_out_of_vocab_drops_like_dense():
     np.testing.assert_allclose(
         np.asarray(p_routed), np.asarray(p_dense), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("mode", ["dense", "routed"])
+def test_packed_pool_adam_matches_unpacked(mode):
+    """Lazy Adam on a packed pool (m/v packed side pools maintained by the
+    packed kernel) must match the unpacked lazy-Adam scatter path
+    (VERDICT r2 item 3; reference dense-Adam replica state:
+    src/runtime/optimizer_kernel.cu:295-350)."""
+    from dlrm_flexflow_tpu import AdamOptimizer, FFConfig, LossType, MetricsType
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    n = 8
+    bs = 8 * n
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[64, 200, 48, 96, 300, 500],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[112, 16, 1],
+        batch_size=bs,
+    )
+    feeds, labels = random_batches(cfg, bs * 3, seed=9)
+    losses = {}
+    for packed in (False, True):
+        plan = dlrm_hybrid_plan()
+        plan.exchange = mode
+        plan.routed_cap_factor = 0.0
+        plan.table_split = [2 if v >= 96 else 1 for v in cfg.embedding_size]
+        plan.packed_pool = packed
+        model = make_dlrm_model(
+            cfg, FFConfig(batch_size=bs, compute_dtype="float32",
+                          onehot_embedding_threshold=0)
+        )
+        model.compile(
+            AdamOptimizer(alpha=0.02), LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+            mesh=make_mesh((n,), ("data",)), plan=plan,
+        )
+        assert model._embedding_layout.packed_pool == packed
+        assert model._sparse_names == {"embedding_collection"}
+        ls = []
+        for i in range(3):
+            batch = {k: v[bs * i : bs * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[bs * i : bs * (i + 1)]))
+        losses[packed] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3, atol=5e-3)
+
+
+def test_packed_pool_momentum_matches_unpacked():
+    """Lazy momentum SGD on a packed pool (velocity side pool) must match
+    the unpacked lazy-momentum scatter path."""
+    from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    n = 8
+    bs = 8 * n
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[64, 200, 48, 96],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[80, 16, 1],
+        batch_size=bs,
+    )
+    feeds, labels = random_batches(cfg, bs * 2, seed=4)
+    losses = {}
+    for packed in (False, True):
+        plan = dlrm_hybrid_plan()
+        plan.table_split = [2 if v >= 96 else 1 for v in cfg.embedding_size]
+        plan.packed_pool = packed
+        model = make_dlrm_model(
+            cfg, FFConfig(batch_size=bs, compute_dtype="float32",
+                          onehot_embedding_threshold=0)
+        )
+        model.compile(
+            SGDOptimizer(lr=0.05, momentum=0.9, nesterov=True),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+            mesh=make_mesh((n,), ("data",)), plan=plan,
+        )
+        assert model._embedding_layout.packed_pool == packed
+        ls = []
+        for i in range(2):
+            batch = {k: v[bs * i : bs * (i + 1)] for k, v in feeds.items()}
+            ls.append(model.train_batch(batch, labels[bs * i : bs * (i + 1)]))
+        losses[packed] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=5e-3, atol=5e-3)

@@ -41,11 +41,16 @@ def _train(opt, steps=4, mesh=None, plan=None):
     return m, losses
 
 
+class _DenseOnlySGD(SGDOptimizer):
+    # forces the dense autodiff path (every built-in optimizer now has a
+    # sparse rule, so the opt-out is explicit)
+    supports_sparse = False
+
+
 def test_sparse_sgd_matches_dense_sgd():
     m1, l1 = _train(SGDOptimizer(lr=0.1, weight_decay=0.0))
     assert m1._sparse_names == {"table_0", "table_1", "table_2", "table_3"}
-    # momentum=tiny forces the dense autodiff path with ~identical math
-    m2, l2 = _train(SGDOptimizer(lr=0.1, weight_decay=0.0, momentum=1e-30))
+    m2, l2 = _train(_DenseOnlySGD(lr=0.1, weight_decay=0.0))
     assert m2._sparse_names == set()
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
     p1, p2 = m1.get_parameters(), m2.get_parameters()
@@ -152,3 +157,91 @@ def test_onehot_threshold_routes_small_tables_dense():
     assert m._sparse_names == {"table_0", "table_2"}
     feeds, labels = random_batches(CFG, 32, seed=0)
     assert np.isfinite(float(m.train_batch(feeds, labels)))
+
+
+def test_sparse_adam_single_table_packed_matches_scatter():
+    """Single-table lazy Adam: packed kernel path (packed_tables=on) must
+    match the scatter path step for step at the model level."""
+    from dlrm_flexflow_tpu import AdamOptimizer
+
+    losses = {}
+    params = {}
+    for packed in ("off", "on"):
+        m = make_dlrm_model(
+            CFG,
+            FFConfig(batch_size=32, compute_dtype="float32", seed=5,
+                     onehot_embedding_threshold=0, packed_tables=packed),
+        )
+        m.compile(AdamOptimizer(alpha=0.02, weight_decay=0.001),
+                  LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False)
+        assert m._sparse_names == {"table_0", "table_1", "table_2", "table_3"}
+        feeds, labels = random_batches(CFG, 32 * 3, seed=3)
+        ls = []
+        for i in range(3):
+            sl = slice(i * 32, (i + 1) * 32)
+            ls.append(float(m.train_batch(
+                {k: v[sl] for k, v in feeds.items()}, labels[sl])))
+        losses[packed] = ls
+        params[packed] = m.get_weights("table_0")["weight"]
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(params["on"], params["off"], rtol=2e-4, atol=1e-5)
+
+
+def test_lazy_sparse_adam_matches_torch_sparseadam():
+    """Oracle: torch.optim.SparseAdam on a coalesced sparse gradient has
+    the exact lazy semantics our sparse path implements (for duplicate-free
+    rows, where summed-squares == squared-sum)."""
+    import torch
+
+    from dlrm_flexflow_tpu.training.optimizer import AdamOptimizer
+
+    rng = np.random.RandomState(0)
+    V, D, K = 64, 8, 16
+    w0 = rng.randn(V, D).astype(np.float32)
+    opt = AdamOptimizer(alpha=0.01)
+    state = opt.sparse_init((V, D))
+    w = jnp.asarray(w0)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.SparseAdam([tw], lr=0.01, betas=(opt.beta1, opt.beta2),
+                                  eps=opt.epsilon)
+    for step in range(1, 4):
+        rows = rng.choice(V, K, replace=False).astype(np.int32)  # unique
+        g = rng.randn(K, D).astype(np.float32)
+        t = float(step)
+        alpha_t = 0.01 * np.sqrt(1 - opt.beta2 ** t) / (1 - opt.beta1 ** t)
+        w, state = opt.sparse_row_update(
+            w, state, jnp.asarray(rows), jnp.asarray(g), lr=alpha_t
+        )
+        topt.zero_grad()
+        tw.grad = torch.sparse_coo_tensor(
+            torch.tensor(rows.astype(np.int64))[None, :], torch.tensor(g),
+            (V, D),
+        )
+        topt.step()
+    np.testing.assert_allclose(
+        np.asarray(w), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sparse_momentum_single_table_packed_matches_scatter():
+    from dlrm_flexflow_tpu import SGDOptimizer as _SGD
+
+    losses = {}
+    for packed in ("off", "on"):
+        m = make_dlrm_model(
+            CFG,
+            FFConfig(batch_size=32, compute_dtype="float32", seed=5,
+                     onehot_embedding_threshold=0, packed_tables=packed),
+        )
+        m.compile(_SGD(lr=0.1, momentum=0.9),
+                  LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False)
+        assert len(m._sparse_names) == 4
+        feeds, labels = random_batches(CFG, 32 * 3, seed=3)
+        ls = []
+        for i in range(3):
+            sl = slice(i * 32, (i + 1) * 32)
+            ls.append(float(m.train_batch(
+                {k: v[sl] for k, v in feeds.items()}, labels[sl])))
+        losses[packed] = ls
+    np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-4, atol=1e-5)
