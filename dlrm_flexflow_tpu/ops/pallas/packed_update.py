@@ -344,8 +344,8 @@ def _packed_apply(
                 (chunk_packs, LANES), lambda k, starts: (k, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (chunk_packs, LANES), lambda k, starts: (k, 0),

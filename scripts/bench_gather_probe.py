@@ -39,6 +39,7 @@ def timed_scan(fn, xs, steps, label):
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return acc
 
+    print(f"compiling {label}...", flush=True)
     out = float(run(xs))  # compile + warm
     t0 = time.perf_counter()
     out = float(run(xs))
@@ -109,7 +110,7 @@ def dma_gather(table, rows, *, tile=2048, depth=16):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile, LANES), lambda t, rows: (t, 0), memory_space=pltpu.VMEM
         ),
@@ -147,17 +148,20 @@ def main():
     pp = -(-args.vocab // rpp)
     pp = -(-pp // 1024) * 1024
     rng = np.random.RandomState(0)
-    print(f"devices: {jax.devices()}")
-    tables_f32 = [
-        jnp.asarray(rng.randn(pp, LANES).astype(np.float32) * 0.01)
-        for _ in range(args.tables)
-    ]
+    print(f"devices: {jax.devices()}", flush=True)
+    # tables generated ON DEVICE: shipping hundreds of MB through the axon
+    # tunnel takes minutes (PERF.md round-2 protocol note)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.tables)
+    mk = jax.jit(lambda k, shape=(pp, LANES): 0.01 * jax.random.normal(k, shape))
+    tables_f32 = [mk(k) for k in keys]
     tables_bf16 = [t.astype(jnp.bfloat16) for t in tables_f32]
-    narrow_f32 = [
-        jnp.asarray(rng.randn(args.vocab, args.dim).astype(np.float32) * 0.01)
-        for _ in range(args.tables)
-    ]
+    mkn = jax.jit(
+        lambda k, shape=(args.vocab, args.dim): 0.01 * jax.random.normal(k, shape)
+    )
+    narrow_f32 = [mkn(k) for k in keys]
     narrow_bf16 = [t.astype(jnp.bfloat16) for t in narrow_f32]
+    jax.block_until_ready(narrow_bf16)
+    print("tables staged", flush=True)
     idx_steps = jnp.asarray(
         rng.randint(0, args.vocab, (args.steps, args.batch)).astype(np.int32)
     )
