@@ -160,6 +160,12 @@ def get_lib():
         )
         lib.ffsim2g_search.restype = ctypes.c_double
         lib.ffsim2g_search.argtypes = lib.ffsim2_search.argtypes + oe_tail
+        lib.ffsim2_wire_bytes.restype = None
+        lib.ffsim2_wire_bytes.argtypes = [
+            ctypes.POINTER(FFSimMachine), ctypes.POINTER(FFSimOp),
+            ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
     return _lib
 
@@ -305,6 +311,25 @@ def search2(machine: FFSimMachine, ops: Sequence[dict], owner, split, mode,
         )
     return (list(own[:nt]), list(spl[:nt]), list(mod[:nt]),
             list(tpa[:nd]), cost)
+
+
+def wire_bytes(machine: FFSimMachine, ops: Sequence[dict], owner, split,
+               mode) -> dict:
+    """Modeled exchange wire volumes (full fwd-direction bytes): keys
+    slot_payload / domain_payload / routed_wire. Used by the CI cross-check
+    pinning the cost model to the runtime's step_exchange_bytes."""
+    lib = get_lib()
+    arr = _ops_array(ops)
+    out = (ctypes.c_double * 3)()
+    lib.ffsim2_wire_bytes(
+        ctypes.byref(machine), arr, len(ops), _i32(owner), _i32(split),
+        _i32(mode), len(owner), out,
+    )
+    return {
+        "slot_payload": out[0],
+        "domain_payload": out[1],
+        "routed_wire": out[2],
+    }
 
 
 def schedule_dag(num_devices: int, durations, device_of, edges) -> float:

@@ -165,6 +165,9 @@ struct Costs2 {
   // per-op per-chip fwd durations for the graph-generic DAG builder
   // (0 for placed embeds — their cost lives in embed_fwd_max / a2a_us)
   std::vector<double> op_fwd;
+  // modeled wire volumes (full fwd-direction bytes, before the (n-1)/n
+  // leave-the-chip factor) — exported for the runtime bytes cross-check
+  double slot_payload = 0, domain_payload = 0, routed_wire = 0;
   double dense_total() const {
     return 3.0 * (stage_fwd[0] + stage_fwd[1] + stage_fwd[2]);
   }
@@ -283,11 +286,13 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
       const double prows = op.pooled_rows > 0 ? op.pooled_rows : op.lookups;
       const double wrb = op.wire_row_bytes > 0 ? op.wire_row_bytes : op.row_bytes;
       if (routed) {
-        // capacity buckets: idx there + rows back (fwd) + grads there
-        // (bwd), independent of the split degree. Unsplit sub-buckets are
-        // exact (factor 1); split ones carry the capacity factor.
+        // capacity buckets: idx there + rows back (fwd), row ids + grads
+        // there (bwd) — 2 idx + 2 payload rows per entry, independent of
+        // the split degree (matches the runtime's accounting,
+        // embedding_collection.py step_exchange_bytes). Unsplit sub-buckets
+        // are exact (factor 1); split ones carry the capacity factor.
         const double cap_eff = s > 1 ? rcap : 1.0;
-        routed_wire += cap_eff * op.lookups * (4.0 + 2.0 * wrb);
+        routed_wire += cap_eff * op.lookups * (8.0 + 2.0 * wrb);
         routed_entries += op.lookups;
       } else {
         slot_payload += s * wrb * prows;
@@ -380,6 +385,9 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
       c.mem_penalty += (used - cap_bytes) / 1e6 * kPenaltyUsPerMB;
   }
   c.mem_penalty += m.step_overhead_us;
+  c.slot_payload = slot_payload;
+  c.domain_payload = domain_payload;
+  c.routed_wire = routed_wire;
   return c;
 }
 
@@ -720,6 +728,23 @@ void ffsim2_breakdown(const FFSimMachine* m, const FFSimOp* ops,
   out9[6] = c.mem_penalty;
   out9[7] = simulate2_total(*m, c);
   out9[8] = c.closed();
+}
+
+// Modeled exchange wire volumes under a plan (full fwd-direction bytes):
+// out3[0] = dense slot payload, out3[1] = hierarchical cross-domain payload,
+// out3[2] = routed bucket wire (idx+rows+grads). The CI cross-check pins
+// these to the runtime's step_exchange_bytes reporting
+// (reference analog: the simulator's comm-volume accounting from region
+// intersections, src/runtime/simulator.cc:357-388).
+void ffsim2_wire_bytes(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, double* out3) {
+  Costs2 c = compute_costs2(*m, ops, num_ops, owner, split, mode, num_tables,
+                            nullptr, 0, 0.0);
+  out3[0] = c.slot_payload;
+  out3[1] = c.domain_payload;
+  out3[2] = c.routed_wire;
 }
 
 double ffsim2g_simulate(const FFSimMachine* m, const FFSimOp* ops,

@@ -201,6 +201,16 @@ double ffsim2_search(const FFSimMachine* m, const FFSimOp* ops,
 // graph for ANY model, src/runtime/simulator.cc:328-498; scheduling 500-560).
 // With num_op_edges == 0 (or use_dag == 0) these fall back to the v2 path.
 
+// Modeled exchange wire volumes under a plan (full fwd-direction bytes,
+// before the (n-1)/n leave-the-chip factor): out3[0] = dense slot payload,
+// out3[1] = hierarchical cross-domain payload, out3[2] = routed bucket
+// wire. CI pins these to the runtime's step_exchange_bytes reporting
+// (reference: comm volumes from region intersections, simulator.cc:357-388).
+void ffsim2_wire_bytes(const FFSimMachine* m, const FFSimOp* ops,
+                       int32_t num_ops, const int32_t* owner,
+                       const int32_t* split, const int32_t* mode,
+                       int32_t num_tables, double* out3);
+
 double ffsim2g_simulate(const FFSimMachine* m, const FFSimOp* ops,
                         int32_t num_ops, const int32_t* owner,
                         const int32_t* split, const int32_t* mode,

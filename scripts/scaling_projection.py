@@ -45,6 +45,52 @@ def machine_for(chips: int):
     return preset("tpu_v5e", num_chips=chips).torus_for(chips)
 
 
+def _eff_under(config_name, per_chip_batch, budget, perturb=None):
+    """1-host(8) -> 64-chip projected efficiency with an optional machine
+    perturbation dict {field: factor}. Used by --sensitivity to bound the
+    headline claim against the UNMEASURED multi-chip constants (only one
+    chip is reachable; VERDICT r2 weakness #2/#4)."""
+    import dataclasses
+
+    per = {}
+    for chips in (8, 64):
+        gb = per_chip_batch * chips
+        model = build(config_name, gb)
+        spec = machine_for(chips)
+        if perturb:
+            spec = dataclasses.replace(
+                spec,
+                **{k: getattr(spec, k) * f for k, f in perturb.items()},
+            )
+        owner, best_us, report = autotune_plan_joint(
+            model.graph, spec, gb, budget=budget, allow_splits=True,
+            min_vocab=8192, exchange_dtype_bytes=2.0,
+        )
+        per[chips] = gb / (best_us / 1e6) / chips
+    return per[64] / per[8]
+
+
+def sensitivity(args):
+    """Efficiency bound table: host->64 projected efficiency when each comm
+    constant is off by +/-35% (the measured 1-chip raw model error)."""
+    fields = [
+        "ici_gbps", "dcn_gbps", "ici_latency_us", "routing_ns_per_entry",
+        "update_pass_gbps", "gather_gbps",
+    ]
+    base = _eff_under(args.config, args.per_chip_batch, args.budget)
+    print(f"# sensitivity of 1-host(8)->64 efficiency (base {base:.1%}), "
+          f"each comm constant perturbed alone:")
+    worst = base
+    for f in fields:
+        for fac in (0.65, 1.35):
+            e = _eff_under(args.config, args.per_chip_batch, args.budget,
+                           {f: fac})
+            worst = min(worst, e)
+            print(f"  {f:22s} x{fac:<5} -> {e:6.1%}")
+    print(f"# worst-case single-constant efficiency: {worst:.1%} "
+          f"(target >= 85%)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle", choices=["kaggle", "summit"])
@@ -53,7 +99,12 @@ def main():
                     help="measured 1-chip examples/s for anchoring (0=off)")
     ap.add_argument("--measured-batch", type=int, default=65536)
     ap.add_argument("--budget", type=int, default=12000)
+    ap.add_argument("--sensitivity", action="store_true",
+                    help="print the comm-constant sensitivity bound table")
     args = ap.parse_args()
+    if args.sensitivity:
+        sensitivity(args)
+        return
 
     anchor_ratio = 1.0
     if args.measured_exps > 0 and args.measured_batch > 0:
