@@ -66,6 +66,7 @@ class FFSimOp(ctypes.Structure):
         ("wire_row_bytes", ctypes.c_double),
         ("stage", ctypes.c_int32),
         ("act_bytes", ctypes.c_double),
+        ("fwd_us", ctypes.c_double),
     ]
 
 
@@ -190,6 +191,7 @@ def _ops_array(ops: Sequence[dict]):
         arr[i].wire_row_bytes = op.get("wire_row_bytes", 0.0)
         arr[i].stage = op.get("stage", 2)
         arr[i].act_bytes = op.get("act_bytes", 0.0)
+        arr[i].fwd_us = op.get("fwd_us", 0.0)
     return arr
 
 

@@ -73,6 +73,13 @@ class MachineSpec:
     # the analytic model cannot see — scheduler slack, fusion effects).
     # Not part of the native struct; applied to reported predictions.
     step_residual: float = 1.0
+    # MEASURED dense-op costs: {"<in>x<out>": effective fwd us per example}
+    # (timed fwd+bwd / 3, matching the model's bwd = 2x fwd convention) —
+    # the reference times every op's real kernels per (op, config) and
+    # caches them (src/runtime/model.cu:20-64, simulator.cc:299-319); this
+    # is that table, persisted in the machine file. Lowering looks shapes
+    # up and sets FFSimOp.fwd_us, replacing the analytic roofline.
+    dense_costs: dict = dataclasses.field(default_factory=dict)
 
     def torus_for(self, n: int) -> "MachineSpec":
         """Fill in the slice torus axes for an n-chip v5e-style slice
@@ -331,6 +338,76 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
     return dataclasses.replace(
         spec, gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1)
     )
+
+
+def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
+                    repeats: int = 20) -> MachineSpec:
+    """Measure fwd+bwd of the model's ACTUAL dense shapes on the device and
+    cache effective per-example costs (reference: every op's real kernels
+    timed per (op, config) and cached, src/runtime/model.cu:20-64,
+    simulator.cc:299-319 — this replaces the MLP rooflines that carried
+    the +35%% 1-chip model error, PERF.md r2). `shapes`: iterable of
+    (in_dim, out_dim). Stored as (t_fwd + t_bwd) / 3 per example so the
+    model's bwd = 2x fwd convention reproduces the measured total."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    costs = dict(spec.dense_costs)
+    todo = [
+        (int(di), int(do)) for di, do in shapes
+        if f"{int(di)}x{int(do)}" not in costs
+    ]
+    if not todo:
+        return spec
+    for di, do in todo:
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, di),
+                              jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (do, di),
+                              jnp.bfloat16) * 0.02
+        b = jnp.zeros((do,), jnp.float32)
+
+        @jax.jit
+        def loop(x, w, b):
+            def fwdbwd(c, k):
+                xk = x + k.astype(jnp.bfloat16) * 0.01  # defeat hoisting
+
+                def f(w, xk):
+                    y = jax.nn.relu(
+                        jnp.dot(xk, w.T,
+                                preferred_element_type=jnp.float32) + b
+                    )
+                    return jnp.sum(y)
+
+                val, (gw, gx) = jax.value_and_grad(f, argnums=(0, 1))(w, xk)
+                return c + val + jnp.sum(gw.astype(jnp.float32)) * 0.0 + (
+                    jnp.sum(gx.astype(jnp.float32)) * 0.0
+                ), 0.0
+
+            c, _ = jax.lax.scan(
+                fwdbwd, jnp.zeros(()),
+                jnp.arange(repeats, dtype=jnp.float32),
+            )
+            return c
+
+        _ = float(loop(x, w, b))
+        t0 = time.perf_counter()
+        _ = float(loop(x, w, b))
+        t_fb = (time.perf_counter() - t0) / repeats
+        costs[f"{di}x{do}"] = t_fb / 3.0 / batch * 1e6  # us per example
+    return dataclasses.replace(spec, dense_costs=costs)
+
+
+def graph_dense_shapes(graph):
+    """(in_dim, out_dim) of every Dense op in a graph (calibration input)."""
+    out = []
+    for op in graph.compute_ops:
+        if hasattr(op, "in_dim") and hasattr(op, "out_dim") and hasattr(
+            op, "activation"
+        ):
+            out.append((op.in_dim, op.out_dim))
+    return sorted(set(out))
 
 
 def calibrate_or_cached(spec: MachineSpec, cache_path: str) -> MachineSpec:

@@ -405,6 +405,7 @@ def autotune_plan(
 
 def graph_to_cost_spec_v2(
     graph: Graph, global_batch: int, exchange_dtype_bytes: float = 4.0,
+    dense_costs=None,
 ):
     """Lower the graph for the JOINT search: one FFSIM_EMBED per TABLE
     (split/mode are annealer state, not lowering inputs), dense ops get a
@@ -479,6 +480,18 @@ def graph_to_cost_spec_v2(
                 "stage": 1 if past_exchange else 0,
                 "act_bytes": out_vol,
             }
+            # measured per-shape dense cost replaces the roofline when the
+            # calibration table has it (reference: per-(op,config) measured
+            # kernels, model.cu:20-64)
+            if (
+                dense_costs
+                and hasattr(op, "in_dim")
+                and hasattr(op, "out_dim")
+                and f"{op.in_dim}x{op.out_dim}" in dense_costs
+            ):
+                entry["fwd_us"] = (
+                    dense_costs[f"{op.in_dim}x{op.out_dim}"] * global_batch
+                )
             if kind == bindings.KIND_DENSE:
                 j = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
                 dense_names.append(op.name)
@@ -555,7 +568,10 @@ def autotune_plan_joint(
     wins). Returns (per_table_owner, cost_us, report); report carries
     table_split / replicated_tables / tp / breakdown."""
     (ops, names, vocabs, num_dense, edges, dense_names,
-     op_edges) = graph_to_cost_spec_v2(graph, global_batch, exchange_dtype_bytes)
+     op_edges) = graph_to_cost_spec_v2(
+        graph, global_batch, exchange_dtype_bytes,
+        dense_costs=getattr(machine, "dense_costs", None),
+    )
     if not enable_propagation:
         # reference parity: config-propagation moves along graph edges are
         # gated by --enable-propagation (model.cc:2255; propagate at 1830)

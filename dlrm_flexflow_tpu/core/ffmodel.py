@@ -914,6 +914,20 @@ class FFModel:
                 else ".ffsim_machine.json"
             )
             machine = calibrate_or_cached(machine, cache)
+            # per-shape dense costs for THIS graph's MLP layers (cached
+            # cumulatively in the machine file; reference: per-(op,config)
+            # measured kernels, model.cu:20-64)
+            from ..autotune.machine import calibrate_dense, graph_dense_shapes
+
+            shapes = graph_dense_shapes(self.graph)
+            missing = [
+                sh for sh in shapes
+                if f"{sh[0]}x{sh[1]}" not in machine.dense_costs
+            ]
+            if missing:
+                machine = calibrate_dense(machine, shapes)
+                if cache:
+                    machine.save(cache)
             print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 
@@ -1301,6 +1315,36 @@ class FFModel:
         if cache_path:
             machine.save(cache_path)
         return residual, measured_us, pred_us
+
+    def routed_drop_fraction(self, feeds) -> float:
+        """Per-batch dropped-lookup fraction under the routed exchange's
+        capacity buckets (0.0 when the exchange is dense/exact). The
+        observability counter for the routed mode's quantified accuracy
+        cost (see parallel/routed_exchange.routed_drop_stats)."""
+        import numpy as _np
+
+        lay = getattr(self, "_embedding_layout", None)
+        if lay is None or lay.exchange != "routed" or lay.routed_cap_factor <= 0:
+            return 0.0
+        from ..parallel.routed_exchange import routed_drop_stats
+
+        coll = next(
+            (op for op in self.graph.compute_ops
+             if op.name == "embedding_collection"), None,
+        )
+        if coll is None:
+            return 0.0
+        idx = _np.stack(
+            [
+                _np.asarray(feeds[t.owner_op.name]).reshape(
+                    len(feeds[t.owner_op.name]), -1
+                )
+                for t in coll.inputs
+            ],
+            axis=1,
+        )
+        _, _, frac = routed_drop_stats(lay, idx)
+        return float(frac)
 
     def compute_routes(self, feeds) -> Dict[str, Any]:
         """HOST-side routing metadata for the packed embedding update (the

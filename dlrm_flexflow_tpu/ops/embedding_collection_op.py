@@ -86,9 +86,9 @@ class EmbeddingCollection(Op):
 
             lay = self.layout
             assert not lay.has_splits, "row-split layout requires a mesh"
-            n, r, d = lay.param_shape()
+            n, r, d = lay.num_shards, lay.r_pad, lay.dim
             b, t, h = idx.shape
-            idx32 = idx.astype(jnp.int32)
+            idx32 = lay.perm_rows(idx).astype(jnp.int32)
             base = jnp.asarray(
                 [lay.owner[i] * r + int(lay.row_offset[i]) for i in range(t)],
                 jnp.int32,
@@ -153,9 +153,9 @@ class EmbeddingCollection(Op):
         # unsharded fallback: one scatter over the flattened pool
         lay = self.layout
         assert not lay.has_splits, "row-split layout requires a mesh"
-        n, r, d = lay.param_shape()
+        n, r, d = lay.num_shards, lay.r_pad, lay.dim
         b, t, h = idx.shape
-        idx32 = idx.astype(jnp.int32)
+        idx32 = lay.perm_rows(idx).astype(jnp.int32)
         valid = idx32 >= 0
         base = jnp.asarray(
             [lay.owner[i] * r + int(lay.row_offset[i]) for i in range(t)], jnp.int32

@@ -123,6 +123,12 @@ class ShardedEmbeddingLayout:
     # row-local plain-SGD-style update (set by compile)
     packed_pool: bool = False
     pool_chunk_packs: int = 2048
+    # hash-permuted row placement: logical row r of table t lives at
+    # affine-permuted position (a_t*r + b_t) mod vocab_t, so Zipf-hot rows
+    # spread uniformly over a split table's sub-ranges and routed-mode
+    # capacity overflow becomes Binomial-tail-rare (PERF.md round-1
+    # design; the drop-rate gate is tests/test_routed_robustness.py)
+    hash_rows: bool = False
     # derived
     t_max: int = 0  # max sub-tables per shard (exchange slots per shard)
     r_pad: int = 0  # padded rows per shard
@@ -209,6 +215,70 @@ class ShardedEmbeddingLayout:
                         self.sel_host[h, p, pos[int(self.slot_tid[slot])]] = 1.0
                 for t, j in pos.items():
                     self.sel_global[h * self.th_max + j, t] = 1.0
+
+    # ---- hash-permuted row placement ---------------------------------------
+    def _hash_consts(self):
+        """Per-table affine permutation (a, b) with gcd(a, vocab) = 1 —
+        a bijection on [0, vocab): golden-ratio multiplier, fixed salt."""
+        import math
+
+        a_l, b_l = [], []
+        for v in self.vocab_sizes:
+            a = max(1, int(0.6180339887 * v)) | 1
+            while math.gcd(a, v) != 1:
+                a += 2
+            a_l.append(a % max(v, 1))
+            b_l.append(0x9E37 % max(v, 1))
+        return np.asarray(a_l, np.int64), np.asarray(b_l, np.int64)
+
+    def perm_rows(self, idx, table_axis: int = 1):
+        """Apply the row permutation to an index tensor [..., T, ...]
+        (jnp). Identity when hash_rows is off; negatives pass through.
+
+        The product r*a (r < v, a ~ 0.618*v) overflows int32 for vocabs
+        above ~2^16 and JAX on TPU has no int64, so the modular multiply
+        is a double-and-add over a's bits in uint32: every intermediate
+        stays < 2v <= 2^32 and the reduction is a conditional subtract
+        (no division). 31 static iterations of elementwise VPU ops on the
+        index tensor — negligible next to the exchange."""
+        if not self.hash_rows:
+            return idx
+        a, b = self._hash_consts()
+        shape = [1] * idx.ndim
+        shape[table_axis] = self.num_tables
+        av = jnp.asarray(a, jnp.uint32).reshape(shape)
+        bv = jnp.asarray(b, jnp.uint32).reshape(shape)
+        vv = jnp.asarray(
+            np.maximum(np.asarray(self.vocab_sizes, np.int64), 1),
+            jnp.uint32,
+        ).reshape(shape)
+        vi = jnp.asarray(self.vocab_sizes, idx.dtype).reshape(shape)
+        # invalid (negative OR out-of-vocab) indices pass through untouched
+        # so downstream validity checks drop them exactly as in dense mode
+        # (ADVICE r2: routed and dense must share drop semantics)
+        invalid = (idx < 0) | (idx >= vi)
+        r = jnp.where(invalid, 0, idx).astype(jnp.uint32)
+
+        def _cond_sub(x):
+            return jnp.where(x >= vv, x - vv, x)
+
+        acc = jnp.zeros_like(r)
+        x = _cond_sub(r)  # r may equal v only via invalid input; clamp anyway
+        nbits = max(int(a_t).bit_length() for a_t in a) if len(a) else 0
+        for i in range(nbits):
+            bit = (av >> jnp.uint32(i)) & jnp.uint32(1)
+            acc = jnp.where(bit > 0, _cond_sub(acc + x), acc)
+            x = _cond_sub(x + x)
+        acc = _cond_sub(acc + bv)
+        return jnp.where(invalid, idx, acc.astype(idx.dtype))
+
+    def perm_table_np(self, t: int) -> np.ndarray:
+        """positions[r] = permuted row of logical row r (numpy, for IO)."""
+        v = self.vocab_sizes[t]
+        if not self.hash_rows:
+            return np.arange(v, dtype=np.int64)
+        a, b = self._hash_consts()
+        return (np.arange(v, dtype=np.int64) * a[t] + b[t]) % v
 
     @property
     def hierarchical(self) -> bool:
@@ -310,10 +380,21 @@ class ShardedEmbeddingLayout:
             2 * idx_bytes  # fwd + bwd index exchanges
         )
 
+    def _inv_positions(self, t: int, start: int, length: int) -> np.ndarray:
+        """Logical rows living at permuted positions [start, start+len)."""
+        v = self.vocab_sizes[t]
+        pos = np.arange(start, start + length, dtype=np.int64)
+        if not self.hash_rows:
+            return pos
+        a, b = self._hash_consts()
+        ainv = pow(int(a[t]), -1, v)
+        return ((pos - b[t]) * ainv) % v
+
     def init_params(self, key: jax.Array, initializer, dtype=jnp.float32) -> jax.Array:
         """Build [N, R_pad, D] with each table initialized as one standalone
         [vocab, D] table (fan shapes match single-table init; sub-tables
-        slice it, so split degree does not change the init)."""
+        slice it — through the hash permutation when enabled — so split
+        degree does not change the init distribution)."""
         tables = {
             t: initializer(jax.random.fold_in(key, t), (v, self.dim), dtype)
             for t, v in enumerate(self.vocab_sizes)
@@ -322,15 +403,22 @@ class ShardedEmbeddingLayout:
         for i, (t, start, length) in enumerate(self.subs):
             s = self.owner[i]
             off = int(self.row_offset[i])
-            logical = logical.at[s, off : off + length].set(
-                tables[t][start : start + length]
-            )
+            src = tables[t]
+            if self.hash_rows:
+                src = jnp.take(
+                    src, jnp.asarray(self._inv_positions(t, start, length)),
+                    axis=0,
+                )
+            else:
+                src = src[start : start + length]
+            logical = logical.at[s, off : off + length].set(src)
         if self.packed_pool:
             return logical.reshape(self.param_shape())
         return logical
 
     def extract_table(self, pool, t: int) -> jax.Array:
-        """Debug/checkpoint helper: recover table t as [vocab, D]."""
+        """Debug/checkpoint helper: recover table t as [vocab, D] in
+        LOGICAL row order (undoing the hash permutation when enabled)."""
         if self.packed_pool:
             pool = pool.reshape(self.num_shards, self.r_pad, self.dim)
         parts = []
@@ -340,7 +428,10 @@ class ShardedEmbeddingLayout:
             s = self.owner[i]
             off = int(self.row_offset[i])
             parts.append(pool[s, off : off + length])
-        return jnp.concatenate(parts, axis=0)
+        full = jnp.concatenate(parts, axis=0)  # permuted-position order
+        if self.hash_rows:
+            full = jnp.take(full, jnp.asarray(self.perm_table_np(t)), axis=0)
+        return full
 
     # ---- static device arrays used by the exchange --------------------------
     def _slot_consts(self):
@@ -471,6 +562,7 @@ def sharded_embedding_lookup(
     """Full sharded fused lookup: remap + all-to-all + pool + all-to-all.
     Returns [B, T, D] pooled embeddings, batch-sharded.
     """
+    indices = layout.perm_rows(indices)
     n = layout.num_shards
     t_max = layout.t_max
     if layout.has_splits:
@@ -590,6 +682,7 @@ def sharded_embedding_sparse_update(
     volume as the forward pooled exchange), expand over bag members, scatter-
     apply the row update locally. No dense table gradient is materialized.
     """
+    indices = layout.perm_rows(indices)
     n = layout.num_shards
     t_max = layout.t_max
     if layout.has_splits:

@@ -155,6 +155,10 @@ class ShardingPlan:
     # local row update runs the Pallas packed kernel instead of the XLA
     # scatter (set by compile() from backend + optimizer; None = off)
     packed_pool: Optional[bool] = None
+    # hash-permuted row placement (affine bijection per table): uniformizes
+    # sub-bucket loads on skewed data so routed-mode capacity drops become
+    # Binomial-rare; None = auto (on for routed mode with splits)
+    hash_rows: Optional[bool] = None
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------ exec
@@ -251,11 +255,22 @@ class ShardingPlan:
                 assignment = greedy_subtable_assignment(subs, sub_vocabs, num_shards)
             self.table_assignment = assignment
         assert len(assignment) == len(subs)
+        hash_rows = self.hash_rows
+        if hash_rows is None:
+            # auto: routed capacity buckets + splits is exactly the regime
+            # where Zipf-hot rows overflow a sub-bucket
+            hash_rows = bool(
+                self.exchange == "routed"
+                and self.routed_cap_factor > 0
+                and split is not None
+                and any(x > 1 for x in split)
+            )
+            self.hash_rows = hash_rows
         return ShardedEmbeddingLayout(
             list(vocab_sizes), dim, num_shards, assignment,
             split=list(split) if split else None, chips_per_host=cph,
             exchange=self.exchange, routed_cap_factor=self.routed_cap_factor,
-            packed_pool=bool(self.packed_pool),
+            packed_pool=bool(self.packed_pool), hash_rows=bool(hash_rows),
         )
 
     # ------------------------------------------------------------------ file IO
@@ -275,6 +290,7 @@ class ShardingPlan:
             "exchange": self.exchange,
             "routed_cap_factor": self.routed_cap_factor,
             "packed_pool": self.packed_pool,
+            "hash_rows": self.hash_rows,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -298,6 +314,7 @@ class ShardingPlan:
             exchange=doc.get("exchange", "dense"),
             routed_cap_factor=doc.get("routed_cap_factor", 2.0),
             packed_pool=doc.get("packed_pool"),
+            hash_rows=doc.get("hash_rows"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 

@@ -321,7 +321,10 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
           dense_param_bytes += op.param_bytes;
         }
       }
-      const double f = std::max(op.flops / fpu, op.bytes / bpu) / denom;
+      const double raw =
+          op.fwd_us > 0 ? op.fwd_us
+                        : std::max(op.flops / fpu, op.bytes / bpu);
+      const double f = raw / denom;
       c.stage_fwd[st] += f;
       c.op_fwd[i] += f;
     }

@@ -109,6 +109,10 @@ struct FFSimOp {
   int32_t stage;
   double act_bytes;    // fwd output activation bytes (global batch) — the
                        // TP activation-psum volume
+  // MEASURED single-chip fwd time (us, global batch, bwd = 2x) from the
+  // dense-op calibration (reference: real kernels timed per (op, config),
+  // src/runtime/model.cu:20-64). 0 => analytic roofline.
+  double fwd_us;
 };
 
 // ---- simulate one training step under a table placement --------------------

@@ -95,7 +95,7 @@ def _dma_gather_kernel(rows_ref, table_hbm, out_ref, sems, *, tile, depth):
 
         return 0
 
-    jax.lax.fori_loop(0, tile, body, 0, unroll=4)
+    jax.lax.fori_loop(0, tile, body, 0)
 
     def drain(i, _):
         get_dma(i).wait()
