@@ -84,6 +84,16 @@ class FFConfig:
     # device step skips its stream sort (train_batch/fit path; bench
     # has --host-routing)
     host_routing: bool = False
+    # host-tail embedding offload (parallel/host_tail.py): tables with
+    # vocab above this keep exactly `threshold` hot rows on the device and
+    # the cold tail in a demand-allocated host store (0 = off). The
+    # beyond-HBM axis of the reference's hetero CPU placement
+    # (dlrm_strategy_hetero.cc); plan.host_tail_rows overrides per table.
+    host_tail_threshold: int = 0
+    # static capacity of the per-table (pos, val) tail exchange as a
+    # fraction of batch*bag; overflow drops that step's extra partials
+    # (counted in FFModel.host_tail_dropped)
+    host_tail_cap_frac: float = 0.0625
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -178,6 +188,10 @@ class FFConfig:
                 self.exchange = take()
             elif a == "--host-routing":
                 self.host_routing = True
+            elif a == "--host-tail-threshold":
+                self.host_tail_threshold = int(take())
+            elif a == "--host-tail-cap-frac":
+                self.host_tail_cap_frac = float(take())
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -561,6 +561,10 @@ class FFModel:
                         or type(optimizer).__name__ == "RowWiseAdagradOptimizer"
                     )
                 )
+            # host-tail offload BEFORE fusion/init: huge tables keep a hot
+            # prefix on device, cold rows in the demand-allocated host
+            # store (parallel/host_tail.py; plan axis host_tail_rows)
+            self._setup_host_tail(plan)
             if plan.embedding_mode == "table_parallel":
                 from ..parallel.passes import fuse_embedding_tables
 
@@ -578,6 +582,7 @@ class FFModel:
             self._label_sharding = plan.label_sharding(mesh)
         else:
             self._embedding_layout = None
+            self._setup_host_tail(plan)
             if self.config.fuse_embeddings:
                 from ..parallel.passes import fuse_embedding_tables
                 from ..parallel.plan import dlrm_hybrid_plan
@@ -650,6 +655,19 @@ class FFModel:
                     sparse_ops.append(op)
         sparse_names = {op.name for op in sparse_ops}
         self._sparse_names = sparse_names
+        # host-tail ops must ride the sparse path: their backward is the
+        # pooled-output grad (gathered at pos for the host side), which
+        # only the split train step materializes
+        host_tail_feeds = []
+        if getattr(self, "_host_tail", None) is not None:
+            for opn in self._host_tail.entries:
+                assert opn in sparse_names, (
+                    f"host-tail table {opn} requires the sparse-update path "
+                    "(optimizer.supports_sparse and indices fed from inputs)"
+                )
+                host_tail_feeds.append(
+                    (opn, self._host_tail.feed_names(opn)[0])
+                )
 
         # Packed-layout tables: big single-table embeddings on the sparse
         # path store their weight as [V*D/128, 128] so the Pallas
@@ -790,7 +808,21 @@ class FFModel:
             )
             new_params.update(upd_params)
             metrics_total = metrics_lib.accumulate(metrics_total, step_metrics)
-            return new_params, {"dense": dstate, "sparse": sstates}, metrics_total, loss
+            new_state = {"dense": dstate, "sparse": sstates}
+            if host_tail_feeds:
+                # d(loss)/d(host tail partial val[k]) = pooled-output grad
+                # at pos[k] (the scatter-add is linear) — the host applies
+                # these to its tail store after the step. pos sentinel B is
+                # clip-gathered; the host slices to its real count.
+                g_host = {
+                    opn: jnp.take(
+                        g_over[opn][0], feeds[pname].astype(jnp.int32),
+                        axis=0, mode="clip",
+                    )
+                    for opn, pname in host_tail_feeds
+                }
+                return new_params, new_state, metrics_total, loss, g_host
+            return new_params, new_state, metrics_total, loss
 
         def eval_step(params, metrics_total, feeds, labels):
             logits = forward_only(params, feeds, False, None)
@@ -849,7 +881,13 @@ class FFModel:
             )
             return params, opt_state, metrics_total, losses[-1]
 
-        self._multi_step = jax.jit(multi_step, donate_argnums=donate_args)
+        # host-tail models step per batch (the host must intervene between
+        # steps to serve/update tail rows), so the scanned multi-step path
+        # is unavailable
+        self._multi_step = (
+            None if host_tail_feeds
+            else jax.jit(multi_step, donate_argnums=donate_args)
+        )
         self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
         self._forward_fn_raw = forward_only  # unjitted, for embedding/export
         self._forward_fn = jax.jit(forward_only, static_argnums=(2,))
@@ -1009,6 +1047,9 @@ class FFModel:
         """reference: FFModel::forward (model.cc:1416). Runs inference-style
         forward; for training use train_batch (fused fwd+bwd+update)."""
         assert self._compiled
+        ht = getattr(self, "_host_tail", None)
+        if ht is not None:
+            feeds = {**feeds, **ht.build_feeds(feeds)}
         feeds, _ = self._stage(feeds)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
         return self._forward_fn(self._params, feeds, training, rng)
@@ -1019,17 +1060,87 @@ class FFModel:
         assert self._compiled
         if self.config.host_routing and getattr(self, "_route_ops", None):
             feeds = {**feeds, **self.compute_routes(feeds)}
+        ht = getattr(self, "_host_tail", None)
+        if ht is not None:
+            feeds = {**feeds, **ht.build_feeds(feeds)}
         feeds, labels = self._stage(feeds, labels)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
-        self._params, self._opt_state, self._metrics_total, loss = self._train_step(
-            self._params, self._opt_state, self._metrics_total, feeds, labels, rng
-        )
+        if ht is not None:
+            (self._params, self._opt_state, self._metrics_total, loss,
+             g_host) = self._train_step(
+                self._params, self._opt_state, self._metrics_total, feeds,
+                labels, rng,
+            )
+            # host half of the sparse update: SGD on the touched tail rows
+            # at the current rate (reference: CPU-side embedding backward,
+            # src/ops/embedding.cc)
+            ht.apply_grads(
+                {k: np.asarray(v) for k, v in g_host.items()},
+                self._current_lr(),
+            )
+        else:
+            (self._params, self._opt_state, self._metrics_total,
+             loss) = self._train_step(
+                self._params, self._opt_state, self._metrics_total, feeds,
+                labels, rng,
+            )
         self._step_count += 1
         return loss
+
+    def _current_lr(self) -> float:
+        """Scalar learning rate of the CURRENT step (LR schedules mutate
+        the optimizer state after compile, so no compile-time snapshot)."""
+        st = self._opt_state
+        if isinstance(st, dict):
+            if "lr" in st:
+                return float(np.asarray(st["lr"]))
+            dense = st.get("dense")
+            if isinstance(dense, dict) and "lr" in dense:
+                return float(np.asarray(dense["lr"]))
+        return float(getattr(self.optimizer, "lr", self.config.learning_rate))
+
+    def _setup_host_tail(self, plan) -> None:
+        """Compile-time host-tail setup (see parallel/host_tail.py): run
+        the graph pass, create the demand-allocated stores, register the
+        runtime that builds (pos, val) feeds and applies tail grads."""
+        from ..parallel.passes import offload_embedding_tails
+
+        entries = offload_embedding_tails(self.graph, plan, self.config)
+        if not entries:
+            self._host_tail = getattr(self, "_host_tail", None)
+            return
+        from ..parallel.host_tail import HostTailRuntime, HostTailStore
+
+        rt = HostTailRuntime()
+        for j, (op, sfeed, full, hot, k_cap) in enumerate(entries):
+            # init scale mirrors GlorotUniform over the FULL [vocab, D]
+            # table so tail rows are distributed like device rows
+            scale = float(np.sqrt(6.0 / (full + op.out_dim)))
+            rt.add(
+                op.name,
+                HostTailStore(
+                    op.out_dim, scale, seed=self.config.seed * 1000 + j
+                ),
+                sfeed, hot, k_cap,
+            )
+        self._host_tail = rt
+
+    @property
+    def host_tail_dropped(self) -> int:
+        ht = getattr(self, "_host_tail", None)
+        return ht.dropped if ht is not None else 0
+
+    def host_tail_drop_fraction(self) -> float:
+        ht = getattr(self, "_host_tail", None)
+        return ht.drop_fraction if ht is not None else 0.0
 
     def train_chunk(self, stacked_feeds: Dict[str, Any], stacked_labels) -> float:
         """Run K steps in one dispatch: inputs are [K, B, ...] stacks."""
         assert self._compiled
+        assert self._multi_step is not None, (
+            "host-tail offload steps per batch (the host serves tail rows "
+            "between steps); use train_batch / fit(steps_per_call=1)"
+        )
         if self._constant_arrays:
             k = int(stacked_labels.shape[0])
             for cname, arr in self._constant_arrays.items():
@@ -1064,6 +1175,9 @@ class FFModel:
 
     def eval_batch(self, feeds: Dict[str, Any], labels) -> float:
         assert self._compiled
+        ht = getattr(self, "_host_tail", None)
+        if ht is not None:
+            feeds = {**feeds, **ht.build_feeds(feeds)}
         feeds, labels = self._stage(feeds, labels)
         self._metrics_total, loss = self._eval_step(
             self._params, self._metrics_total, feeds, labels

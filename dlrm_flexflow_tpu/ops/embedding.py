@@ -58,8 +58,41 @@ class Embedding(Op):
         # (ops/pallas/packed_update.py; 19x at kaggle dims)
         self.packed = False
         self.chunk_packs = 1024
+        # host-tail offload (parallel/host_tail.py): when > 0, this is the
+        # FULL vocabulary; num_entries holds only the device-resident hot
+        # prefix and rows >= num_entries live in the host tail store. The
+        # op gains two extra inputs (pos [K_cap] int32, val [K_cap, D])
+        # carrying the host's pooled tail partials, scatter-added into the
+        # pooled output (exact for SUM pooling). Reference analog: hetero
+        # strategies placing embeddings in host memory
+        # (dlrm_strategy_hetero.cc, src/ops/embedding.cc:23-319).
+        self.host_tail_vocab = 0
+
+    def enable_host_tail(self, full_vocab: int, pos_spec, val_spec) -> None:
+        assert self.aggr is AggrMode.AGGR_MODE_SUM, (
+            "host-tail offload requires SUM pooling (partials must add)"
+        )
+        assert 0 < self.num_entries < full_vocab
+        self.host_tail_vocab = int(full_vocab)
+        self.inputs.extend([pos_spec, val_spec])
 
     def forward(self, params, inputs, ctx):
+        if self.host_tail_vocab:
+            idx, pos, val = inputs
+            # device handles only the hot prefix; tail lookups mask to
+            # padding (their contribution arrives in (pos, val))
+            idx = jnp.where(
+                idx.astype(jnp.int32) >= self.num_entries, -1, idx
+            )
+            (pooled,) = self._forward_device([idx], params, ctx)
+            return [
+                pooled.at[pos].add(
+                    val.astype(pooled.dtype), mode="drop"
+                )
+            ]
+        return self._forward_device(inputs, params, ctx)
+
+    def _forward_device(self, inputs, params, ctx):
         (idx,) = inputs
         if self.packed:
             return [
@@ -105,7 +138,13 @@ class Embedding(Op):
         """Apply the pooled-output gradient directly to touched rows: the TPU
         analog of the reference backward scatter (embedding.cu:192-217) fused
         with the optimizer step — no dense [vocab, dim] gradient exists."""
-        (idx,) = inputs
+        idx = inputs[0]  # host-tail ops carry extra (pos, val) inputs
+        if self.host_tail_vocab:
+            # tail rows (>= the device hot prefix) update on the HOST from
+            # the same pooled grad (gathered at pos by the train step)
+            idx = jnp.where(
+                idx.astype(jnp.int32) >= self.num_entries, -1, idx
+            )
         rows, grads = bag_row_grads(idx, g_out_list[0], self.aggr, self.num_entries)
         table, sstate = optimizer.sparse_row_update(
             params["weight"], sstate, rows, grads, lr=lr

@@ -1,0 +1,199 @@
+"""Host-tail embedding offload: beyond-HBM vocabularies as a plan axis.
+
+TPU-native recast of the reference's heterogeneous CPU embedding placement
+(reference: examples/cpp/DLRM/strategies/dlrm_strategy_hetero.cc places
+whole embeddings in zero-copy host memory, src/runtime/strategy.cc:114-122,
+with the AVX2 CPU EmbeddingBag src/ops/embedding.cc:23-319 doing the host
+work). A whole-table host placement ships one pooled row per example per
+step over PCIe — dense [B, D] traffic both directions. This module keeps
+the HOT row prefix of each huge table on the device (where almost all
+lookups land when ids are frequency-ordered, as MLPerf Criteo
+preprocessing produces) and only the COLD tail rows [hot, vocab) in host
+RAM, so the wire carries a compact capacity-capped sparse exchange:
+
+  fwd : host looks up tail rows, pools per example, ships
+        (pos [K_cap] int32, val [K_cap, D]); the device embedding op
+        scatter-adds val into its pooled output (exact for SUM pooling —
+        each lookup row lives on exactly one side)
+  bwd : d(loss)/d(val) is a gather of the pooled-output gradient at pos
+        (already computed on the sparse path — no extra backward); the
+        host applies the row updates to the tail store
+
+The tail store is DEMAND-ALLOCATED: rows materialize on first touch with
+a deterministic per-row init, so memory is O(touched rows), not O(vocab)
+— a 293M-row table costs host RAM only for the rows the data actually
+visits. Untouched rows read exactly their init value, so training is
+semantically identical to a dense [vocab, D] table.
+
+K_cap overflow (a batch with more tail lookups than capacity) drops the
+excess host partials for that step, counted in
+`FFModel.host_tail_dropped` — same quantified-drop contract as the
+routed exchange (tests/test_routed_robustness.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic per-key hash (uint64 -> uint64)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class HostTailStore:
+    """Demand-allocated [vocab, D] tail rows (rows >= hot of one table).
+
+    Rows materialize in a growable arena on first touch, initialized
+    deterministically from (seed, row) — semantically a dense table of
+    uniform(-scale, scale) rows, stored O(touched)."""
+
+    def __init__(self, dim: int, scale: float, seed: int = 0,
+                 initial_capacity: int = 1024):
+        self.dim = int(dim)
+        self.scale = float(scale)
+        self.seed = int(seed)
+        self._slot: Dict[int, int] = {}
+        self._arena = np.zeros((initial_capacity, dim), np.float32)
+        self._n = 0
+
+    @property
+    def touched_rows(self) -> int:
+        return self._n
+
+    def _init_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Deterministic init values for absolute row ids [K] -> [K, D]."""
+        k = rows.shape[0]
+        base = _splitmix64(
+            rows.astype(np.uint64) * np.uint64(1 << 32)
+            + np.uint64(self.seed)
+        )
+        lanes = np.arange(self.dim, dtype=np.uint64)[None, :]
+        h = _splitmix64(base[:, None] + lanes)
+        u = (h >> np.uint64(11)).astype(np.float64) * (1.0 / (1 << 53))
+        return ((u * 2.0 - 1.0) * self.scale).astype(np.float32)
+
+    def _slots_for(self, rows: np.ndarray, create: bool) -> np.ndarray:
+        """Arena slots for absolute row ids; -1 for untouched when not
+        creating."""
+        out = np.empty(rows.shape[0], np.int64)
+        new_rows = []
+        for i, r in enumerate(rows.tolist()):
+            s = self._slot.get(r, -1)
+            if s < 0 and create:
+                s = self._n
+                self._slot[r] = s
+                self._n += 1
+                new_rows.append((i, r))
+            out[i] = s
+        if new_rows:
+            while self._n > self._arena.shape[0]:
+                self._arena = np.concatenate(
+                    [self._arena, np.zeros_like(self._arena)], axis=0
+                )
+            idxs = np.asarray([r for (_, r) in new_rows], np.int64)
+            slots = np.asarray([self._slot[int(r)] for r in idxs], np.int64)
+            self._arena[slots] = self._init_rows(idxs)
+        return out
+
+    def lookup(self, rows: np.ndarray) -> np.ndarray:
+        """Absolute row ids [K] -> [K, D] f32 (touch-on-read)."""
+        rows = np.asarray(rows, np.int64)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        slots = self._slots_for(uniq, create=True)
+        return self._arena[slots][inv]
+
+    def scatter_add(self, rows: np.ndarray, deltas: np.ndarray) -> None:
+        """Duplicate-safe row accumulation (the host half of the sparse
+        update; mirrors the device scatter's SUM-pooling semantics)."""
+        rows = np.asarray(rows, np.int64)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        slots = self._slots_for(uniq, create=True)
+        acc = np.zeros((uniq.shape[0], self.dim), np.float32)
+        np.add.at(acc, inv, np.asarray(deltas, np.float32))
+        self._arena[slots] += acc
+
+    # ---- checkpoint ---------------------------------------------------------
+    def state(self) -> Tuple[np.ndarray, np.ndarray]:
+        rows = np.fromiter(self._slot.keys(), np.int64, len(self._slot))
+        slots = np.fromiter(self._slot.values(), np.int64, len(self._slot))
+        order = np.argsort(rows)
+        return rows[order], self._arena[slots[order]].copy()
+
+    def load_state(self, rows: np.ndarray, values: np.ndarray) -> None:
+        self._slot = {int(r): i for i, r in enumerate(np.asarray(rows))}
+        self._n = len(self._slot)
+        cap = max(1024, self._n)
+        self._arena = np.zeros((cap, self.dim), np.float32)
+        self._arena[: self._n] = np.asarray(values, np.float32)
+
+
+class HostTailRuntime:
+    """Per-model host side of the tail exchange: builds the compact
+    (pos, val) feeds before each step and applies the returned gradients.
+
+    One entry per offloaded embedding op; `hot` is the device-resident
+    prefix length, `k_cap` the static exchange capacity."""
+
+    def __init__(self):
+        # op name -> (store, sparse_feed_name, hot, k_cap, bag_dims)
+        self.entries: Dict[str, Tuple[HostTailStore, str, int, int]] = {}
+        # op name -> miss rows of the LAST prepared batch (for the update)
+        self._pending: Dict[str, np.ndarray] = {}
+        self.dropped = 0  # lifetime dropped tail lookups (capacity overflow)
+        self.total = 0  # lifetime tail lookups
+
+    def add(self, op_name: str, store: HostTailStore, sparse_feed: str,
+            hot: int, k_cap: int) -> None:
+        self.entries[op_name] = (store, sparse_feed, hot, k_cap)
+
+    def feed_names(self, op_name: str) -> Tuple[str, str]:
+        return f"_hosttail:{op_name}:pos", f"_hosttail:{op_name}:val"
+
+    def build_feeds(self, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Compute tail partial feeds for one batch. Also records the miss
+        rows so apply_grads can route the step's gradients back."""
+        out = {}
+        for name, (store, sfeed, hot, k_cap) in self.entries.items():
+            idx = np.asarray(feeds[sfeed])
+            if idx.ndim == 1:
+                idx = idx[:, None]
+            b, h = idx.shape
+            ex, mem = np.nonzero(idx >= hot)  # tail lookups (example, member)
+            rows = idx[ex, mem].astype(np.int64)
+            self.total += rows.shape[0]
+            if rows.shape[0] > k_cap:
+                self.dropped += rows.shape[0] - k_cap
+                ex, rows = ex[:k_cap], rows[:k_cap]
+            k = rows.shape[0]
+            pos = np.full(k_cap, b, np.int32)  # b = out-of-range -> dropped
+            val = np.zeros((k_cap, store.dim), np.float32)
+            pos[:k] = ex
+            if k:
+                val[:k] = store.lookup(rows)
+            self._pending[name] = rows
+            pname, vname = self.feed_names(name)
+            out[pname] = pos
+            out[vname] = val
+        return out
+
+    def apply_grads(self, g_vals: Dict[str, np.ndarray], lr: float) -> None:
+        """g_vals: op name -> [K_cap, D] d(loss)/d(val) from the device
+        step (a gather of the pooled-output grad at pos). SGD on the tail
+        rows, matching the reference's CPU-side plain-SGD embedding update
+        (src/ops/embedding.cc backward)."""
+        for name, g in g_vals.items():
+            store, _, _, _ = self.entries[name]
+            rows = self._pending.get(name)
+            if rows is None or rows.shape[0] == 0:
+                continue
+            k = rows.shape[0]
+            store.scatter_add(rows, -lr * np.asarray(g, np.float32)[:k])
+
+    @property
+    def drop_fraction(self) -> float:
+        return self.dropped / max(self.total, 1)

@@ -17,6 +17,65 @@ from ..ops.embedding_collection_op import EmbeddingCollection
 from .plan import ShardingPlan
 
 
+def offload_embedding_tails(
+    graph: Graph, plan: Optional[ShardingPlan], config,
+) -> List[tuple]:
+    """Rewrite huge-vocab Embedding ops for host-tail offload: the device
+    keeps rows [0, hot), rows [hot, vocab) live in a demand-allocated host
+    store, and the op gains (pos, val) inputs carrying the host's pooled
+    tail partials (parallel/host_tail.py). Returns
+    [(op, sparse_feed_name, full_vocab, hot, k_cap)].
+
+    Placement comes from plan.host_tail_rows (graph-order per-table device
+    prefix; 0 = whole table on device) or, when unset, from
+    config.host_tail_threshold (tables with vocab above it keep exactly
+    `threshold` rows on device). The strategy axis of the reference's
+    hetero CPU placement (dlrm_strategy_hetero.cc) recast for TPU+host.
+    """
+    from ..core.graph import InputOp
+    from ..ffconst import AggrMode, DataType
+
+    embeds: List[Embedding] = [
+        op for op in graph.compute_ops if isinstance(op, Embedding)
+    ]
+    tail_rows = plan.host_tail_rows if plan is not None else None
+    thr = int(getattr(config, "host_tail_threshold", 0) or 0)
+    if tail_rows is None and thr <= 0:
+        return []
+    out = []
+    cap_frac = float(getattr(config, "host_tail_cap_frac", 1.0 / 16))
+    for t, e in enumerate(embeds):
+        hot = 0
+        if tail_rows is not None:
+            if t < len(tail_rows) and tail_rows[t]:
+                hot = int(tail_rows[t])
+        elif thr > 0 and e.num_entries > thr:
+            hot = thr
+        if hot <= 0 or hot >= e.num_entries or e.aggr is not AggrMode.AGGR_MODE_SUM:
+            continue
+        full = e.num_entries
+        idx_spec = e.inputs[0]
+        bag = idx_spec.shape[1] if idx_spec.num_dims > 1 else 1
+        k_cap = max(8, int(-(-idx_spec.shape[0] * bag * cap_frac // 8)) * 8)
+        pos_in = graph.add_op(InputOp(
+            f"_hosttail:{e.name}:pos", (k_cap,), DataType.DT_INT32
+        ))
+        val_in = graph.add_op(InputOp(
+            f"_hosttail:{e.name}:val", (k_cap, e.out_dim), DataType.DT_FLOAT
+        ))
+        # shrink the device table to the hot prefix BEFORE init_params (a
+        # 293M x 128 f32 init would not fit anywhere)
+        e.num_entries = hot
+        e.params[0].shape = (hot, e.out_dim)
+        e.enable_host_tail(full, pos_in.outputs[0], val_in.outputs[0])
+        out.append((e, idx_spec.owner_op.name, full, hot, k_cap))
+    if out and plan is not None and plan.host_tail_rows is None:
+        # record the decision so strategy export round-trips it
+        lookup = {id(e): hot for (e, _, _, hot, _) in out}
+        plan.host_tail_rows = [lookup.get(id(e), 0) for e in embeds]
+    return out
+
+
 def fuse_embedding_tables(
     graph: Graph, plan: ShardingPlan, num_shards: int,
     min_vocab: int = 0,
@@ -41,6 +100,10 @@ def fuse_embedding_tables(
         embeds = [e for i, e in enumerate(all_embeds) if i not in excluded]
     else:
         embeds = [e for e in all_embeds if e.num_entries > min_vocab]
+    # host-tail ops stay standalone: their forward adds the host partial
+    # feed, which the fused collection does not carry (M2: compose the hot
+    # prefixes into the collection)
+    embeds = [e for e in embeds if not getattr(e, "host_tail_vocab", 0)]
     if len(embeds) < 2:
         return None
     dim = embeds[0].out_dim

@@ -159,6 +159,13 @@ class ShardingPlan:
     # sub-bucket loads on skewed data so routed-mode capacity drops become
     # Binomial-rare; None = auto (on for routed mode with splits)
     hash_rows: Optional[bool] = None
+    # host-tail offload (parallel/host_tail.py): per-table (graph order)
+    # device-resident hot-prefix length; 0 = whole table on device, k > 0 =
+    # rows [k, vocab) live in the demand-allocated host store. The TPU
+    # recast of the reference's hetero CPU embedding placement
+    # (dlrm_strategy_hetero.cc, strategy.cc:114-122); None = auto from
+    # FFConfig.host_tail_threshold or the capacity-aware search
+    host_tail_rows: Optional[List[int]] = None
     op_specs: Dict[str, OpShardSpec] = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------ exec
@@ -291,6 +298,7 @@ class ShardingPlan:
             "routed_cap_factor": self.routed_cap_factor,
             "packed_pool": self.packed_pool,
             "hash_rows": self.hash_rows,
+            "host_tail_rows": self.host_tail_rows,
             "ops": {k: v.to_json() for k, v in self.op_specs.items()},
         }
         with open(path, "w") as f:
@@ -315,6 +323,7 @@ class ShardingPlan:
             routed_cap_factor=doc.get("routed_cap_factor", 2.0),
             packed_pool=doc.get("packed_pool"),
             hash_rows=doc.get("hash_rows"),
+            host_tail_rows=doc.get("host_tail_rows"),
             op_specs={k: OpShardSpec.from_json(v) for k, v in doc.get("ops", {}).items()},
         )
 
