@@ -49,6 +49,10 @@ class FFSimMachine(ctypes.Structure):
         ("routed_cap", ctypes.c_double),
         ("routing_ns_per_entry", ctypes.c_double),
         ("model_axis", ctypes.c_int32),
+        # host-tail offload terms (parallel/host_tail.py; table mode 2)
+        ("pcie_gbps", ctypes.c_double),
+        ("pcie_latency_us", ctypes.c_double),
+        ("host_row_ns", ctypes.c_double),
     ]
 
 
@@ -67,6 +71,9 @@ class FFSimOp(ctypes.Structure):
         ("stage", ctypes.c_int32),
         ("act_bytes", ctypes.c_double),
         ("fwd_us", ctypes.c_double),
+        # host-tail candidacy (mode 2 viable when tail_hot_rows > 0)
+        ("tail_hot_rows", ctypes.c_double),
+        ("tail_miss_frac", ctypes.c_double),
     ]
 
 
@@ -192,6 +199,8 @@ def _ops_array(ops: Sequence[dict]):
         arr[i].stage = op.get("stage", 2)
         arr[i].act_bytes = op.get("act_bytes", 0.0)
         arr[i].fwd_us = op.get("fwd_us", 0.0)
+        arr[i].tail_hot_rows = op.get("tail_hot_rows", 0.0)
+        arr[i].tail_miss_frac = op.get("tail_miss_frac", 0.0)
     return arr
 
 

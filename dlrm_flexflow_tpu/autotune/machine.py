@@ -67,6 +67,13 @@ class MachineSpec:
     routing_ns_per_entry: float = 3.0
     # model-axis size available for dense TP (mesh data x model); 1 = none
     model_axis: int = 1
+    # host-tail offload terms (parallel/host_tail.py; search mode 2): the
+    # host<->device link carrying the compact (pos, val) tail exchange
+    # (PCIe gen3 x16 class defaults; this env's tunnel is slower but the
+    # design target is a local host) and the per-row host lookup/update cost
+    pcie_gbps: float = 10.0
+    pcie_latency_us: float = 20.0
+    host_row_ns: float = 60.0
     # measured/predicted full-step ratio from FFModel.calibrate_step_residual
     # (the profile-then-simulate loop closed over the WHOLE step: per-kernel
     # constants above get the per-op costs right, the residual absorbs what

@@ -10,6 +10,7 @@ strategies.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
 
 from ..core.graph import Graph
@@ -403,9 +404,26 @@ def autotune_plan(
 
 # ============================ v2: joint search ==============================
 
+def zipf_tail_fraction(vocab: int, hot: int, s: float = 1.05) -> float:
+    """Fraction of lookups landing beyond rank `hot` under a Zipf(s) rank
+    distribution (continuous-integral approximation). Frequency-ordered id
+    spaces (MLPerf Criteo preprocessing) make the hot prefix absorb most
+    lookups; this models how much tail traffic a host-tail split would
+    carry (parallel/host_tail.py)."""
+    if hot >= vocab or hot < 1:
+        return 0.0 if hot >= vocab else 1.0
+
+    def mass(a: float, b: float) -> float:
+        if abs(s - 1.0) < 1e-9:
+            return math.log(b / a)
+        return (b ** (1.0 - s) - a ** (1.0 - s)) / (1.0 - s)
+
+    return mass(hot, vocab) / mass(1.0, vocab)
+
+
 def graph_to_cost_spec_v2(
     graph: Graph, global_batch: int, exchange_dtype_bytes: float = 4.0,
-    dense_costs=None,
+    dense_costs=None, host_tail_hot: int = 0,
 ):
     """Lower the graph for the JOINT search: one FFSIM_EMBED per TABLE
     (split/mode are annealer state, not lowering inputs), dense ops get a
@@ -431,8 +449,8 @@ def graph_to_cost_spec_v2(
     past_exchange = False
     embed_producers = set()
 
-    def add_table(name, vocab, dim, lookups):
-        ops.append({
+    def add_table(name, vocab, dim, lookups, tail_ok=False):
+        entry = {
             "kind": bindings.KIND_EMBED,
             "table_rows": float(vocab),
             "row_bytes": 4.0 * dim,
@@ -440,7 +458,13 @@ def graph_to_cost_spec_v2(
             "pooled_rows": float(global_batch),
             "wire_row_bytes": exchange_dtype_bytes * dim,
             "stage": 0,
-        })
+        }
+        # host-tail candidacy (parallel/host_tail.py; mode 2): only tables
+        # whose vocab dwarfs the hot prefix are worth splitting to the host
+        if tail_ok and host_tail_hot > 0 and vocab > 4 * host_tail_hot:
+            entry["tail_hot_rows"] = float(host_tail_hot)
+            entry["tail_miss_frac"] = zipf_tail_fraction(vocab, host_tail_hot)
+        ops.append(entry)
         table_names.append(name)
         vocabs.append(int(vocab))
 
@@ -459,7 +483,14 @@ def graph_to_cost_spec_v2(
             embed_producers.add(op.name)
         elif op.op_type is OperatorType.OP_EMBEDDING:
             bag = op.inputs[0].shape[1] if op.inputs[0].num_dims > 1 else 1
-            add_table(op.name, op.num_entries, op.out_dim, global_batch * bag)
+            from ..ffconst import AggrMode
+
+            add_table(
+                op.name, op.num_entries, op.out_dim, global_batch * bag,
+                # the runtime tail exchange is exact only for SUM pooling
+                # (partials add; parallel/passes.py gate)
+                tail_ok=getattr(op, "aggr", None) is AggrMode.AGGR_MODE_SUM,
+            )
             embed_producers.add(op.name)
         else:
             kind = (
@@ -560,6 +591,7 @@ def autotune_plan_joint(
     exchange_dtype_bytes: float = 4.0,
     allow_splits: bool = True,
     enable_propagation: bool = True,
+    host_tail_hot: int = 0,
 ):
     """Joint annealer over (owner, split, mode[, dense tp]) in the native
     core — the reference's per-op ParallelConfig MCMC (model.cc:1928-1991)
@@ -571,6 +603,7 @@ def autotune_plan_joint(
      op_edges) = graph_to_cost_spec_v2(
         graph, global_batch, exchange_dtype_bytes,
         dense_costs=getattr(machine, "dense_costs", None),
+        host_tail_hot=host_tail_hot,
     )
     if not enable_propagation:
         # reference parity: config-propagation moves along graph edges are
@@ -599,6 +632,15 @@ def autotune_plan_joint(
     if cap > 1 and n > 1:
         wf = _waterfill_splits(loads, n, cap, vocabs)
         seeds.append((greedy, wf, list(base_mode)))
+    tail_viable = [o.get("tail_hot_rows", 0.0) > 0 for o in embeds]
+    if any(tail_viable):
+        # seed with every viable table host-tailed: beyond-HBM configs are
+        # infeasible (huge mem penalty) from the standard seeds, so the
+        # annealer may never find the crossing on its own
+        seeds.append((
+            greedy, [1] * nt,
+            [2 if tail_viable[i] else base_mode[i] for i in range(nt)],
+        ))
     rr_cost = bindings.simulate2(
         m, ops, rr, [1] * nt, base_mode, tp0, opt_state_factor,
         op_edges=op_edges,
@@ -638,6 +680,12 @@ def autotune_plan_joint(
         "improvement": rr_cost / cost if cost > 0 else 1.0,
         "table_split": [split[i] for i in placed],
         "replicated_tables": [i for i, mv in enumerate(mode) if mv == 1],
+        # host-tail decisions (mode 2): per-table device hot-prefix rows in
+        # graph order, 0 = fully on device (plan.host_tail_rows contract)
+        "host_tail_rows": [
+            int(embeds[i].get("tail_hot_rows", 0)) if mode[i] == 2 else 0
+            for i in range(nt)
+        ],
         "tp": tp,
         "tp_ops": [dense_names[j] for j, x in enumerate(tp) if x > 1],
         "exchange": "routed" if best_routed else "dense",

@@ -983,14 +983,36 @@ class FFModel:
                 else 4.0
             ),
             enable_propagation=self.config.enable_propagation,
+            # host-tail candidate hot-prefix (parallel/host_tail.py): the
+            # search may move a huge table's cold rows to the host (mode 2)
+            # instead of paying the HBM overflow penalty
+            host_tail_hot=self.config.host_tail_threshold or (1 << 20),
         )
+        # decisions that apply even when NO table stays placed (owner empty):
+        # one-hot replication and host-tail offload are per-table modes, not
+        # collection placements
+        if (report or {}).get("replicated_tables"):
+            plan.replicated_tables = report["replicated_tables"]
+        # host-tail placements chosen by the search (mode 2): the
+        # compile-time pass reads plan.host_tail_rows and splits those
+        # tables into a device hot prefix + host store
+        tails = (report or {}).get("host_tail_rows")
+        if tails and any(tails) and plan.host_tail_rows is None:
+            from ..ops.embedding import Embedding as _Emb
+
+            n_emb = sum(
+                1 for o in self.graph.compute_ops if isinstance(o, _Emb)
+            )
+            # search table order == graph Embedding order only on the
+            # raw (pre-fusion) graph; a fused layout interleaves
+            # sub-table entries, so skip the decode there
+            if len(tails) == n_emb:
+                plan.host_tail_rows = tails
         if owner:
             plan.table_assignment = owner
             split = (report or {}).get("table_split")
             if split and any(s > 1 for s in split):
                 plan.table_split = split
-            if (report or {}).get("replicated_tables") is not None:
-                plan.replicated_tables = report["replicated_tables"]
             # per-op dense TP chosen by the search: materialize the specs
             # (reference analog: --enable-parameter-parallel, but per op)
             tp_ops = set((report or {}).get("tp_ops", []))

@@ -161,6 +161,10 @@ struct Costs2 {
   double stage_fwd[3] = {0, 0, 0};  // per-chip fwd us by graph stage
   double embed_fwd_max = 0, embed_upd_max = 0;
   double a2a_us = 0, allreduce_us = 0, update_us = 0, mem_penalty = 0;
+  // host-tail offload (mode 2): per-step host tail service + PCIe wire.
+  // Serial with the device step (the host builds feeds before and applies
+  // grads after it), so it adds to every schedule variant.
+  double host_us = 0;
   std::vector<double> gather_us, upd_us;
   // per-op per-chip fwd durations for the graph-generic DAG builder
   // (0 for placed embeds — their cost lives in embed_fwd_max / a2a_us)
@@ -173,7 +177,7 @@ struct Costs2 {
   }
   double closed() const {
     return dense_total() + embed_fwd_max + embed_upd_max + a2a_us +
-           allreduce_us + update_us + mem_penalty;
+           allreduce_us + update_us + mem_penalty + host_us;
   }
 };
 
@@ -263,6 +267,31 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
         c.op_fwd[i] = f / fpu / dpar;
         dense_param_bytes += op.table_rows * op.row_bytes;
         repl_bytes_per_chip += op.table_rows * op.row_bytes;
+        continue;
+      }
+      if (mode && mode[t] == 2 && op.tail_hot_rows > 0) {
+        // host-tail offload (parallel/host_tail.py): the hot prefix is a
+        // standalone DP table on every chip (sparse-updated, no dense
+        // allreduce); tail lookups are served by the hosts over PCIe as a
+        // compact (pos, val) exchange. Reference analog: zero-copy host
+        // embedding placement (dlrm_strategy_hetero.cc).
+        const double hot = std::min(op.tail_hot_rows, op.table_rows);
+        const double q = std::min(std::max(op.tail_miss_frac, 0.0), 1.0);
+        const double g_bytes = op.lookups * (1.0 - q) / n * op.row_bytes;
+        for (int d = 0; d < n; d++) {
+          c.gather_us[d] += g_bytes / gather_bpu;
+          c.upd_us[d] += g_bytes / scatter_bpu;
+        }
+        repl_bytes_per_chip += hot * op.row_bytes;  // memory term only
+        const int cph_t =
+            m.chips_per_host > 0 ? std::min((int)m.chips_per_host, n) : n;
+        const int hosts = std::max(1, n / cph_t);
+        const double miss = op.lookups * q / hosts;  // per-host tail rows
+        // wire per host: f32 partial rows + pos up, grad rows down
+        const double wire = miss * (2.0 * op.row_bytes + 4.0);
+        const double pcie_bpu = (m.pcie_gbps > 0 ? m.pcie_gbps : 10.0) * 1e3;
+        c.host_us += wire / pcie_bpu + 2.0 * m.pcie_latency_us +
+                     2.0 * miss * m.host_row_ns * 1e-3;
         continue;
       }
       int s = split ? split[t] : 1;
@@ -448,7 +477,7 @@ double dag_makespan(const FFSimMachine& m, const Costs2& c) {
   const double span = ffsim_schedule_dag(
       n + 1, dur.data(), dev.data(), (int32_t)dur.size(), es.data(),
       ed.data(), (int32_t)es.size());
-  return span + c.mem_penalty;
+  return span + c.mem_penalty + c.host_us;
 }
 
 double simulate2_total(const FFSimMachine& m, const Costs2& c) {
@@ -494,7 +523,10 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
     for (int i = 0; i < num_ops; i++) {
       if (ops[i].kind == FFSIM_EMBED) {
         const int ti = t++;
-        if (!mode || (ti < num_tables && mode[ti] == 0)) {
+        // mode 0 (placed) and mode 2 (host-tail) both account their device
+        // work in the gather/update aggregates; only replicated one-hot
+        // tables (mode 1) run as dense DP ops
+        if (!mode || (ti < num_tables && mode[ti] != 1)) {
           placed[i] = 1;
           any_placed = true;
           continue;
@@ -570,7 +602,7 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
   const double span = ffsim_schedule_dag(
       2, dur.data(), dev.data(), (int32_t)dur.size(), es.data(), ed.data(),
       (int32_t)es.size());
-  return span + c.mem_penalty;
+  return span + c.mem_penalty + c.host_us;
 }
 
 double simulate2g_total(const FFSimMachine& m, const FFSimOp* ops,
@@ -728,7 +760,7 @@ void ffsim2_breakdown(const FFSimMachine* m, const FFSimOp* ops,
   out9[3] = c.a2a_us;
   out9[4] = c.allreduce_us;
   out9[5] = c.update_us;
-  out9[6] = c.mem_penalty;
+  out9[6] = c.mem_penalty + c.host_us;  // incl. host-tail service
   out9[7] = simulate2_total(*m, c);
   out9[8] = c.closed();
 }
@@ -778,7 +810,7 @@ void ffsim2g_breakdown(const FFSimMachine* m, const FFSimOp* ops,
   out9[3] = c.a2a_us;
   out9[4] = c.allreduce_us;
   out9[5] = c.update_us;
-  out9[6] = c.mem_penalty;
+  out9[6] = c.mem_penalty + c.host_us;  // incl. host-tail service
   out9[7] = simulate2g_total(*m, ops, num_ops, mode, num_tables, op_edge_src,
                              op_edge_dst, num_op_edges, c);
   out9[8] = c.closed();
@@ -802,6 +834,15 @@ double ffsim2g_search(const FFSimMachine* m, const FFSimOp* ops,
   std::uniform_int_distribution<int> pick_table(0, std::max(0, num_tables - 1));
   std::uniform_int_distribution<int> pick_dense(0, std::max(0, num_dense - 1));
   std::uniform_int_distribution<int> pick_dev(0, n - 1);
+
+  // host-tail candidacy per table (mode 2 viable only where the lowering
+  // marked a hot prefix — parallel/host_tail.py)
+  std::vector<char> tail_ok(std::max(1, (int)num_tables), 0);
+  {
+    int t = 0;
+    for (int i = 0; i < num_ops && t < num_tables; i++)
+      if (ops[i].kind == FFSIM_EMBED) tail_ok[t++] = ops[i].tail_hot_rows > 0;
+  }
 
   // cumulative edge weights for volume-weighted propagate moves
   // (reference: random graph walks weighted by edge volume, model.h:287-289)
@@ -844,7 +885,16 @@ double ffsim2g_search(const FFSimMachine* m, const FFSimOp* ops,
       cand.split[t] = std::max(1, cand.split[t] / 2);
     } else if (num_tables > 0 && r < 0.78) {
       const int t = pick_table(rng);
-      cand.mode[t] ^= 1;
+      if (tail_ok[t]) {
+        // jump to a random DIFFERENT mode (0 placed / 1 replicated /
+        // 2 host-tail) — cycling would force 0->2 through the replicated
+        // mode, whose cost wall the annealer cannot cross
+        int nm = (int)(unif(rng) * 2.0);
+        if (nm >= cand.mode[t]) nm++;  // uniform over the two other modes
+        cand.mode[t] = nm;
+      } else {
+        cand.mode[t] ^= 1;
+      }
     } else if (num_dense > 0 && max_m > 1 && r < 0.84) {
       const int j = pick_dense(rng);
       cand.tp[j] = cand.tp[j] > 1 ? 1 : max_m;

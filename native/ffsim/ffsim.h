@@ -77,6 +77,14 @@ struct FFSimMachine {
   // model-axis size available for dense tensor parallelism (mesh data x
   // model); 1 = pure DP mesh
   int32_t model_axis;
+  // host-tail offload terms (parallel/host_tail.py; table mode 2): the
+  // host<->device link carrying the compact (pos, val) tail exchange and
+  // the per-row host-side lookup/update cost (reference analog: zero-copy
+  // host embedding placement, dlrm_strategy_hetero.cc + CPU EmbeddingBag
+  // src/ops/embedding.cc:23-319)
+  double pcie_gbps;
+  double pcie_latency_us;
+  double host_row_ns;
 };
 
 // ---- op kinds
@@ -113,6 +121,12 @@ struct FFSimOp {
   // dense-op calibration (reference: real kernels timed per (op, config),
   // src/runtime/model.cu:20-64). 0 => analytic roofline.
   double fwd_us;
+  // host-tail candidacy (embedding ops; search mode 2 is viable only when
+  // tail_hot_rows > 0): modeled device-resident hot-prefix length, and the
+  // fraction of lookups landing in the tail rows [hot, vocab)
+  // (frequency-ordered ids make this small — Zipf estimate or measured)
+  double tail_hot_rows;
+  double tail_miss_frac;
 };
 
 // ---- simulate one training step under a table placement --------------------
@@ -160,7 +174,9 @@ double ffsim_schedule_dag(int32_t num_devices,
 //   owner[t] in [0, num_chips)  — first chip of table t's consecutive range
 //   split[t] in [1, split_cap]  — row-split degree (sub-tables on chips
 //                                 owner[t] .. owner[t]+split[t]-1 mod n)
-//   mode[t]  0 = placed, 1 = replicated (one-hot MXU, dense-grad allreduce)
+//   mode[t]  0 = placed, 1 = replicated (one-hot MXU, dense-grad allreduce),
+//            2 = host-tail offload (hot prefix on device, cold rows served
+//                by the hosts over PCIe; viable only when tail_hot_rows > 0)
 //   tp[j]    1 or model_axis    — per-dense-op tensor parallelism
 // This is the reference's per-op ParallelConfig search folded into ONE
 // annealer (reference: FFModel::optimize mutating every op's config,

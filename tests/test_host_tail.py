@@ -139,6 +139,58 @@ def test_host_tail_capacity_overflow_counted():
     assert all(np.isfinite(losses[True]))
 
 
+def test_host_tail_composes_with_8device_mesh():
+    """The host-tail exchange rides the sharded train step: same hot/tail
+    partition on the 8-device mesh (DP batch + table-parallel plan) must
+    reproduce the single-device host-tail trajectory (reference analog: a
+    hetero strategy is just another strategy file entry,
+    dlrm_strategy_hetero.cc)."""
+    from dlrm_flexflow_tpu.ops.embedding import Embedding
+    from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    vocabs = [50, 200, 120]
+    hot, bs, steps = 40, 16, 5
+    models = {}
+    for use_mesh in (False, True):
+        cfg = _cfg(vocabs, bs)
+        ff = FFConfig(batch_size=bs, compute_dtype="float32",
+                      host_tail_threshold=hot, host_tail_cap_frac=1.0,
+                      onehot_embedding_threshold=0, fuse_embeddings=False)
+        model = make_dlrm_model(cfg, ff)
+        kw = (dict(mesh=make_mesh(), plan=dlrm_hybrid_plan())
+              if use_mesh else {})
+        model.compile(SGDOptimizer(lr=0.05),
+                      LossType.LOSS_BINARY_CROSSENTROPY,
+                      [MetricsType.METRICS_ACCURACY], **kw)
+        params = model.get_parameters()
+        embs = [op for op in model.graph.compute_ops
+                if isinstance(op, Embedding)]
+        for t, op in enumerate(embs):
+            full = np.random.RandomState(100 + t).randn(
+                vocabs[t], cfg.sparse_feature_size
+            ).astype(np.float32) * 0.05
+            params[op.name]["weight"] = full[: op.num_entries]
+            if op.host_tail_vocab:
+                store = model._host_tail.entries[op.name][0]
+                store.load_state(np.arange(hot, vocabs[t]), full[hot:])
+        model.set_parameters(params)
+        models[use_mesh] = model
+    feeds, labels = random_batches(_cfg(vocabs, bs), bs * steps, seed=3)
+    losses = {}
+    for use_mesh, model in models.items():
+        losses[use_mesh] = [
+            float(model.train_batch(
+                {k: v[bs * i: bs * (i + 1)] for k, v in feeds.items()},
+                labels[bs * i: bs * (i + 1)],
+            ))
+            for i in range(steps)
+        ]
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)
+    assert models[True].host_tail_dropped == 0
+
+
 def test_host_tail_plan_axis_round_trip(tmp_path):
     """host_tail_rows rides the strategy file (reference: strategy
     export/import, strategy.cc:95-189)."""
@@ -148,6 +200,74 @@ def test_host_tail_plan_axis_round_trip(tmp_path):
     f = str(tmp_path / "strategy.json")
     p.save(f)
     assert ShardingPlan.load(f).host_tail_rows == [0, 2048, 0, 1024]
+
+
+def test_search_offloads_beyond_hbm_table():
+    """The joint annealer's host-tail axis (ffsim mode 2): a table far
+    beyond per-chip HBM even at max split should be offloaded — cheaper
+    than the capacity penalty (reference analog: hetero strategies choose
+    CPU embedding placement, dlrm_strategy_hetero.cc)."""
+    from dlrm_flexflow_tpu.autotune.machine import MachineSpec
+    from dlrm_flexflow_tpu.autotune.search import (
+        autotune_plan_joint, zipf_tail_fraction,
+    )
+
+    # Zipf tail mass sanity: bigger hot prefix -> smaller tail
+    assert zipf_tail_fraction(227_000_000, 1 << 20) < 0.25
+    assert zipf_tail_fraction(10**6, 10**5) < zipf_tail_fraction(10**6, 10**4)
+
+    cfg = _cfg([200_000_000, 300, 50], bs=4096, bag=1, dim=16)
+    ff = FFConfig(batch_size=4096, compute_dtype="float32",
+                  onehot_embedding_threshold=0)
+    model = make_dlrm_model(cfg, ff)
+    machine = MachineSpec(num_chips=8, chips_per_host=8,
+                          hbm_capacity_gb=0.05)  # 12.8 GB table, 50 MB HBM
+    owner, cost, report = autotune_plan_joint(
+        model.graph, machine, 4096, budget=4000, seed=0,
+        host_tail_hot=1 << 20,
+    )
+    tails = report["host_tail_rows"]
+    assert tails[0] == 1 << 20 and tails[1] == 0 and tails[2] == 0, report
+    # forced fully-on-device plan must be worse (pays the capacity penalty)
+    forced = autotune_plan_joint(
+        model.graph, machine, 4096, budget=4000, seed=0, host_tail_hot=0,
+    )[1]
+    assert cost < forced
+
+
+def test_autotune_compiles_searched_host_tail(tmp_path):
+    """End-to-end: search (mode 2) -> plan.host_tail_rows -> compile pass
+    -> the model trains with the table split hot/tail."""
+    import dataclasses as _dc
+    import json
+
+    from dlrm_flexflow_tpu.autotune.machine import MachineSpec
+    from dlrm_flexflow_tpu.parallel.mesh import make_mesh
+    from dlrm_flexflow_tpu.parallel.plan import dlrm_hybrid_plan
+
+    mfile = str(tmp_path / "machine.json")
+    with open(mfile, "w") as f:
+        json.dump(_dc.asdict(MachineSpec(num_chips=8, chips_per_host=8,
+                                         hbm_capacity_gb=0.05)), f)
+    bs = 64
+    cfg = _cfg([50_000_000, 300, 50], bs=bs, bag=1)
+    ff = FFConfig(batch_size=bs, compute_dtype="float32", search_budget=4000,
+                  machine_model_file=mfile, onehot_embedding_threshold=0)
+    model = make_dlrm_model(cfg, ff)
+    plan = dlrm_hybrid_plan()
+    plan.table_assignment = None
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [], mesh=make_mesh(), plan=plan)
+    assert plan.host_tail_rows and plan.host_tail_rows[0] > 0
+    assert model._host_tail is not None and len(model._host_tail.entries) == 1
+    (op_name, (store, _, hot, _)) = next(iter(model._host_tail.entries.items()))
+    assert hot == plan.host_tail_rows[0]
+    feeds, labels = random_batches(cfg, bs, seed=0)
+    feeds["sparse_0"] = np.random.RandomState(1).randint(
+        0, 50_000_000, (bs, 1)
+    )  # touch genuinely-tail rows
+    assert np.isfinite(float(model.train_batch(feeds, labels)))
+    assert store.touched_rows > 0
 
 
 def test_host_tail_memory_is_touched_rows_only():
