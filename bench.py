@@ -32,7 +32,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle",
                     choices=["tiny", "kaggle", "mlperf", "mlperf-lite",
-                             "summit"])
+                             "mlperf-full", "summit"])
+    # mlperf-full: the UNCLIPPED 26-table Terabyte config (227M/293M-row
+    # vocabs) on one chip — host-tail offload keeps a hot prefix per huge
+    # table in HBM and serves cold rows from the demand-allocated host
+    # store (parallel/host_tail.py); indices are Zipf(1.05) so the skew
+    # matches frequency-ordered Criteo ids
+    ap.add_argument("--host-tail-threshold", type=int, default=0,
+                    help="device hot-prefix rows for tables above it "
+                         "(0 = auto: 2^20 for mlperf-full, off otherwise)")
     # default batch is the best-known single-chip config (PERF.md sweep);
     # --reference-batch also reports the bs=8192 row for cross-round
     # comparability
@@ -75,11 +83,19 @@ def main():
         "kaggle": kaggle_config,
         "mlperf": lambda batch_size: mlperf_config(batch_size=batch_size, num_tables=8),
         "mlperf-lite": mlperf_lite_config,
+        "mlperf-full": mlperf_config,
         "summit": summit_config,
     }[args.config](batch_size=args.batch_size)
 
+    if args.config == "mlperf-full" and args.host_tail_threshold == 0:
+        args.host_tail_threshold = 1 << 20
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
     ffc.packed_tables = args.packed_tables
+    if args.host_tail_threshold > 0:
+        ffc.host_tail_threshold = args.host_tail_threshold
+        # expected Zipf(1.05) tail traffic at hot=2^20 is ~20% of lookups;
+        # cap 25% of batch*bag leaves slack without bloating the exchange
+        ffc.host_tail_cap_frac = 0.25
     model = make_dlrm_model(cfg, ffc)
 
     mesh = plan = None
@@ -107,8 +123,54 @@ def main():
 
     n_batches = 4
     feeds_np, labels_np = random_batches(
-        cfg, args.batch_size * n_batches, seed=0, learnable=False
+        cfg, args.batch_size * n_batches, seed=0, learnable=False,
+        zipf=1.05 if args.host_tail_threshold > 0 else 0.0,
     )
+
+    if getattr(model, "_host_tail", None):
+        # host-tail configs step per batch: the host serves/updates tail
+        # rows between device steps, so the measured path INCLUDES the host
+        # work and the per-step dispatch (no single-dispatch scan possible)
+        assert args.mode == "train", "host-tail bench measures training"
+        batches = [
+            ({k: v[args.batch_size * j: args.batch_size * (j + 1)]
+              for k, v in feeds_np.items()},
+             labels_np[args.batch_size * j: args.batch_size * (j + 1)])
+            for j in range(n_batches)
+        ]
+        for i in range(args.warmup):
+            loss = model.train_batch(*batches[i % n_batches])
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            loss = model.train_batch(*batches[i % n_batches])
+        loss_val = float(loss)
+        dt = time.perf_counter() - t0
+        examples_per_sec = args.steps * args.batch_size / dt
+        touched = sum(
+            e[0].touched_rows for e in model._host_tail.entries.values()
+        )
+        print(
+            f"# config={args.config} bs={args.batch_size} steps={args.steps} "
+            f"dt={dt:.3f}s host-tail tables={len(model._host_tail.entries)} "
+            f"touched_rows={touched} "
+            f"drop_frac={model.host_tail_drop_fraction():.5f} "
+            f"examples/s={examples_per_sec:,.0f} loss={loss_val:.4f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"dlrm_{args.config}_{args.mode}_examples_per_sec",
+            "value": round(examples_per_sec, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(
+                examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),
+            "host_tail_tables": len(model._host_tail.entries),
+            "host_tail_drop_fraction": round(
+                model.host_tail_drop_fraction(), 6),
+            "devices": n_dev if args.mesh else 1,
+            "loss": round(loss_val, 5),
+        }))
+        return
     stacked_feeds = {
         k: v.reshape((n_batches, args.batch_size) + v.shape[1:])
         for k, v in feeds_np.items()

@@ -191,6 +191,22 @@ def test_host_tail_composes_with_8device_mesh():
     assert models[True].host_tail_dropped == 0
 
 
+def test_zipf_indices_skew():
+    """Zipf(1.05) synthetic indices (data/synthetic.zipf_indices): skewed
+    toward low ranks, in range, and the hot prefix absorbs most lookups
+    (what the host-tail and routed-capacity paths assume of
+    frequency-ordered Criteo ids)."""
+    from dlrm_flexflow_tpu.data.synthetic import zipf_indices
+
+    rng = np.random.default_rng(0)
+    v = 1_000_000
+    idx = zipf_indices(rng, v, (200_000,), 1.05)
+    assert idx.min() >= 0 and idx.max() < v
+    assert np.mean(idx) < v / 8  # far below the uniform mean v/2
+    hot_frac = np.mean(idx < (1 << 16))
+    assert hot_frac > 0.7, hot_frac
+
+
 def test_host_tail_plan_axis_round_trip(tmp_path):
     """host_tail_rows rides the strategy file (reference: strategy
     export/import, strategy.cc:95-189)."""
