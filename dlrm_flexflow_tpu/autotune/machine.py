@@ -80,6 +80,10 @@ class MachineSpec:
     # the analytic model cannot see — scheduler slack, fusion effects).
     # Not part of the native struct; applied to reported predictions.
     step_residual: float = 1.0
+    # measured winner of the packed row-gather calibration ("pack" whole-
+    # pack fetch+mask vs "subpack" (1, D) lane slices); applied by compile
+    # when FFConfig.packed_gather_mode == "auto". Not a native-struct field.
+    gather_mode: str = "pack"
     # MEASURED dense-op costs: {"<in>x<out>": effective fwd us per example}
     # (timed fwd+bwd / 3, matching the model's bwd = 2x fwd convention) —
     # the reference times every op's real kernels per (op, config) and
@@ -318,7 +322,9 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pallas.packed_update import pack_table, packed_gather
+    from ..ops.pallas.packed_update import (
+        pack_table, packed_gather, packed_gather_subpack,
+    )
 
     packs = [
         pack_table(jnp.zeros((vocab, dim), jnp.float32))
@@ -328,22 +334,35 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
         jax.random.PRNGKey(2), (repeats, streams, batch), 0, vocab, jnp.int32
     )
 
-    @jax.jit
-    def loop(packs, idx):
-        def body(c, i):
-            acc = jnp.zeros(())
-            for s, p in enumerate(packs):
-                acc = acc + packed_gather(p, i[s], dim)[0, 0]
-            return c + acc, 0.0
-        c, _ = jax.lax.scan(body, jnp.zeros(()), idx)
-        return c
+    def timed(gather_fn) -> float:
+        @jax.jit
+        def loop(packs, idx):
+            def body(c, i):
+                acc = jnp.zeros(())
+                for s, p in enumerate(packs):
+                    # full reduce: consuming a single element would let
+                    # XLA strength-reduce the gather to one row
+                    acc = acc + jnp.sum(gather_fn(p, i[s], dim))
+                return c + acc, 0.0
+            c, _ = jax.lax.scan(body, jnp.zeros(()), idx)
+            return c
 
-    _ = float(loop(packs, idx))
-    t0 = time.perf_counter()
-    _ = float(loop(packs, idx))
-    g_time = (time.perf_counter() - t0) / repeats / streams
+        _ = float(loop(packs, idx))
+        t0 = time.perf_counter()
+        _ = float(loop(packs, idx))
+        return (time.perf_counter() - t0) / repeats / streams
+
+    # both implementations measured; the winner becomes the runtime's
+    # gather (compile applies machine.gather_mode under mode "auto") and
+    # its rate the cost model's gather_gbps
+    t_pack = timed(packed_gather)
+    t_sub = timed(packed_gather_subpack)
+    mode = "subpack" if t_sub < t_pack else "pack"
+    g_time = min(t_pack, t_sub)
     return dataclasses.replace(
-        spec, gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1)
+        spec,
+        gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1),
+        gather_mode=mode,
     )
 
 

@@ -94,6 +94,11 @@ class FFConfig:
     # fraction of batch*bag; overflow drops that step's extra partials
     # (counted in FFModel.host_tail_dropped)
     host_tail_cap_frac: float = 0.0625
+    # packed-table row-gather implementation (ops/pallas/packed_update):
+    # "pack" fetches whole 512 B packs + mask, "subpack" a (1, D) lane
+    # slice per row (8x fewer logical bytes at D=16); "auto" defers to the
+    # gather calibration's measured winner (machine.gather_mode)
+    packed_gather_mode: str = "auto"
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -192,6 +197,8 @@ class FFConfig:
                 self.host_tail_threshold = int(take())
             elif a == "--host-tail-cap-frac":
                 self.host_tail_cap_frac = float(take())
+            elif a == "--packed-gather-mode":
+                self.packed_gather_mode = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

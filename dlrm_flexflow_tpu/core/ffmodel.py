@@ -504,6 +504,28 @@ class FFModel:
         self.metrics_mask = mask
         self.mesh = mesh
         self.plan = plan
+        # packed row-gather implementation: explicit config wins; "auto"
+        # uses the calibrated machine winner when a calibration cache
+        # exists (first TPU compile re-applies it right after calibration
+        # in _run_strategy_search). Must be set BEFORE any step tracing.
+        from ..ops.pallas.packed_update import set_gather_mode
+        gmode = self.config.packed_gather_mode
+        if gmode == "auto":
+            import json as _json
+            import os as _os
+            gmode = "pack"
+            cache = self.config.machine_model_file or (
+                self.config.export_strategy_file + ".machine.json"
+                if self.config.export_strategy_file
+                else ".ffsim_machine.json"
+            )
+            if _os.path.exists(cache):
+                try:
+                    with open(cache) as f:
+                        gmode = _json.load(f).get("gather_mode", "pack")
+                except (OSError, ValueError):
+                    pass
+        set_gather_mode(gmode)
         # planner pass: fuse per-table embeddings into one collection
         # (reference analog: compile-time partitioning + table placement,
         # model.cc:1629-1646 + dlrm_strategy.py). Also a single-chip win:
@@ -966,6 +988,12 @@ class FFModel:
                 machine = calibrate_dense(machine, shapes)
                 if cache:
                     machine.save(cache)
+            # first-compile path: the gather calibration just measured the
+            # pack-vs-subpack winner; apply it before step tracing
+            if self.config.packed_gather_mode == "auto":
+                from ..ops.pallas.packed_update import set_gather_mode
+
+                set_gather_mode(machine.gather_mode)
             print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 

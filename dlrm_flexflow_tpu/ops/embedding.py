@@ -207,7 +207,7 @@ def packed_embedding_bag(packed, idx, aggr: AggrMode, out_dim: int):
     """Pooled lookup from a packed [Pp, 128] table (the whole-pack gather
     measured no slower than the narrow [V, D] gather; the pack IS the
     physical HBM tile either way)."""
-    from .pallas.packed_update import packed_gather
+    from .pallas.packed_update import gather_rows
 
     idx = idx.astype(jnp.int32)
     squeeze_bag = idx.ndim == 1
@@ -217,7 +217,7 @@ def packed_embedding_bag(packed, idx, aggr: AggrMode, out_dim: int):
     valid = idx >= 0
     rpp = 128 // out_dim
     safe = jnp.clip(idx, 0, packed.shape[0] * rpp - 1)
-    rows = packed_gather(packed, safe.reshape(-1), out_dim).reshape(b, h, out_dim)
+    rows = gather_rows(packed, safe.reshape(-1), out_dim).reshape(b, h, out_dim)
     rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
     if aggr is AggrMode.AGGR_MODE_NONE:
         return rows[:, 0, :] if squeeze_bag else rows

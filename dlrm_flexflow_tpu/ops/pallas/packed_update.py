@@ -91,6 +91,59 @@ def packed_gather(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
     return jnp.sum(g3 * oh[..., None].astype(g3.dtype), axis=1)
 
 
+_GATHER_MODE = "pack"  # "pack" (whole-pack fetch + mask) | "subpack"
+
+
+def set_gather_mode(mode: str) -> None:
+    """Select the packed-table row-gather implementation for every packed
+    lookup site (forward, optimizer pools, routed owners). Chosen by
+    FFConfig.packed_gather_mode or the gather calibration
+    (autotune/machine.calibrate_packed_gather)."""
+    global _GATHER_MODE
+    assert mode in ("pack", "subpack"), mode
+    _GATHER_MODE = mode
+
+
+def get_gather_mode() -> str:
+    return _GATHER_MODE
+
+
+def gather_rows(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
+    """Mode-dispatched packed row gather (see set_gather_mode)."""
+    if _GATHER_MODE == "subpack":
+        return packed_gather_subpack(packed, rows, d)
+    return packed_gather(packed, rows, d)
+
+
+def packed_gather_subpack(
+    packed: jax.Array, rows: jax.Array, d: int
+) -> jax.Array:
+    """Sub-pack forward gather: one lax.gather with 2D start indices
+    (pack, sub*D) and slice_sizes (1, D), so each lookup moves D*4 logical
+    bytes instead of the full 512 B pack. The whole-pack path
+    (packed_gather) is stream-bandwidth-bound at ~6 GB/s — 8x the logical
+    bytes for D=16 — so slicing inside the lane dimension targets the
+    narrow-gather rate (~10 ns/row; reference fused lookup:
+    src/ops/embedding.cu:166-190 likewise fetches exactly D floats/row).
+    Selected per-config by the gather calibration (machine.gather_mode)."""
+    rpp = rows_per_pack(d)
+    if rpp == 1:
+        return packed.at[rows].get(mode="promise_in_bounds")
+    k = rows.shape[0]
+    p = (rows // rpp).astype(jnp.int32)
+    lane0 = ((rows % rpp) * d).astype(jnp.int32)
+    starts = jnp.stack([p, lane0], axis=1)  # [K, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,),            # the D-lane slice stays in the output
+        collapsed_slice_dims=(0,),   # the 1-pack dim collapses
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        packed, starts, dnums, slice_sizes=(1, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 # --------------------------------------------------------------------------
 # update-stream prep (XLA side)
 # --------------------------------------------------------------------------
@@ -486,9 +539,9 @@ def packed_lazy_adam_batched(
             mode="promise_in_bounds"
         )
         if weight_decay != 0.0:
-            g_s = g_s + weight_decay * packed_gather(tables[i], safe, d)
-        m_old = packed_gather(m_pools[i], safe, d)
-        v_old = packed_gather(v_pools[i], safe, d)
+            g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
+        m_old = gather_rows(m_pools[i], safe, d)
+        v_old = gather_rows(v_pools[i], safe, d)
         dm = (1.0 - beta1) * g_s + first * (beta1 - 1.0) * m_old
         dv = (1.0 - beta2) * jnp.square(g_s) + first * (beta2 - 1.0) * v_old
         m2 = _packed_apply(
@@ -501,8 +554,8 @@ def packed_lazy_adam_batched(
             lane_expand_sorted(dv, sub_s, k_pad, jnp.float32),
             chunk_packs=chunk_packs[i], interpret=interpret,
         )
-        m_new = packed_gather(m2, safe, d)
-        v_new = packed_gather(v2, safe, d)
+        m_new = gather_rows(m2, safe, d)
+        v_new = gather_rows(v2, safe, d)
         dw = first * (-alpha_t) * m_new / (jnp.sqrt(v_new) + epsilon)
         w2 = _packed_apply(
             tables[i], starts, ps_pk,
@@ -554,15 +607,15 @@ def packed_lazy_momentum_batched(
             mode="promise_in_bounds"
         )
         if weight_decay != 0.0:
-            g_s = g_s + weight_decay * packed_gather(tables[i], safe, d)
-        v_old = packed_gather(vel_pools[i], safe, d)
+            g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
+        v_old = gather_rows(vel_pools[i], safe, d)
         dvel = g_s + first * (momentum - 1.0) * v_old
         v2 = _packed_apply(
             vel_pools[i], starts, ps_pk,
             lane_expand_sorted(dvel, sub_s, k_pad, jnp.float32),
             chunk_packs=chunk_packs[i], interpret=interpret,
         )
-        v_new = packed_gather(v2, safe, d)
+        v_new = gather_rows(v2, safe, d)
         if nesterov:
             # G_r at the first entry = v_new - mu*v_old
             step = (v_new - momentum * v_old) + momentum * v_new

@@ -480,7 +480,7 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
         import jax as _jax
 
         from ..ops.pallas.packed_update import (
-            packed_gather,
+            gather_rows,
             packed_lazy_adam_batched,
             packed_lazy_momentum_batched,
             packed_row_update,
@@ -528,7 +528,7 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
                 sstate2d, rows, gsq, layout.r_pad, layout.dim,
                 delta_dtype=jnp.float32, **kw
             )
-            a_rows = packed_gather(
+            a_rows = gather_rows(
                 acc2, jnp.minimum(rows, layout.r_pad - 1), layout.dim
             )[:, :1]
             deltas = (-rate * jax.lax.rsqrt(a_rows + optimizer.epsilon)) * g
@@ -539,7 +539,7 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
         assert sstate2d is None, "packed pool: stateless or row-wise AdaGrad"
         assert isinstance(optimizer, _SGD) and optimizer.momentum == 0.0
         if optimizer.weight_decay != 0.0:
-            decay = packed_gather(
+            decay = gather_rows(
                 pool_local2d, jnp.minimum(rows, layout.r_pad - 1), layout.dim
             )
             g = g + optimizer.weight_decay * decay
@@ -595,9 +595,9 @@ def sharded_embedding_lookup(
         valid = flat >= 0
         safe = jnp.where(valid, flat, 0)
         if layout.packed_pool:
-            from ..ops.pallas.packed_update import packed_gather
+            from ..ops.pallas.packed_update import gather_rows
 
-            rows = packed_gather(
+            rows = gather_rows(
                 pool_local[0], safe.reshape(-1), layout.dim
             ).reshape(safe.shape + (layout.dim,))
         else:

@@ -275,9 +275,9 @@ def routed_lookup_local(plan: RoutedPlan, layout, pool_local, idx_local,
     )  # [N_src, C_max] dest-local rows for MY sub-tables
     safe = jnp.minimum(recv.reshape(-1), layout.r_pad - 1)
     if layout.packed_pool:
-        from ..ops.pallas.packed_update import packed_gather
+        from ..ops.pallas.packed_update import gather_rows
 
-        rows = packed_gather(pool_local[0], safe, layout.dim)
+        rows = gather_rows(pool_local[0], safe, layout.dim)
     else:
         rows = jnp.take(pool_local[0], safe, axis=0)
     rows = jnp.where(

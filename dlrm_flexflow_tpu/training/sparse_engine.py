@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.embedding import bag_row_grads
 from ..ops.pallas.packed_update import (
-    packed_gather,
+    gather_rows,
     packed_lazy_adam_batched,
     packed_lazy_momentum_batched,
     packed_row_update_batched,
@@ -122,7 +122,7 @@ def apply_sparse_updates(
                 # lazy decoupled decay on touched rows (duplicates decay
                 # once per occurrence, matching the scatter path)
                 grads_l = [
-                    g + opt.weight_decay * packed_gather(
+                    g + opt.weight_decay * gather_rows(
                         t, jnp.minimum(r, v - 1), d
                     )
                     for g, t, r, v in zip(grads_l, tables, rows_l, vocabs)
@@ -161,7 +161,7 @@ def apply_sparse_updates(
             # RowWiseAdagradOptimizer.sparse_row_update)
             deltas = []
             for a, r, g, v in zip(new_accs, rows_l, grads_l, vocabs):
-                a_rows = packed_gather(a, jnp.minimum(r, v - 1), d)[:, :1]
+                a_rows = gather_rows(a, jnp.minimum(r, v - 1), d)[:, :1]
                 deltas.append(
                     (-rate * jax.lax.rsqrt(a_rows + opt.epsilon))
                     * g.astype(jnp.float32)

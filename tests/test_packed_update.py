@@ -65,6 +65,79 @@ def test_pack_roundtrip_and_gather():
     np.testing.assert_array_equal(np.asarray(got), table[rows])
 
 
+@pytest.mark.parametrize("d", [16, 32, 64, 128])
+def test_subpack_gather_parity(d):
+    """packed_gather_subpack (lane-sliced lax.gather, D*4 logical
+    bytes/row) must match the whole-pack fetch+mask path bit-for-bit,
+    including d=128 where a pack IS a row."""
+    rng = np.random.RandomState(3)
+    v = 517
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table))
+    rows = rng.randint(0, v, 333).astype(np.int32)
+    got = pu.packed_gather_subpack(packed, jnp.asarray(rows), d)
+    np.testing.assert_array_equal(np.asarray(got), table[rows])
+
+
+def test_gather_mode_dispatch():
+    """set_gather_mode routes every gather_rows call site; both modes
+    agree and the mode always restores (module-global state)."""
+    rng = np.random.RandomState(4)
+    v, d = 200, 16
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table))
+    rows = jnp.asarray(rng.randint(0, v, 64).astype(np.int32))
+    prev = pu.get_gather_mode()
+    try:
+        pu.set_gather_mode("subpack")
+        a = np.asarray(pu.gather_rows(packed, rows, d))
+        pu.set_gather_mode("pack")
+        b = np.asarray(pu.gather_rows(packed, rows, d))
+    finally:
+        pu.set_gather_mode(prev)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_compile_applies_gather_mode(tmp_path, monkeypatch):
+    """FFConfig.packed_gather_mode is applied at compile (before any step
+    tracing); 'auto' reads the calibration cache's winner and defaults to
+    'pack' without one."""
+    import json
+
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+
+    monkeypatch.chdir(tmp_path)  # hermetic .ffsim_machine.json lookup
+    prev = pu.get_gather_mode()
+    try:
+        cfg, model = _small_dlrm("on")
+        model.config.packed_gather_mode = "subpack"
+        model.compile(
+            optimizer=SGDOptimizer(lr=0.1),
+            loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
+            metrics=[MetricsType.METRICS_ACCURACY],
+        )
+        assert pu.get_gather_mode() == "subpack"
+        model.config.packed_gather_mode = "auto"
+        model.compile(
+            optimizer=SGDOptimizer(lr=0.1),
+            loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
+            metrics=[MetricsType.METRICS_ACCURACY],
+        )
+        assert pu.get_gather_mode() == "pack"
+        # a calibration cache carrying the measured winner is honored
+        (tmp_path / ".ffsim_machine.json").write_text(
+            json.dumps({"gather_mode": "subpack"})
+        )
+        model.compile(
+            optimizer=SGDOptimizer(lr=0.1),
+            loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
+            metrics=[MetricsType.METRICS_ACCURACY],
+        )
+        assert pu.get_gather_mode() == "subpack"
+    finally:
+        pu.set_gather_mode(prev)
+
+
 def _small_dlrm(packed_flag):
     from dlrm_flexflow_tpu import FFConfig, LossType, MetricsType, SGDOptimizer
     from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
