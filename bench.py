@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=65536)
     ap.add_argument("--packed-tables", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--packed-gather-mode", default="auto",
+                    choices=["auto", "pack", "subpack"],
+                    help="packed row-gather implementation (auto = the "
+                         "machine file's calibrated winner)")
     ap.add_argument("--host-routing", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="attach host-precomputed packed-update routing "
@@ -91,6 +95,7 @@ def main():
         args.host_tail_threshold = 1 << 20
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
     ffc.packed_tables = args.packed_tables
+    ffc.packed_gather_mode = args.packed_gather_mode
     if args.host_tail_threshold > 0:
         ffc.host_tail_threshold = args.host_tail_threshold
         # expected Zipf(1.05) tail traffic at hot=2^20 is ~20% of lookups;

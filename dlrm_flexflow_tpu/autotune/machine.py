@@ -185,10 +185,11 @@ def calibrate(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
         def body(c, k):
             acc = jnp.zeros(())
             for s, t in enumerate(ts):
-                # vary the indices per step so the loop isn't hoisted
-                acc = acc + t.at[(i[s] + k) % vocab].get(
+                # vary the indices per step so the loop isn't hoisted;
+                # full reduce so XLA cannot strength-reduce the gather
+                acc = acc + jnp.sum(t.at[(i[s] + k) % vocab].get(
                     mode="promise_in_bounds"
-                )[0, 0]
+                ))
             return c + acc, 0.0
         c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(repeats))
         return c

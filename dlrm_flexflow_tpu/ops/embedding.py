@@ -293,3 +293,23 @@ def bag_row_grads(idx, g_pooled, aggr: AggrMode, num_entries: int):
     rows = jnp.where(valid, idx, num_entries).reshape(b * h)
     grads = jnp.broadcast_to(g[:, None, :], (b, h, g.shape[-1])).reshape(b * h, -1)
     return rows, grads
+
+
+def bag_row_src(idx, g_pooled, aggr: AggrMode, num_entries: int):
+    """Like bag_row_grads but UNEXPANDED: returns (rows [B*H], src [B, D]
+    f32, h) with delta row k = src[k // h]. The packed update path gathers
+    payloads into sorted order anyway, so the bag broadcast composes into
+    that gather (gather_payload) and the [B*H, D] expansion is never
+    materialized (reference reads the pooled grad directly in its fused
+    backward, src/ops/embedding.cu:192-217)."""
+    idx = idx.astype(jnp.int32)
+    if idx.ndim == 1:
+        idx = idx[:, None]
+    b, h = idx.shape
+    valid = idx >= 0
+    g = g_pooled.astype(jnp.float32)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        g = g / count.astype(g.dtype)
+    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
+    return rows, g, h

@@ -235,6 +235,28 @@ def prep_sorted_routes(
     return out
 
 
+def gather_payload(delta, order):
+    """Gather one table's update payload into sorted order WITHOUT
+    materializing the [K, D] bag expansion (VERDICT r2 item 2 — the
+    reference's one fused backward reads the pooled grad directly,
+    src/ops/embedding.cu:192-217). `delta` is either
+      - a [K, D] array (row k = delta[k]), or
+      - (src [B, D], h): row k = src[k // h] — the pooled-output grad IS
+        the payload for every bag member, so the reorder gather composes
+        with the bag broadcast and reads the 1/h-size source, or
+      - (src [B, D], h, scale [K, 1]): row k = src[k // h] * scale[k]
+        (per-row factors, e.g. AdaGrad's rsqrt(accumulator)).
+    """
+    if isinstance(delta, tuple):
+        src, hh = delta[0], int(delta[1])
+        o = order if hh == 1 else order // hh
+        g_s = src.at[o].get(mode="promise_in_bounds")
+        if len(delta) > 2 and delta[2] is not None:
+            g_s = g_s * delta[2].at[order].get(mode="promise_in_bounds")
+        return g_s
+    return delta.at[order].get(mode="promise_in_bounds")
+
+
 def lane_expand_sorted(g_sorted, sub_sorted, k_pad: int, delta_dtype):
     """[K, D] sorted deltas + [K] in-pack row positions -> [K_pad, 128]
     lane-expanded kernel stream (pad rows zero)."""
@@ -272,7 +294,7 @@ def _prep_streams(
         starts, ps_pk, order, rows_s = pre[i]
         # payload gathered into sorted order; separate per-table gather ops
         # so the TPU overlaps their latency
-        g_s = deltas_list[i].at[order].get(mode="promise_in_bounds")
+        g_s = gather_payload(deltas_list[i], order)
         sub_s = rows_s % rpp
         g_exp = lane_expand_sorted(g_s, sub_s, k_pad, delta_dtype)
         out.append((starts, ps_pk, g_exp))
@@ -535,9 +557,7 @@ def packed_lazy_adam_batched(
         safe = jnp.minimum(rows_s, row_sent - 1)
         sub_s = rows_s % rpp
         first = _first_flags(rows_s, row_sent)[:, None]
-        g_s = grads_list[i].astype(jnp.float32).at[order].get(
-            mode="promise_in_bounds"
-        )
+        g_s = gather_payload(grads_list[i], order).astype(jnp.float32)
         if weight_decay != 0.0:
             g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
         m_old = gather_rows(m_pools[i], safe, d)
@@ -603,9 +623,7 @@ def packed_lazy_momentum_batched(
         safe = jnp.minimum(rows_s, row_sent - 1)
         sub_s = rows_s % rpp
         first = _first_flags(rows_s, row_sent)[:, None]
-        g_s = grads_list[i].astype(jnp.float32).at[order].get(
-            mode="promise_in_bounds"
-        )
+        g_s = gather_payload(grads_list[i], order).astype(jnp.float32)
         if weight_decay != 0.0:
             g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
         v_old = gather_rows(vel_pools[i], safe, d)

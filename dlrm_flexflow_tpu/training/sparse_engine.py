@@ -19,7 +19,7 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from ..ops.embedding import bag_row_grads
+from ..ops.embedding import bag_row_src
 from ..ops.pallas.packed_update import (
     gather_rows,
     packed_lazy_adam_batched,
@@ -31,6 +31,15 @@ from .optimizer import AdamOptimizer, RowWiseAdagradOptimizer, SGDOptimizer
 
 def _kernels_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _expand(src, h: int):
+    """[B, D] pooled source -> [B*h, D] per-member payload rows (only the
+    weight-decay path needs the materialized expansion)."""
+    b, dd = src.shape
+    if h == 1:
+        return src
+    return jnp.broadcast_to(src[:, None, :], (b, h, dd)).reshape(b * h, dd)
 
 
 def apply_sparse_updates(
@@ -65,18 +74,21 @@ def apply_sparse_updates(
     groups: Dict[tuple, List] = {}
     for op in packed_ops:
         (idx,) = sparse_xs[op.name]
-        rows, grads = bag_row_grads(
+        # UNEXPANDED payload source: the [B*H, D] bag broadcast composes
+        # into the sorted-order payload gather (gather_payload), so it is
+        # never materialized
+        rows, src, h = bag_row_src(
             idx, g_over[op.name][0], op.aggr, op.num_entries
         )
         key = (int(rows.shape[0]), op.out_dim)
-        groups.setdefault(key, []).append((op, rows, grads))
+        groups.setdefault(key, []).append((op, rows, src, h))
 
     interpret = _kernels_interpret()
     for (_, d), items in groups.items():
         ops_g = [it[0] for it in items]
         chunk_packs = [op.chunk_packs for op in ops_g]
         rows_l = [it[1] for it in items]
-        grads_l = [it[2] for it in items]
+        grads_l = [(it[2], it[3]) for it in items]
         tables = [params[op.name]["weight"] for op in ops_g]
         vocabs = [op.num_entries for op in ops_g]
         # host-precomputed routes only apply when the whole group has them
@@ -120,14 +132,20 @@ def apply_sparse_updates(
             rate = opt.lr if lr is None else lr
             if opt.weight_decay != 0.0:
                 # lazy decoupled decay on touched rows (duplicates decay
-                # once per occurrence, matching the scatter path)
-                grads_l = [
-                    g + opt.weight_decay * gather_rows(
-                        t, jnp.minimum(r, v - 1), d
+                # once per occurrence, matching the scatter path). The
+                # per-row table term forces the expanded [K, D] payload.
+                deltas = [
+                    -rate * (
+                        _expand(src, h) + opt.weight_decay * gather_rows(
+                            t, jnp.minimum(r, v - 1), d
+                        )
                     )
-                    for g, t, r, v in zip(grads_l, tables, rows_l, vocabs)
+                    for (src, h), t, r, v in zip(
+                        grads_l, tables, rows_l, vocabs
+                    )
                 ]
-            deltas = [(-rate * g).astype(jnp.float32) for g in grads_l]
+            else:
+                deltas = [(-rate * src, h) for src, h in grads_l]
             new_tables = packed_row_update_batched(
                 tables, rows_l, deltas, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
@@ -139,14 +157,17 @@ def apply_sparse_updates(
         elif isinstance(opt, RowWiseAdagradOptimizer):
             rate = opt.lr if lr is None else lr
             # phase 1: accumulators (stored packed, replicated over the
-            # row's D lanes) += mean-square of the row gradient
+            # row's D lanes) += mean-square of the row gradient (computed
+            # on the 1/h-size source, broadcast composed into the gather)
             gsq = [
-                jnp.broadcast_to(
-                    jnp.mean(jnp.square(g.astype(jnp.float32)), axis=-1,
-                             keepdims=True),
-                    g.shape,
+                (
+                    jnp.broadcast_to(
+                        jnp.mean(jnp.square(src), axis=-1, keepdims=True),
+                        src.shape,
+                    ),
+                    h,
                 )
-                for g in grads_l
+                for src, h in grads_l
             ]
             accs = [sstates[op.name] for op in ops_g]
             # accumulator increments stream f32: a bf16 delta quantizes each
@@ -158,14 +179,13 @@ def apply_sparse_updates(
                 routes=grp_routes, delta_dtype=jnp.float32,
             )
             # phase 2: rows scaled by the POST-update accumulator (matches
-            # RowWiseAdagradOptimizer.sparse_row_update)
+            # RowWiseAdagradOptimizer.sparse_row_update); the per-row
+            # rsqrt factor rides the 3-tuple payload's [K, 1] scale
             deltas = []
-            for a, r, g, v in zip(new_accs, rows_l, grads_l, vocabs):
+            for a, r, (src, h), v in zip(new_accs, rows_l, grads_l, vocabs):
                 a_rows = gather_rows(a, jnp.minimum(r, v - 1), d)[:, :1]
-                deltas.append(
-                    (-rate * jax.lax.rsqrt(a_rows + opt.epsilon))
-                    * g.astype(jnp.float32)
-                )
+                scale = -rate * jax.lax.rsqrt(a_rows + opt.epsilon)
+                deltas.append((src, h, scale))
             new_tables = packed_row_update_batched(
                 tables, rows_l, deltas, vocabs, d,
                 chunk_packs=chunk_packs, interpret=interpret,
