@@ -84,6 +84,10 @@ class MachineSpec:
     # pack fetch+mask vs "subpack" (1, D) lane slices); applied by compile
     # when FFConfig.packed_gather_mode == "auto". Not a native-struct field.
     gather_mode: str = "pack"
+    # measured winner of the update-stream calibration ("expanded" XLA
+    # lane expansion vs "compact" in-kernel expansion); applied by compile
+    # when FFConfig.packed_stream_mode == "auto". Not a native-struct field.
+    stream_mode: str = "expanded"
     # MEASURED dense-op costs: {"<in>x<out>": effective fwd us per example}
     # (timed fwd+bwd / 3, matching the model's bwd = 2x fwd convention) —
     # the reference times every op's real kernels per (op, config) and
@@ -367,6 +371,66 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
     )
 
 
+def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
+                          vocab: int = 1_000_000, k: int = 65536,
+                          tables: int = 4, repeats: int = 8) -> MachineSpec:
+    """Measure the packed update end-to-end under both update-stream
+    formats (expanded [K, 128] XLA lane expansion vs compact [K/rpp, 128]
+    with in-kernel expansion) and record the winner; the module mode is
+    left set to it so calibrate_packed's fitted constants match."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.packed_update import (
+        pack_table, packed_row_update_batched, set_stream_mode,
+    )
+
+    idx = jax.random.randint(
+        jax.random.PRNGKey(1), (repeats, tables, k), 0, vocab, jnp.int32
+    )
+    g = jnp.ones((tables, k, dim), jnp.float32)
+
+    def timed() -> float:
+        packs = [
+            pack_table(jnp.zeros((vocab, dim), jnp.float32))
+            for _ in range(tables)
+        ]
+
+        @jax.jit
+        def loop(packs, idx):
+            def body(c, i):
+                newc = packed_row_update_batched(
+                    list(c), [i[t] for t in range(tables)],
+                    [g[t] for t in range(tables)], [vocab] * tables, dim,
+                )
+                return tuple(newc), 0.0
+            c, _ = jax.lax.scan(body, tuple(packs), idx)
+            return sum(cc[0, 0] for cc in c)
+
+        _ = float(loop(packs, idx))
+        t0 = time.perf_counter()
+        _ = float(loop(packs, idx))
+        return (time.perf_counter() - t0) / repeats
+
+    try:
+        set_stream_mode("expanded")
+        t_exp = timed()
+        set_stream_mode("compact")
+        t_cmp = timed()
+    except Exception:
+        # the compact kernel is newer Mosaic surface (rolls, in-kernel
+        # expansion); if it fails to compile on this toolchain, fall back
+        set_stream_mode("expanded")
+        return dataclasses.replace(spec, stream_mode="expanded")
+    # the module mode is intentionally left at the winner so the
+    # subsequent calibrate_packed measures what the runtime will run
+    mode = "compact" if t_cmp < t_exp else "expanded"
+    set_stream_mode(mode)
+    return dataclasses.replace(spec, stream_mode=mode)
+
+
 def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
                     repeats: int = 20) -> MachineSpec:
     """Measure fwd+bwd of the model's ACTUAL dense shapes on the device and
@@ -453,6 +517,9 @@ def calibrate_or_cached(spec: MachineSpec, cache_path: str) -> MachineSpec:
         )
     spec = calibrate(spec)
     spec = calibrate_packed_gather(spec)
+    spec = calibrate_stream_mode(spec)
+    # calibrate_packed runs LAST so its fitted constants reflect the
+    # stream-mode winner the runtime will actually use
     spec = calibrate_packed(spec)
     if cache_path:
         spec.save(cache_path)

@@ -99,6 +99,12 @@ class FFConfig:
     # slice per row (8x fewer logical bytes at D=16); "auto" defers to the
     # gather calibration's measured winner (machine.gather_mode)
     packed_gather_mode: str = "auto"
+    # packed update-stream format: "expanded" ships lane-expanded [K, 128]
+    # delta tiles; "compact" ships dense-packed [K/rpp, 128] and the kernel
+    # expands lanes itself (rpp-fold less stream HBM traffic, no XLA-side
+    # lane_expand materialization); "auto" = calibrated winner
+    # (machine.stream_mode)
+    packed_stream_mode: str = "auto"
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -199,6 +205,8 @@ class FFConfig:
                 self.host_tail_cap_frac = float(take())
             elif a == "--packed-gather-mode":
                 self.packed_gather_mode = take()
+            elif a == "--packed-stream-mode":
+                self.packed_stream_mode = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -504,16 +504,20 @@ class FFModel:
         self.metrics_mask = mask
         self.mesh = mesh
         self.plan = plan
-        # packed row-gather implementation: explicit config wins; "auto"
-        # uses the calibrated machine winner when a calibration cache
-        # exists (first TPU compile re-applies it right after calibration
-        # in _run_strategy_search). Must be set BEFORE any step tracing.
-        from ..ops.pallas.packed_update import set_gather_mode
+        # packed row-gather + update-stream implementations: explicit
+        # config wins; "auto" uses the calibrated machine winner when a
+        # calibration cache exists (first TPU compile re-applies it right
+        # after calibration in _run_strategy_search). Must be set BEFORE
+        # any step tracing.
+        from ..ops.pallas.packed_update import (
+            set_gather_mode, set_stream_mode,
+        )
         gmode = self.config.packed_gather_mode
-        if gmode == "auto":
+        smode = self.config.packed_stream_mode
+        if gmode == "auto" or smode == "auto":
             import json as _json
             import os as _os
-            gmode = "pack"
+            doc = {}
             cache = self.config.machine_model_file or (
                 self.config.export_strategy_file + ".machine.json"
                 if self.config.export_strategy_file
@@ -522,10 +526,15 @@ class FFModel:
             if _os.path.exists(cache):
                 try:
                     with open(cache) as f:
-                        gmode = _json.load(f).get("gather_mode", "pack")
+                        doc = _json.load(f)
                 except (OSError, ValueError):
                     pass
+            if gmode == "auto":
+                gmode = doc.get("gather_mode", "pack")
+            if smode == "auto":
+                smode = doc.get("stream_mode", "expanded")
         set_gather_mode(gmode)
+        set_stream_mode(smode)
         # planner pass: fuse per-table embeddings into one collection
         # (reference analog: compile-time partitioning + table placement,
         # model.cc:1629-1646 + dlrm_strategy.py). Also a single-chip win:
@@ -988,12 +997,17 @@ class FFModel:
                 machine = calibrate_dense(machine, shapes)
                 if cache:
                     machine.save(cache)
-            # first-compile path: the gather calibration just measured the
-            # pack-vs-subpack winner; apply it before step tracing
+            # first-compile path: the calibrations just measured the
+            # pack-vs-subpack and expanded-vs-compact winners; apply them
+            # before step tracing
             if self.config.packed_gather_mode == "auto":
                 from ..ops.pallas.packed_update import set_gather_mode
 
                 set_gather_mode(machine.gather_mode)
+            if self.config.packed_stream_mode == "auto":
+                from ..ops.pallas.packed_update import set_stream_mode
+
+                set_stream_mode(machine.stream_mode)
             print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 

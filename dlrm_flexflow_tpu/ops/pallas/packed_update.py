@@ -144,6 +144,26 @@ def packed_gather_subpack(
     )
 
 
+_STREAM_MODE = "expanded"  # "expanded" ([K,128] lane-expanded) | "compact"
+
+
+def set_stream_mode(mode: str) -> None:
+    """Select the update-stream format for the packed kernel. "compact"
+    ships the sorted payload as [K/rpp, 128] (payload rows dense-packed,
+    rpp entries per 128-lane line) and the KERNEL does the lane expansion
+    (VERDICT r2 item 2): the XLA-side lane_expand_sorted materialization
+    disappears and the stream's HBM traffic shrinks rpp-fold. Chosen by
+    FFConfig.packed_stream_mode or the stream calibration
+    (autotune/machine.calibrate_stream_mode)."""
+    global _STREAM_MODE
+    assert mode in ("expanded", "compact"), mode
+    _STREAM_MODE = mode
+
+
+def get_stream_mode() -> str:
+    return _STREAM_MODE
+
+
 # --------------------------------------------------------------------------
 # update-stream prep (XLA side)
 # --------------------------------------------------------------------------
@@ -198,10 +218,15 @@ def prep_sorted_routes(
         # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
         # packed 128 positions per row for the kernel's transposed one-hot
         psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
+    # ENCODED stream value: psmod * rpp + in-pack row position. The kernel
+    # decodes psmod with one shift; the compact stream mode needs sub for
+    # its in-kernel lane expansion. Sentinel rows encode exactly
+    # chunk_packs * rpp (row_sent % rpp == 0).
+    enc = psmod * rpp + jax.lax.rem(rows_s, rpp)
     k_pad = (-(-k // TILE) + 1) * TILE  # one spare tile for tail over-read
     pad = k_pad - k
     ps_pk = jnp.concatenate(
-        [psmod, jnp.broadcast_to(c_col, (t, pad))], axis=1
+        [enc, jnp.broadcast_to(c_col * rpp, (t, pad))], axis=1
     )
     ps_pk = ps_pk.reshape(t, k_pad // LANES, LANES)
     out = []
@@ -274,9 +299,27 @@ def lane_expand_sorted(g_sorted, sub_sorted, k_pad: int, delta_dtype):
     return jnp.pad(g_exp, ((0, k_pad - k), (0, 0)))
 
 
+def compact_stream_sorted(g_sorted, k_pad: int, delta_dtype):
+    """[K, D] sorted deltas -> [K_pad/rpp, 128] dense-packed kernel stream
+    (rpp consecutive entries per 128-lane line; the row-major reshape is a
+    free relayout). The kernel expands lanes itself (compact stream mode)."""
+    k, dd = g_sorted.shape
+    rpp = LANES // dd
+    g = jnp.pad(g_sorted.astype(delta_dtype), ((0, k_pad - k), (0, 0)))
+    return g.reshape(k_pad // rpp, LANES)
+
+
+def _stream_for_kernel(g_sorted, sub_sorted, k_pad: int, delta_dtype):
+    """(stream, compact_flag) per the module stream mode."""
+    rpp = LANES // g_sorted.shape[1]
+    if _STREAM_MODE == "compact" and rpp > 1:
+        return compact_stream_sorted(g_sorted, k_pad, delta_dtype), True
+    return lane_expand_sorted(g_sorted, sub_sorted, k_pad, delta_dtype), False
+
+
 def _prep_streams(
     rows_tk: jax.Array,          # [T, K] int32; <0 or >= v marks dropped
-    deltas_list: Sequence[jax.Array],  # T x [K, D]
+    deltas_list: Sequence[jax.Array],  # T x [K, D] or (src, h[, scale])
     vocab_sizes: Sequence[int],
     d: int,
     chunk_packs_t: Sequence[int],
@@ -284,7 +327,7 @@ def _prep_streams(
     routes=None,
 ):
     """Sort + expand all T update streams (ONE batched key sort, per-table
-    payload gathers). Returns per-table (starts, ps_pk, g_exp)."""
+    payload gathers). Returns per-table (starts, ps_pk, g_stream, compact)."""
     t, k = rows_tk.shape
     rpp = rows_per_pack(d)
     pre = prep_sorted_routes(rows_tk, vocab_sizes, d, chunk_packs_t, routes)
@@ -296,8 +339,8 @@ def _prep_streams(
         # so the TPU overlaps their latency
         g_s = gather_payload(deltas_list[i], order)
         sub_s = rows_s % rpp
-        g_exp = lane_expand_sorted(g_s, sub_s, k_pad, delta_dtype)
-        out.append((starts, ps_pk, g_exp))
+        g_stream, compact = _stream_for_kernel(g_s, sub_s, k_pad, delta_dtype)
+        out.append((starts, ps_pk, g_stream, compact))
     return out
 
 
@@ -320,17 +363,22 @@ def pick_chunk_packs(v: int, d: int, k: int) -> int:
 def _update_kernel(
     starts_ref,  # SMEM [n_chunks+1] i32 (scalar prefetch)
     tp_ref,      # VMEM [C, 128] table chunk (aliased to output)
-    ps_hbm,      # HBM [K_pad/128, 128] i32 pack pos (sentinel C = skip)
-    g_hbm,       # HBM [K_pad, 128] delta_dtype lane-expanded sorted deltas
+    ps_hbm,      # HBM [K_pad/128, 128] i32 ENCODED psmod*rpp+sub
+    g_hbm,       # HBM deltas: [K_pad, 128] lane-expanded (expanded mode)
+                 #            or [K_pad/rpp, 128] dense-packed (compact)
     out_ref,     # VMEM [C, 128] updated chunk
     acc_ref,     # VMEM [C, 128] f32 scratch
     ps_buf,      # VMEM [2, TILE//128, 128] i32
-    g_buf,       # VMEM [2, TILE, 128] delta_dtype
+    g_buf,       # VMEM [2, TILE(/rpp), 128] delta_dtype
     ps_sem, g_sem,
     *,
     chunk_packs: int,
+    rpp: int,
+    d: int,
+    compact: bool,
 ):
     c, u = chunk_packs, TILE
+    g_rows_tile = u // rpp if compact else u
     k = pl.program_id(0)
     s0 = starts_ref[k]
     s1 = starts_ref[k + 1]
@@ -344,7 +392,10 @@ def _update_kernel(
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def dmas(ti, slot):
-        row0 = pl.multiple_of(s0a + ti * u, u)
+        row0 = pl.multiple_of(
+            jax.lax.div(s0a, rpp if compact else 1) + ti * g_rows_tile,
+            g_rows_tile,
+        )
         prow0 = pl.multiple_of(jax.lax.div(s0a, LANES) + ti * _PS_ROWS, _PS_ROWS)
         return (
             pltpu.make_async_copy(
@@ -352,7 +403,8 @@ def _update_kernel(
                 ps_buf.at[slot], ps_sem.at[slot],
             ),
             pltpu.make_async_copy(
-                g_hbm.at[pl.ds(row0, u), :], g_buf.at[slot], g_sem.at[slot]
+                g_hbm.at[pl.ds(row0, g_rows_tile), :],
+                g_buf.at[slot], g_sem.at[slot]
             ),
         )
 
@@ -363,6 +415,24 @@ def _update_kernel(
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        if compact and rpp > 1:
+            # constants for the in-kernel lane expansion: line replication
+            # one-hot [128, L] (entry e reads stream line e // rpp), the
+            # 128x128 identity (transposes the per-entry sub vector from
+            # lanes to sublanes via one MXU pass), and each sublane's
+            # in-line position e % rpp.
+            nl = LANES // rpp  # stream lines per 128-entry group
+            rep_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 0) // rpp
+                == jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 1)
+            ).astype(g_buf.dtype)
+            eyef = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            ).astype(jnp.float32)
+            subl_mod = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) % rpp
+            )
 
         def body(ti, _):
             slot = jax.lax.rem(ti, 2)
@@ -376,7 +446,8 @@ def _update_kernel(
                 dma.wait()
             base = s0a + ti * u
             for j in range(_PS_ROWS):
-                ps_row = ps_buf[slot][j : j + 1, :]          # [1, 128]
+                cv = ps_buf[slot][j : j + 1, :]              # [1, 128]
+                ps_row = cv // rpp                           # in-chunk pack
                 # keep only rows in [s0, s1): head/tail tiles over-read the
                 # neighbor chunks' sorted rows
                 row_g = base + j * LANES + lane
@@ -385,9 +456,41 @@ def _update_kernel(
                     valid, (ps_row == iota_c).astype(g_buf.dtype),
                     jnp.zeros((), g_buf.dtype),
                 )                                            # [C, 128]
+                if compact and rpp > 1:
+                    # lane expansion IN-KERNEL from the dense-packed stream:
+                    # entry e's payload sits at line e//rpp, lane group
+                    # e%rpp; its target lane group is sub(e). The shift
+                    # (sub - e%rpp) % rpp classes each entry into one of
+                    # rpp STATIC lane rotations — rpp rolls + selects on
+                    # the VPU replace the XLA-side [K,128] materialization.
+                    sub_f = (cv - ps_row * rpp).astype(jnp.float32)
+                    sub_col = jax.lax.dot_general(
+                        eyef, sub_f, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.int32)                      # [128, 1]
+                    rcls = jax.lax.rem(sub_col - subl_mod + rpp, rpp)
+                    # each row keeps ONLY its target lane group: the rolled
+                    # line still carries the other rpp-1 entries' payloads
+                    keep = lane // d == sub_col              # [128, 128]
+                    gl = g_buf[slot][j * nl : (j + 1) * nl, :]   # [L, 128]
+                    g_line = jax.lax.dot_general(
+                        rep_oh, gl, (((1,), (0,)), ((), ())),
+                        preferred_element_type=gl.dtype,
+                    )                                        # [128, 128]
+                    g_tile = jnp.zeros((LANES, LANES), gl.dtype)
+                    for r in range(rpp):
+                        rolled = (
+                            jnp.roll(g_line, r * d, axis=1) if r else g_line
+                        )
+                        g_tile = g_tile + jnp.where(
+                            (rcls == r) & keep, rolled,
+                            jnp.zeros((), gl.dtype),
+                        )
+                else:
+                    g_tile = g_buf[slot][j * LANES : (j + 1) * LANES, :]
                 acc_ref[:] += jax.lax.dot_general(
                     oh_t,
-                    g_buf[slot][j * LANES : (j + 1) * LANES, :],
+                    g_tile,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -405,12 +508,19 @@ def _packed_apply(
     g_exp: jax.Array,
     *,
     chunk_packs: int,
+    d: int,
+    compact: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     pp = packed.shape[0]
+    rpp = rows_per_pack(d)
+    compact = bool(compact and rpp > 1)
     n_chunks = pp // chunk_packs
     assert n_chunks * chunk_packs == pp and starts.shape[0] == n_chunks + 1
-    kernel = functools.partial(_update_kernel, chunk_packs=chunk_packs)
+    kernel = functools.partial(
+        _update_kernel, chunk_packs=chunk_packs, rpp=rpp, d=d,
+        compact=compact,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -429,7 +539,9 @@ def _packed_apply(
         scratch_shapes=[
             pltpu.VMEM((chunk_packs, LANES), jnp.float32),
             pltpu.VMEM((2, _PS_ROWS, LANES), jnp.int32),
-            pltpu.VMEM((2, TILE, LANES), g_exp.dtype),
+            pltpu.VMEM(
+                (2, TILE // rpp if compact else TILE, LANES), g_exp.dtype
+            ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -481,13 +593,13 @@ def packed_row_update_batched(
         routes=routes,
     )
     out = []
-    for packed, c, (starts, ps_pk, g_exp) in zip(
+    for packed, c, (starts, ps_pk, g_stream, compact) in zip(
         packed_tables, chunk_packs, streams
     ):
         out.append(
             _packed_apply(
-                packed, starts, ps_pk, g_exp,
-                chunk_packs=c, interpret=interpret,
+                packed, starts, ps_pk, g_stream,
+                chunk_packs=c, d=d, compact=compact, interpret=interpret,
             )
         )
     return out
@@ -564,23 +676,23 @@ def packed_lazy_adam_batched(
         v_old = gather_rows(v_pools[i], safe, d)
         dm = (1.0 - beta1) * g_s + first * (beta1 - 1.0) * m_old
         dv = (1.0 - beta2) * jnp.square(g_s) + first * (beta2 - 1.0) * v_old
+        sm, sc = _stream_for_kernel(dm, sub_s, k_pad, jnp.float32)
         m2 = _packed_apply(
-            m_pools[i], starts, ps_pk,
-            lane_expand_sorted(dm, sub_s, k_pad, jnp.float32),
-            chunk_packs=chunk_packs[i], interpret=interpret,
+            m_pools[i], starts, ps_pk, sm,
+            chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
         )
+        sv, sc = _stream_for_kernel(dv, sub_s, k_pad, jnp.float32)
         v2 = _packed_apply(
-            v_pools[i], starts, ps_pk,
-            lane_expand_sorted(dv, sub_s, k_pad, jnp.float32),
-            chunk_packs=chunk_packs[i], interpret=interpret,
+            v_pools[i], starts, ps_pk, sv,
+            chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
         )
         m_new = gather_rows(m2, safe, d)
         v_new = gather_rows(v2, safe, d)
         dw = first * (-alpha_t) * m_new / (jnp.sqrt(v_new) + epsilon)
+        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.float32)
         w2 = _packed_apply(
-            tables[i], starts, ps_pk,
-            lane_expand_sorted(dw, sub_s, k_pad, jnp.float32),
-            chunk_packs=chunk_packs[i], interpret=interpret,
+            tables[i], starts, ps_pk, sw,
+            chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
         )
         new_t.append(w2)
         new_m.append(m2)
@@ -628,10 +740,10 @@ def packed_lazy_momentum_batched(
             g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
         v_old = gather_rows(vel_pools[i], safe, d)
         dvel = g_s + first * (momentum - 1.0) * v_old
+        sv, sc = _stream_for_kernel(dvel, sub_s, k_pad, jnp.float32)
         v2 = _packed_apply(
-            vel_pools[i], starts, ps_pk,
-            lane_expand_sorted(dvel, sub_s, k_pad, jnp.float32),
-            chunk_packs=chunk_packs[i], interpret=interpret,
+            vel_pools[i], starts, ps_pk, sv,
+            chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
         )
         v_new = gather_rows(v2, safe, d)
         if nesterov:
@@ -640,10 +752,10 @@ def packed_lazy_momentum_batched(
         else:
             step = v_new
         dw = first * (-lr) * step
+        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.float32)
         w2 = _packed_apply(
-            tables[i], starts, ps_pk,
-            lane_expand_sorted(dw, sub_s, k_pad, jnp.float32),
-            chunk_packs=chunk_packs[i], interpret=interpret,
+            tables[i], starts, ps_pk, sw,
+            chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
         )
         new_t.append(w2)
         new_v.append(v2)

@@ -31,6 +31,65 @@ def test_kernel_parity_interpret(v, d, k, c):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "v,d,k,c",
+    [(1000, 16, 256, 32), (333, 64, 128, 16), (64, 128, 500, 8),
+     (5000, 32, 3000, 64), (777, 8, 1111, 32)],
+)
+def test_kernel_parity_compact_stream(v, d, k, c):
+    """The compact stream mode (in-kernel lane expansion: dense-packed
+    [K/rpp, 128] payload + rpp static rolls selected by roll class) must
+    match the scatter oracle bit-for-bit like the expanded mode, including
+    duplicates, drops, negatives, and the rpp=1 (d=128) degenerate case."""
+    rng = np.random.RandomState(7)
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table), chunk_packs=c)
+    rows = rng.randint(-3, v + 5, k).astype(np.int32)  # drops both sides
+    deltas = rng.randn(k, d).astype(np.float32)
+    ref = pu.packed_row_update_reference(
+        packed, jnp.asarray(np.where(rows < 0, v, rows)), jnp.asarray(deltas),
+        v, d,
+    )
+    prev = pu.get_stream_mode()
+    try:
+        pu.set_stream_mode("compact")
+        got = pu.packed_row_update(
+            packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+            chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+        )
+    finally:
+        pu.set_stream_mode(prev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_compact_stream_lazy_adam_matches_expanded():
+    """Lazy Adam's three pool passes under the compact stream must equal
+    the expanded-stream result exactly (same sorted streams, same math)."""
+    rng = np.random.RandomState(8)
+    v, d, k, c = 400, 16, 333, 32
+    table = pu.pack_table(
+        jnp.asarray(rng.randn(v, d).astype(np.float32)), chunk_packs=c
+    )
+    m = jnp.zeros_like(table)
+    vv = jnp.zeros_like(table)
+    rows = jnp.asarray(rng.randint(0, v, k).astype(np.int32))
+    grads = jnp.asarray(rng.randn(k, d).astype(np.float32))
+    kw = dict(alpha_t=0.01, beta1=0.9, beta2=0.99, epsilon=1e-8,
+              chunk_packs=c, interpret=True)
+    prev = pu.get_stream_mode()
+    try:
+        pu.set_stream_mode("expanded")
+        t1, m1, v1 = pu.packed_lazy_adam_batched(
+            [table], [m], [vv], [rows], [grads], [v], d, **kw)
+        pu.set_stream_mode("compact")
+        t2, m2, v2 = pu.packed_lazy_adam_batched(
+            [table], [m], [vv], [rows], [grads], [v], d, **kw)
+    finally:
+        pu.set_stream_mode(prev)
+    for a, b in zip((t1[0], m1[0], v1[0]), (t2[0], m2[0], v2[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_kernel_batched_multi_table():
     rng = np.random.RandomState(1)
     vocabs = [900, 1300, 77]
