@@ -51,6 +51,10 @@ def main():
                     choices=["auto", "pack", "subpack"],
                     help="packed row-gather implementation (auto = the "
                          "machine file's calibrated winner)")
+    ap.add_argument("--packed-stream-mode", default="auto",
+                    choices=["auto", "expanded", "compact"],
+                    help="packed update-stream format (auto = the machine "
+                         "file's calibrated winner)")
     ap.add_argument("--host-routing", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="attach host-precomputed packed-update routing "
@@ -96,6 +100,7 @@ def main():
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
     ffc.packed_tables = args.packed_tables
     ffc.packed_gather_mode = args.packed_gather_mode
+    ffc.packed_stream_mode = args.packed_stream_mode
     if args.host_tail_threshold > 0:
         ffc.host_tail_threshold = args.host_tail_threshold
         # expected Zipf(1.05) tail traffic at hot=2^20 is ~20% of lookups;
