@@ -311,6 +311,20 @@ def test_host_routes_match_device_sort():
         packed, jnp.asarray(rows), jnp.asarray(deltas), v, d
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    # host routes + compact stream (in-kernel lane expansion) compose: the
+    # encode step rides AFTER route injection
+    prev = pu.get_stream_mode()
+    try:
+        pu.set_stream_mode("compact")
+        got_c = pu.packed_row_update(
+            packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+            chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+            routes=[(jnp.asarray(order), jnp.asarray(psmod),
+                     jnp.asarray(starts))],
+        )
+    finally:
+        pu.set_stream_mode(prev)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=1e-4)
 
 
 def test_host_routing_model_matches_device_sort_path():
