@@ -88,6 +88,13 @@ class MachineSpec:
     # lane expansion vs "compact" in-kernel expansion); applied by compile
     # when FFConfig.packed_stream_mode == "auto". Not a native-struct field.
     stream_mode: str = "expanded"
+    # per-row-dim measured winners (keys str(D), like dense_costs): the
+    # flagship D=16 calibration sets the scalar defaults above; compile
+    # measures any OTHER packed dim the model uses on first TPU compile
+    # and caches the winner here (the reference's per-(op,config)
+    # measurement philosophy, src/runtime/model.cu:20-64)
+    gather_mode_by_dim: dict = dataclasses.field(default_factory=dict)
+    stream_mode_by_dim: dict = dataclasses.field(default_factory=dict)
     # MEASURED dense-op costs: {"<in>x<out>": effective fwd us per example}
     # (timed fwd+bwd / 3, matching the model's bwd = 2x fwd convention) —
     # the reference times every op's real kernels per (op, config) and
@@ -331,6 +338,8 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
         pack_table, packed_gather, packed_gather_subpack,
     )
 
+    # cap per-table bytes at 64 MB so wide-D calibration fits comfortably
+    vocab = min(vocab, max(65536, (1 << 26) // (dim * 4)))
     packs = [
         pack_table(jnp.zeros((vocab, dim), jnp.float32))
         for _ in range(streams)
@@ -364,11 +373,18 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
     t_sub = timed(packed_gather_subpack)
     mode = "subpack" if t_sub < t_pack else "pack"
     g_time = min(t_pack, t_sub)
-    return dataclasses.replace(
-        spec,
-        gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1),
-        gather_mode=mode,
-    )
+    by_dim = dict(spec.gather_mode_by_dim)
+    by_dim[str(dim)] = mode
+    out = dataclasses.replace(spec, gather_mode_by_dim=by_dim)
+    if dim == 16:
+        # the flagship dim also sets the scalar default + the cost model's
+        # effective gather rate
+        out = dataclasses.replace(
+            out,
+            gather_gbps=max(batch * dim * 4 / g_time / 1e9, 0.1),
+            gather_mode=mode,
+        )
+    return out
 
 
 def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
@@ -384,9 +400,17 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
     import jax.numpy as jnp
 
     from ..ops.pallas.packed_update import (
-        pack_table, packed_row_update_batched, set_stream_mode,
+        pack_table, packed_row_update_batched, rows_per_pack,
+        set_stream_mode,
     )
 
+    by_dim = dict(spec.stream_mode_by_dim)
+    if rows_per_pack(dim) == 1:
+        # a pack IS a row: the two formats are the same program
+        by_dim[str(dim)] = "expanded"
+        return dataclasses.replace(spec, stream_mode_by_dim=by_dim)
+    # cap per-table bytes at 64 MB so wide-D calibration fits comfortably
+    vocab = min(vocab, max(65536, (1 << 26) // (dim * 4)))
     idx = jax.random.randint(
         jax.random.PRNGKey(1), (repeats, tables, k), 0, vocab, jnp.int32
     )
@@ -415,20 +439,49 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
         return (time.perf_counter() - t0) / repeats
 
     try:
-        set_stream_mode("expanded")
+        set_stream_mode("expanded", dim)
         t_exp = timed()
-        set_stream_mode("compact")
+        set_stream_mode("compact", dim)
         t_cmp = timed()
     except Exception:
         # the compact kernel is newer Mosaic surface (rolls, in-kernel
         # expansion); if it fails to compile on this toolchain, fall back
-        set_stream_mode("expanded")
-        return dataclasses.replace(spec, stream_mode="expanded")
+        set_stream_mode("expanded", dim)
+        by_dim[str(dim)] = "expanded"
+        out = dataclasses.replace(spec, stream_mode_by_dim=by_dim)
+        if dim == 16:
+            out = dataclasses.replace(out, stream_mode="expanded")
+        return out
     # the module mode is intentionally left at the winner so the
     # subsequent calibrate_packed measures what the runtime will run
     mode = "compact" if t_cmp < t_exp else "expanded"
-    set_stream_mode(mode)
-    return dataclasses.replace(spec, stream_mode=mode)
+    set_stream_mode(mode, dim)
+    by_dim[str(dim)] = mode
+    out = dataclasses.replace(spec, stream_mode_by_dim=by_dim)
+    if dim == 16:
+        out = dataclasses.replace(out, stream_mode=mode)
+    return out
+
+
+def calibrate_modes_for_dims(spec: MachineSpec, dims) -> MachineSpec:
+    """Measure the gather + stream winners for every PACKED row dim the
+    model actually uses that isn't already in the machine file's per-dim
+    maps (the reference's per-(op,config) measurement, cached cumulatively
+    like dense_costs). Returns the updated spec; the caller saves it."""
+    from ..ops.pallas.packed_update import rows_per_pack
+
+    for d in sorted({int(d) for d in dims}):
+        if str(d) not in spec.gather_mode_by_dim:
+            if rows_per_pack(d) == 1:
+                # pack == row: the two gathers are the same program
+                by = dict(spec.gather_mode_by_dim)
+                by[str(d)] = "pack"
+                spec = dataclasses.replace(spec, gather_mode_by_dim=by)
+            else:
+                spec = calibrate_packed_gather(spec, dim=d)
+        if str(d) not in spec.stream_mode_by_dim:
+            spec = calibrate_stream_mode(spec, dim=d)
+    return spec
 
 
 def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,

@@ -530,11 +530,19 @@ class FFModel:
                 except (OSError, ValueError):
                     pass
             if gmode == "auto":
-                gmode = doc.get("gather_mode", "pack")
+                set_gather_mode(doc.get("gather_mode", "pack"))
+                for dk, dv in (doc.get("gather_mode_by_dim") or {}).items():
+                    set_gather_mode(dv, int(dk))
+                gmode = None
             if smode == "auto":
-                smode = doc.get("stream_mode", "expanded")
-        set_gather_mode(gmode)
-        set_stream_mode(smode)
+                set_stream_mode(doc.get("stream_mode", "expanded"))
+                for dk, dv in (doc.get("stream_mode_by_dim") or {}).items():
+                    set_stream_mode(dv, int(dk))
+                smode = None
+        if gmode is not None:
+            set_gather_mode(gmode)
+        if smode is not None:
+            set_stream_mode(smode)
         # planner pass: fuse per-table embeddings into one collection
         # (reference analog: compile-time partitioning + table placement,
         # model.cc:1629-1646 + dlrm_strategy.py). Also a single-chip win:
@@ -997,6 +1005,24 @@ class FFModel:
                 machine = calibrate_dense(machine, shapes)
                 if cache:
                     machine.save(cache)
+            # per-dim gather/stream winners for THIS model's packed dims
+            # (cached cumulatively like dense_costs)
+            from ..autotune.machine import calibrate_modes_for_dims
+
+            packed_dims = sorted({
+                op.out_dim for op in self.graph.compute_ops
+                if op.op_type is OperatorType.OP_EMBEDDING
+                and 128 % op.out_dim == 0
+            })
+            dim_missing = [
+                d for d in packed_dims
+                if str(d) not in machine.gather_mode_by_dim
+                or str(d) not in machine.stream_mode_by_dim
+            ]
+            if dim_missing:
+                machine = calibrate_modes_for_dims(machine, dim_missing)
+                if cache:
+                    machine.save(cache)
             # first-compile path: the calibrations just measured the
             # pack-vs-subpack and expanded-vs-compact winners; apply them
             # before step tracing
@@ -1004,10 +1030,14 @@ class FFModel:
                 from ..ops.pallas.packed_update import set_gather_mode
 
                 set_gather_mode(machine.gather_mode)
+                for dk, dv in machine.gather_mode_by_dim.items():
+                    set_gather_mode(dv, int(dk))
             if self.config.packed_stream_mode == "auto":
                 from ..ops.pallas.packed_update import set_stream_mode
 
                 set_stream_mode(machine.stream_mode)
+                for dk, dv in machine.stream_mode_by_dim.items():
+                    set_stream_mode(dv, int(dk))
             print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 

@@ -92,25 +92,35 @@ def packed_gather(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
 
 
 _GATHER_MODE = "pack"  # "pack" (whole-pack fetch + mask) | "subpack"
+_GATHER_MODE_BY_DIM: dict = {}  # per-D measured winners override the default
 
 
-def set_gather_mode(mode: str) -> None:
+def set_gather_mode(mode: str, d=None) -> None:
     """Select the packed-table row-gather implementation for every packed
-    lookup site (forward, optimizer pools, routed owners). Chosen by
+    lookup site (forward, optimizer pools, routed owners). With d=None the
+    DEFAULT is set and any per-dim overrides are cleared (a full reset —
+    compile() re-applies the machine file's per-dim winners after);
+    with d, only that row dim's winner is set. Chosen by
     FFConfig.packed_gather_mode or the gather calibration
     (autotune/machine.calibrate_packed_gather)."""
     global _GATHER_MODE
     assert mode in ("pack", "subpack"), mode
-    _GATHER_MODE = mode
+    if d is None:
+        _GATHER_MODE = mode
+        _GATHER_MODE_BY_DIM.clear()
+    else:
+        _GATHER_MODE_BY_DIM[int(d)] = mode
 
 
-def get_gather_mode() -> str:
+def get_gather_mode(d=None) -> str:
+    if d is not None:
+        return _GATHER_MODE_BY_DIM.get(int(d), _GATHER_MODE)
     return _GATHER_MODE
 
 
 def gather_rows(packed: jax.Array, rows: jax.Array, d: int) -> jax.Array:
     """Mode-dispatched packed row gather (see set_gather_mode)."""
-    if _GATHER_MODE == "subpack":
+    if get_gather_mode(d) == "subpack":
         return packed_gather_subpack(packed, rows, d)
     return packed_gather(packed, rows, d)
 
@@ -145,22 +155,31 @@ def packed_gather_subpack(
 
 
 _STREAM_MODE = "expanded"  # "expanded" ([K,128] lane-expanded) | "compact"
+_STREAM_MODE_BY_DIM: dict = {}  # per-D measured winners override the default
 
 
-def set_stream_mode(mode: str) -> None:
+def set_stream_mode(mode: str, d=None) -> None:
     """Select the update-stream format for the packed kernel. "compact"
     ships the sorted payload as [K/rpp, 128] (payload rows dense-packed,
     rpp entries per 128-lane line) and the KERNEL does the lane expansion
     (VERDICT r2 item 2): the XLA-side lane_expand_sorted materialization
-    disappears and the stream's HBM traffic shrinks rpp-fold. Chosen by
-    FFConfig.packed_stream_mode or the stream calibration
-    (autotune/machine.calibrate_stream_mode)."""
+    disappears and the stream's HBM traffic shrinks rpp-fold. d=None sets
+    the default and clears per-dim overrides (compile() re-applies the
+    machine file's per-dim winners after); with d, only that row dim's
+    winner is set. Chosen by FFConfig.packed_stream_mode or the stream
+    calibration (autotune/machine.calibrate_stream_mode)."""
     global _STREAM_MODE
     assert mode in ("expanded", "compact"), mode
-    _STREAM_MODE = mode
+    if d is None:
+        _STREAM_MODE = mode
+        _STREAM_MODE_BY_DIM.clear()
+    else:
+        _STREAM_MODE_BY_DIM[int(d)] = mode
 
 
-def get_stream_mode() -> str:
+def get_stream_mode(d=None) -> str:
+    if d is not None:
+        return _STREAM_MODE_BY_DIM.get(int(d), _STREAM_MODE)
     return _STREAM_MODE
 
 
@@ -310,9 +329,10 @@ def compact_stream_sorted(g_sorted, k_pad: int, delta_dtype):
 
 
 def _stream_for_kernel(g_sorted, sub_sorted, k_pad: int, delta_dtype):
-    """(stream, compact_flag) per the module stream mode."""
-    rpp = LANES // g_sorted.shape[1]
-    if _STREAM_MODE == "compact" and rpp > 1:
+    """(stream, compact_flag) per the (per-dim) stream mode."""
+    dd = g_sorted.shape[1]
+    rpp = LANES // dd
+    if get_stream_mode(dd) == "compact" and rpp > 1:
         return compact_stream_sorted(g_sorted, k_pad, delta_dtype), True
     return lane_expand_sorted(g_sorted, sub_sorted, k_pad, delta_dtype), False
 

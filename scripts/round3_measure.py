@@ -119,8 +119,16 @@ def part_calib(args):
     if os.path.exists(cache) and not args.keep_cache:
         os.remove(cache)  # force fresh measurement
     spec = calibrate_or_cached(preset("tpu_v5e"), cache)
+    # per-dim winners for the bench configs' other row dims (summit D=64,
+    # mlperf D=128); single-chip bench applies them from the machine file
+    from dlrm_flexflow_tpu.autotune.machine import calibrate_modes_for_dims
+
+    spec = calibrate_modes_for_dims(spec, [16, 64, 128])
+    spec.save(cache)
     print(f"gather_gbps={spec.gather_gbps:.2f} gather_mode={spec.gather_mode}")
     print(f"stream_mode={spec.stream_mode}")
+    print(f"gather_mode_by_dim={spec.gather_mode_by_dim}")
+    print(f"stream_mode_by_dim={spec.stream_mode_by_dim}")
     print(f"update: pass={spec.update_pass_gbps:.0f}GB/s "
           f"{spec.update_ns_per_row:.1f}ns/row "
           f"{spec.update_us_per_table:.0f}us/table")

@@ -183,9 +183,14 @@ def test_compile_applies_gather_mode(tmp_path, monkeypatch):
             metrics=[MetricsType.METRICS_ACCURACY],
         )
         assert pu.get_gather_mode() == "pack"
-        # a calibration cache carrying the measured winner is honored
+        # a calibration cache carrying the measured winners is honored,
+        # including per-dim overrides (reference: per-(op,config) measured
+        # costs, model.cu:20-64)
         (tmp_path / ".ffsim_machine.json").write_text(
-            json.dumps({"gather_mode": "subpack"})
+            json.dumps({"gather_mode": "subpack",
+                        "gather_mode_by_dim": {"64": "pack"},
+                        "stream_mode": "compact",
+                        "stream_mode_by_dim": {"64": "expanded"}})
         )
         model.compile(
             optimizer=SGDOptimizer(lr=0.1),
@@ -193,8 +198,13 @@ def test_compile_applies_gather_mode(tmp_path, monkeypatch):
             metrics=[MetricsType.METRICS_ACCURACY],
         )
         assert pu.get_gather_mode() == "subpack"
+        assert pu.get_gather_mode(16) == "subpack"  # default applies
+        assert pu.get_gather_mode(64) == "pack"     # per-dim override
+        assert pu.get_stream_mode(16) == "compact"
+        assert pu.get_stream_mode(64) == "expanded"
     finally:
         pu.set_gather_mode(prev)
+        pu.set_stream_mode("expanded")
 
 
 def _small_dlrm(packed_flag):
