@@ -931,7 +931,19 @@ class FFModel:
         self._forward_fn_raw = forward_only  # unjitted, for embedding/export
         self._forward_fn = jax.jit(forward_only, static_argnums=(2,))
         self._step_count = 0
+        # modes are read at TRACE time (first call), and another model's
+        # compile may change them in between — snapshot THIS model's
+        # winners so step entry points re-apply them before tracing
+        from ..ops.pallas.packed_update import snapshot_modes
+
+        self._packed_modes = snapshot_modes()
         self._compiled = True
+
+    def _apply_packed_modes(self) -> None:
+        if getattr(self, "_packed_modes", None) is not None:
+            from ..ops.pallas.packed_update import restore_modes
+
+            restore_modes(self._packed_modes)
 
     @staticmethod
     def _label_shape(out_spec: TensorSpec) -> Tuple[int, ...]:
@@ -1141,6 +1153,7 @@ class FFModel:
         """reference: FFModel::forward (model.cc:1416). Runs inference-style
         forward; for training use train_batch (fused fwd+bwd+update)."""
         assert self._compiled
+        self._apply_packed_modes()
         ht = getattr(self, "_host_tail", None)
         if ht is not None:
             feeds = {**feeds, **ht.build_feeds(feeds)}
@@ -1152,6 +1165,7 @@ class FFModel:
         """One fused step = reference forward+zero_gradients+backward+update
         (the reference hot loop, dlrm.cc:162-183)."""
         assert self._compiled
+        self._apply_packed_modes()
         if self.config.host_routing and getattr(self, "_route_ops", None):
             feeds = {**feeds, **self.compute_routes(feeds)}
         ht = getattr(self, "_host_tail", None)
@@ -1231,6 +1245,7 @@ class FFModel:
     def train_chunk(self, stacked_feeds: Dict[str, Any], stacked_labels) -> float:
         """Run K steps in one dispatch: inputs are [K, B, ...] stacks."""
         assert self._compiled
+        self._apply_packed_modes()
         assert self._multi_step is not None, (
             "host-tail offload steps per batch (the host serves tail rows "
             "between steps); use train_batch / fit(steps_per_call=1)"
@@ -1269,6 +1284,7 @@ class FFModel:
 
     def eval_batch(self, feeds: Dict[str, Any], labels) -> float:
         assert self._compiled
+        self._apply_packed_modes()
         ht = getattr(self, "_host_tail", None)
         if ht is not None:
             feeds = {**feeds, **ht.build_feeds(feeds)}
@@ -1461,6 +1477,7 @@ class FFModel:
         stores measured/predicted as the machine's step residual, cached
         for future searches). Returns (residual, measured_us, predicted_us).
         """
+        self._apply_packed_modes()
         import time as _time
 
         from ..autotune.machine import MachineSpec, preset

@@ -183,6 +183,24 @@ def get_stream_mode(d=None) -> str:
     return _STREAM_MODE
 
 
+def snapshot_modes():
+    """Capture the full gather/stream mode state (modes are read at TRACE
+    time, so a model compiled with one config must re-apply its own modes
+    before its first step traces — another model's compile may have run in
+    between)."""
+    return (_GATHER_MODE, dict(_GATHER_MODE_BY_DIM),
+            _STREAM_MODE, dict(_STREAM_MODE_BY_DIM))
+
+
+def restore_modes(snap) -> None:
+    global _GATHER_MODE, _STREAM_MODE
+    _GATHER_MODE, gbd, _STREAM_MODE, sbd = snap
+    _GATHER_MODE_BY_DIM.clear()
+    _GATHER_MODE_BY_DIM.update(gbd)
+    _STREAM_MODE_BY_DIM.clear()
+    _STREAM_MODE_BY_DIM.update(sbd)
+
+
 # --------------------------------------------------------------------------
 # update-stream prep (XLA side)
 # --------------------------------------------------------------------------

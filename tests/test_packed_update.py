@@ -337,6 +337,45 @@ def test_host_routes_match_device_sort():
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=1e-4)
 
 
+def test_modes_survive_interleaved_compiles():
+    """Modes are read at TRACE time (first call), so model A compiled with
+    one winner must re-apply it even if model B's compile changed the
+    globals in between."""
+    import numpy as _np
+
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    prev = pu.get_gather_mode()
+    try:
+        cfg_a, model_a = _small_dlrm("on")
+        model_a.config.packed_gather_mode = "subpack"
+        model_a.config.packed_stream_mode = "compact"
+        model_a.compile(
+            optimizer=SGDOptimizer(lr=0.1),
+            loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
+            metrics=[MetricsType.METRICS_ACCURACY],
+        )
+        cfg_b, model_b = _small_dlrm("on")
+        model_b.config.packed_gather_mode = "pack"
+        model_b.config.packed_stream_mode = "expanded"
+        model_b.compile(
+            optimizer=SGDOptimizer(lr=0.1),
+            loss_type=LossType.LOSS_BINARY_CROSSENTROPY,
+            metrics=[MetricsType.METRICS_ACCURACY],
+        )
+        assert pu.get_gather_mode() == "pack"  # B's compile moved the global
+        feeds, labels = random_batches(cfg_a, 32, seed=3)
+        loss = model_a.train_batch(feeds, labels)
+        assert _np.isfinite(float(loss))
+        # A's entry point re-applied A's own winners before tracing
+        assert pu.get_gather_mode() == "subpack"
+        assert pu.get_stream_mode() == "compact"
+    finally:
+        pu.set_gather_mode(prev)
+        pu.set_stream_mode("expanded")
+
+
 def test_host_routing_model_matches_device_sort_path():
     from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
     from dlrm_flexflow_tpu.data.synthetic import random_batches
