@@ -102,6 +102,11 @@ class MachineSpec:
     # is that table, persisted in the machine file. Lowering looks shapes
     # up and sets FFSimOp.fwd_us, replacing the analytic roofline.
     dense_costs: dict = dataclasses.field(default_factory=dict)
+    # MEASURED generic op costs for the other MXU ops (conv / batch-matmul
+    # / attention): {op_cost_sig: fwd us per example}, same convention —
+    # together with dense_costs this is the full per-(op,config) measured
+    # table of the reference's measure_operator_cost
+    op_costs: dict = dataclasses.field(default_factory=dict)
 
     def torus_for(self, n: int) -> "MachineSpec":
         """Fill in the slice torus axes for an n-chip v5e-style slice
@@ -541,6 +546,92 @@ def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
         t_fb = (time.perf_counter() - t0) / repeats
         costs[f"{di}x{do}"] = t_fb / 3.0 / batch * 1e6  # us per example
     return dataclasses.replace(spec, dense_costs=costs)
+
+
+def op_cost_sig(op) -> str:
+    """Shape signature keying the measured-op cost table: op type + input
+    + output shapes discriminate every cost-relevant attribute (conv
+    kernel/stride/padding show up in the param and output shapes)."""
+    ins = ",".join("x".join(map(str, t.shape)) for t in op.inputs)
+    outs = ",".join("x".join(map(str, t.shape)) for t in op.outputs)
+    prm = ",".join("x".join(map(str, p.shape)) for p in op.params)
+    return f"{op.op_type.name}|{ins}|{outs}|{prm}"
+
+
+def measurable_graph_ops(graph):
+    """The non-Linear MXU ops whose costs the generic harness can measure:
+    float inputs, real fwd+bwd (Linear rides calibrate_dense; embeddings
+    ride the packed calibrations)."""
+    from ..ffconst import OperatorType
+
+    kinds = (OperatorType.OP_CONV2D, OperatorType.OP_BATCHMATMUL,
+             OperatorType.OP_MULTIHEAD_ATTENTION)
+    return [op for op in graph.compute_ops if op.op_type in kinds]
+
+
+def calibrate_graph_ops(spec: MachineSpec, graph, repeats: int = 20,
+                        compute_dtype=None) -> MachineSpec:
+    """Measure fwd+bwd of the model's conv/batch-matmul/attention ops at
+    their REAL shapes by running op.forward under value_and_grad — the
+    generic analog of the reference's Op::measure_operator_cost
+    (src/runtime/model.cu:20-64), cached like dense_costs."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.graph import OpContext
+
+    costs = dict(spec.op_costs)
+    todo = [
+        op for op in measurable_graph_ops(graph)
+        if op_cost_sig(op) not in costs
+    ]
+    if not todo:
+        return spec
+    cdt = compute_dtype or jnp.bfloat16
+    for op in todo:
+        key = jax.random.PRNGKey(0)
+        xs = [
+            jax.random.normal(jax.random.fold_in(key, 7 + i), t.shape,
+                              jnp.float32)
+            for i, t in enumerate(op.inputs)
+        ]
+        params = op.init_params(key)
+        ctx = OpContext(training=True, rng=key, compute_dtype=cdt)
+        batch = op.outputs[0].shape[0] if op.outputs else 1
+
+        @jax.jit
+        def loop(params, xs):
+            def fwdbwd(c, k):
+                def f(params, xs):
+                    outs = op.forward(
+                        # defeat loop hoisting: perturb inputs per step
+                        params, [x + k * 1e-3 for x in xs], ctx
+                    )
+                    return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+                val, (gp, gx) = jax.value_and_grad(f, argnums=(0, 1))(
+                    params, xs
+                )
+                extra = sum(
+                    jnp.sum(g.astype(jnp.float32)) * 0.0
+                    for g in jax.tree_util.tree_leaves((gp, gx))
+                )
+                return c + val + extra, 0.0
+
+            c, _ = jax.lax.scan(
+                fwdbwd, jnp.zeros(()),
+                jnp.arange(repeats, dtype=jnp.float32),
+            )
+            return c
+
+        _ = float(loop(params, xs))
+        t0 = time.perf_counter()
+        _ = float(loop(params, xs))
+        t_fb = (time.perf_counter() - t0) / repeats
+        costs[op_cost_sig(op)] = t_fb / 3.0 / max(batch, 1) * 1e6
+    return dataclasses.replace(spec, op_costs=costs)
 
 
 def graph_dense_shapes(graph):

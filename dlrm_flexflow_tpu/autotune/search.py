@@ -423,7 +423,7 @@ def zipf_tail_fraction(vocab: int, hot: int, s: float = 1.05) -> float:
 
 def graph_to_cost_spec_v2(
     graph: Graph, global_batch: int, exchange_dtype_bytes: float = 4.0,
-    dense_costs=None, host_tail_hot: int = 0,
+    dense_costs=None, host_tail_hot: int = 0, op_costs=None,
 ):
     """Lower the graph for the JOINT search: one FFSIM_EMBED per TABLE
     (split/mode are annealer state, not lowering inputs), dense ops get a
@@ -523,6 +523,14 @@ def graph_to_cost_spec_v2(
                 entry["fwd_us"] = (
                     dense_costs[f"{op.in_dim}x{op.out_dim}"] * global_batch
                 )
+            elif op_costs:
+                # generic measured costs (conv/batch-matmul/attention) key
+                # on the full shape signature
+                from .machine import op_cost_sig
+
+                sig = op_cost_sig(op)
+                if sig in op_costs:
+                    entry["fwd_us"] = op_costs[sig] * global_batch
             if kind == bindings.KIND_DENSE:
                 j = sum(1 for o in ops if o["kind"] == bindings.KIND_DENSE)
                 dense_names.append(op.name)
@@ -604,6 +612,7 @@ def autotune_plan_joint(
         graph, global_batch, exchange_dtype_bytes,
         dense_costs=getattr(machine, "dense_costs", None),
         host_tail_hot=host_tail_hot,
+        op_costs=getattr(machine, "op_costs", None),
     )
     if not enable_propagation:
         # reference parity: config-propagation moves along graph edges are

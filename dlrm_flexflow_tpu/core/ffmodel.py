@@ -1017,6 +1017,20 @@ class FFModel:
                 machine = calibrate_dense(machine, shapes)
                 if cache:
                     machine.save(cache)
+            # generic measured costs for the model's conv/batch-matmul/
+            # attention ops (the reference measures EVERY op's kernels,
+            # model.cu:20-64; Linear rides calibrate_dense above)
+            from ..autotune.machine import (
+                calibrate_graph_ops, measurable_graph_ops, op_cost_sig,
+            )
+
+            if any(
+                op_cost_sig(o) not in machine.op_costs
+                for o in measurable_graph_ops(self.graph)
+            ):
+                machine = calibrate_graph_ops(machine, self.graph)
+                if cache:
+                    machine.save(cache)
             # per-dim gather/stream winners for THIS model's packed dims
             # (cached cumulatively like dense_costs)
             from ..autotune.machine import calibrate_modes_for_dims

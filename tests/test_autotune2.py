@@ -431,3 +431,32 @@ def test_generic_dag_scores_zoo_models(builder):
     assert cost > 0 and np.isfinite(cost)
     if report.get("tables"):
         assert report["breakdown"]["total_us"] == pytest.approx(cost)
+
+
+def test_measured_op_costs_replace_conv_rooflines():
+    """calibrate_graph_ops measures conv/attention ops at their real
+    shapes via op.forward under value_and_grad, and graph_to_cost_spec_v2
+    keys the measured us/example into fwd_us (the generic analog of the
+    reference's Op::measure_operator_cost, model.cu:20-64)."""
+    from dlrm_flexflow_tpu.autotune.machine import (
+        calibrate_graph_ops, measurable_graph_ops, op_cost_sig,
+    )
+    from dlrm_flexflow_tpu.models import zoo
+
+    model = zoo.mnist_cnn(batch_size=16)
+    targets = measurable_graph_ops(model.graph)
+    assert targets, "mnist_cnn should have conv ops"
+    spec = preset("cpu_sim")
+    spec = calibrate_graph_ops(spec, model.graph, repeats=2)
+    for op in targets:
+        assert op_cost_sig(op) in spec.op_costs
+        assert spec.op_costs[op_cost_sig(op)] > 0
+    # the lowering picks the measured value up
+    ops, *_ = graph_to_cost_spec_v2(
+        model.graph, 64, op_costs=spec.op_costs
+    )
+    dense = [o for o in ops if o["kind"] == bindings.KIND_DENSE]
+    assert any("fwd_us" in o and o["fwd_us"] > 0 for o in dense)
+    # a second calibration is a no-op (cached, like dense_costs)
+    spec2 = calibrate_graph_ops(spec, model.graph, repeats=2)
+    assert spec2.op_costs == spec.op_costs
