@@ -551,11 +551,13 @@ def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
 def op_cost_sig(op) -> str:
     """Shape signature keying the measured-op cost table: op type + input
     + output shapes discriminate every cost-relevant attribute (conv
-    kernel/stride/padding show up in the param and output shapes)."""
+    kernel/stride/padding show up in the param and output shapes; the
+    fused activation epilogue rides the signature too)."""
     ins = ",".join("x".join(map(str, t.shape)) for t in op.inputs)
     outs = ",".join("x".join(map(str, t.shape)) for t in op.outputs)
     prm = ",".join("x".join(map(str, p.shape)) for p in op.params)
-    return f"{op.op_type.name}|{ins}|{outs}|{prm}"
+    act = getattr(op, "activation", "")
+    return f"{op.op_type.name}|{ins}|{outs}|{prm}|{act}"
 
 
 def measurable_graph_ops(graph):
