@@ -329,8 +329,8 @@ def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
 
 def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
                             vocab: int = 1_000_000, batch: int = 65536,
-                            streams: int = 8,
-                            repeats: int = 8) -> MachineSpec:
+                            streams: int = 8, repeats: int = 8,
+                            verbose: bool = False) -> MachineSpec:
     """Measure the PACKED forward gather (the runtime's actual lookup path,
     ops/pallas/packed_update.packed_gather) with concurrent streams at the
     bench batch regime; gather_gbps becomes the aggregate effective rate."""
@@ -378,6 +378,10 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
     t_sub = timed(packed_gather_subpack)
     mode = "subpack" if t_sub < t_pack else "pack"
     g_time = min(t_pack, t_sub)
+    if verbose:
+        ns = 1e9 / batch
+        print(f"[calibrate] gather D={dim}: pack {t_pack * ns:.2f} ns/row, "
+              f"subpack {t_sub * ns:.2f} ns/row -> {mode}")
     by_dim = dict(spec.gather_mode_by_dim)
     by_dim[str(dim)] = mode
     out = dataclasses.replace(spec, gather_mode_by_dim=by_dim)
@@ -394,7 +398,8 @@ def calibrate_packed_gather(spec: MachineSpec, dim: int = 16,
 
 def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
                           vocab: int = 1_000_000, k: int = 65536,
-                          tables: int = 4, repeats: int = 8) -> MachineSpec:
+                          tables: int = 4, repeats: int = 8,
+                          verbose: bool = False) -> MachineSpec:
     """Measure the packed update end-to-end under both update-stream
     formats (expanded [K, 128] XLA lane expansion vs compact [K/rpp, 128]
     with in-kernel expansion) and record the winner; the module mode is
@@ -443,20 +448,27 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
         _ = float(loop(packs, idx))
         return (time.perf_counter() - t0) / repeats
 
+    # the expanded baseline must work — a failure there is a real
+    # environment error, not a reason to silently record a winner
+    set_stream_mode("expanded", dim)
+    t_exp = timed()
     try:
-        set_stream_mode("expanded", dim)
-        t_exp = timed()
         set_stream_mode("compact", dim)
         t_cmp = timed()
-    except Exception:
+    except Exception as e:
         # the compact kernel is newer Mosaic surface (rolls, in-kernel
         # expansion); if it fails to compile on this toolchain, fall back
+        print(f"[calibrate] WARNING: compact stream kernel failed at D={dim} "
+              f"({type(e).__name__}: {e}); recording expanded")
         set_stream_mode("expanded", dim)
         by_dim[str(dim)] = "expanded"
         out = dataclasses.replace(spec, stream_mode_by_dim=by_dim)
         if dim == 16:
             out = dataclasses.replace(out, stream_mode="expanded")
         return out
+    if verbose:
+        print(f"[calibrate] stream D={dim}: expanded {t_exp * 1e3:.2f} ms, "
+              f"compact {t_cmp * 1e3:.2f} ms")
     # the module mode is intentionally left at the winner so the
     # subsequent calibrate_packed measures what the runtime will run
     mode = "compact" if t_cmp < t_exp else "expanded"
@@ -468,7 +480,8 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
     return out
 
 
-def calibrate_modes_for_dims(spec: MachineSpec, dims) -> MachineSpec:
+def calibrate_modes_for_dims(spec: MachineSpec, dims,
+                             verbose: bool = False) -> MachineSpec:
     """Measure the gather + stream winners for every PACKED row dim the
     model actually uses that isn't already in the machine file's per-dim
     maps (the reference's per-(op,config) measurement, cached cumulatively
@@ -483,9 +496,9 @@ def calibrate_modes_for_dims(spec: MachineSpec, dims) -> MachineSpec:
                 by[str(d)] = "pack"
                 spec = dataclasses.replace(spec, gather_mode_by_dim=by)
             else:
-                spec = calibrate_packed_gather(spec, dim=d)
+                spec = calibrate_packed_gather(spec, dim=d, verbose=verbose)
         if str(d) not in spec.stream_mode_by_dim:
-            spec = calibrate_stream_mode(spec, dim=d)
+            spec = calibrate_stream_mode(spec, dim=d, verbose=verbose)
     return spec
 
 

@@ -124,6 +124,16 @@ class FFConfig:
             return len(jax.devices())
         return self.num_nodes * per_node
 
+    def machine_cache_path(self) -> str:
+        """The machine-calibration cache location — ONE derivation shared
+        by compile()'s mode reader and the calibration writer so they can
+        never diverge."""
+        return self.machine_model_file or (
+            self.export_strategy_file + ".machine.json"
+            if self.export_strategy_file
+            else ".ffsim_machine.json"
+        )
+
     @staticmethod
     def parse_args(argv: Optional[Sequence[str]] = None) -> "FFConfig":
         cfg = FFConfig()

@@ -518,11 +518,7 @@ class FFModel:
             import json as _json
             import os as _os
             doc = {}
-            cache = self.config.machine_model_file or (
-                self.config.export_strategy_file + ".machine.json"
-                if self.config.export_strategy_file
-                else ".ffsim_machine.json"
-            )
+            cache = self.config.machine_cache_path()
             if _os.path.exists(cache):
                 try:
                     with open(cache) as f:
@@ -997,11 +993,7 @@ class FFModel:
         ):
             from ..autotune.machine import calibrate_or_cached
 
-            cache = (
-                self.config.export_strategy_file + ".machine.json"
-                if self.config.export_strategy_file
-                else ".ffsim_machine.json"
-            )
+            cache = self.config.machine_cache_path()
             machine = calibrate_or_cached(machine, cache)
             # per-shape dense costs for THIS graph's MLP layers (cached
             # cumulatively in the machine file; reference: per-(op,config)
@@ -1032,14 +1024,20 @@ class FFModel:
                 if cache:
                     machine.save(cache)
             # per-dim gather/stream winners for THIS model's packed dims
-            # (cached cumulatively like dense_costs)
+            # (cached cumulatively like dense_costs). Dims whose tables
+            # would never run the packed kernel (packed tables off, or
+            # every table at the dim rides the one-hot path) are skipped —
+            # each measurement is two fresh Mosaic compiles through the
+            # tunnel.
             from ..autotune.machine import calibrate_modes_for_dims
 
             packed_dims = sorted({
                 op.out_dim for op in self.graph.compute_ops
                 if op.op_type is OperatorType.OP_EMBEDDING
                 and 128 % op.out_dim == 0
-            })
+                and getattr(op, "num_entries", 0)
+                > self.config.onehot_embedding_threshold
+            }) if self.config.packed_tables != "off" else []
             dim_missing = [
                 d for d in packed_dims
                 if str(d) not in machine.gather_mode_by_dim
@@ -1049,21 +1047,26 @@ class FFModel:
                 machine = calibrate_modes_for_dims(machine, dim_missing)
                 if cache:
                     machine.save(cache)
-            # first-compile path: the calibrations just measured the
-            # pack-vs-subpack and expanded-vs-compact winners; apply them
-            # before step tracing
-            if self.config.packed_gather_mode == "auto":
-                from ..ops.pallas.packed_update import set_gather_mode
+            # Re-apply the modes now that calibration ran: auto takes the
+            # measured winners; an EXPLICIT config must win over the
+            # leftovers the calibration A/B left set (set with d=None also
+            # clears the per-dim overrides).
+            from ..ops.pallas.packed_update import (
+                set_gather_mode, set_stream_mode,
+            )
 
+            if self.config.packed_gather_mode == "auto":
                 set_gather_mode(machine.gather_mode)
                 for dk, dv in machine.gather_mode_by_dim.items():
                     set_gather_mode(dv, int(dk))
+            else:
+                set_gather_mode(self.config.packed_gather_mode)
             if self.config.packed_stream_mode == "auto":
-                from ..ops.pallas.packed_update import set_stream_mode
-
                 set_stream_mode(machine.stream_mode)
                 for dk, dv in machine.stream_mode_by_dim.items():
                     set_stream_mode(dv, int(dk))
+            else:
+                set_stream_mode(self.config.packed_stream_mode)
             print(f"[autotune] machine model calibrated (cache: {cache})")
         from ..autotune.search import autotune_plan_joint
 

@@ -590,7 +590,10 @@ def _packed_apply(
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         input_output_aliases={1: 0},  # table chunk updated in place
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * g_exp.shape[0] * chunk_packs * LANES),
+            # the one-hot accumulation processes every ENTRY (ps_pk.size =
+            # K_pad) in both stream modes; compact's g rows are K_pad/rpp
+            # and would understate MXU work rpp-fold
+            flops=int(2 * ps_pk.size * chunk_packs * LANES),
             bytes_accessed=int(
                 packed.size * packed.dtype.itemsize * 2
                 + ps_pk.size * 4

@@ -19,95 +19,40 @@ for warmup and timed calls.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-def _timed(fn, *args, repeats: int) -> float:
-    """us per repeat of a jitted scan-of-repeats callable."""
-    out = float(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    out = float(fn(*args))
-    del out
-    return (time.perf_counter() - t0) / repeats * 1e6
 
 
 def part_gather(args):
-    from dlrm_flexflow_tpu.ops.pallas.packed_update import (
-        pack_table, packed_gather, packed_gather_subpack,
+    """A/B the two gather implementations via the SAME harness compile()
+    runs (calibrate_packed_gather prints both timings under verbose); dims
+    cover the kaggle/summit/mlperf configs."""
+    from dlrm_flexflow_tpu.autotune.machine import (
+        calibrate_packed_gather, preset,
     )
 
-    for name, dim, vocab in (("kaggle", 16, 1_000_000),
-                             ("summit", 64, 1_000_000)):
-        streams, batch = 10, args.batch
-        packs = [
-            pack_table(jnp.zeros((vocab, dim), jnp.float32))
-            for _ in range(streams)
-        ]
-        idx = jax.random.randint(
-            jax.random.PRNGKey(2), (args.repeats, streams, batch),
-            0, vocab, jnp.int32,
+    spec = preset("tpu_v5e")
+    for dim in (16, 64):
+        spec = calibrate_packed_gather(
+            spec, dim=dim, batch=args.batch, repeats=args.repeats,
+            verbose=True,
         )
-
-        def make(gather_fn):
-            @jax.jit
-            def loop(packs, idx):
-                def body(c, i):
-                    acc = jnp.zeros(())
-                    for s, p in enumerate(packs):
-                        acc = acc + jnp.sum(gather_fn(p, i[s], dim))
-                    return c + acc, 0.0
-                c, _ = jax.lax.scan(body, jnp.zeros(()), idx)
-                return c
-            return loop
-
-        for label, fn in (("pack", packed_gather),
-                          ("subpack", packed_gather_subpack)):
-            us = _timed(make(fn), packs, idx, repeats=args.repeats)
-            ns_row = us * 1e3 / (streams * batch)
-            print(f"gather {name:7s} {label:8s} {us:9.1f} us/step "
-                  f"({ns_row:6.2f} ns/row, {streams}x{batch} D={dim})")
+    print(f"winners: {spec.gather_mode_by_dim} "
+          f"(D=16 gather_gbps={spec.gather_gbps:.2f})")
 
 
 def part_stream(args):
-    from dlrm_flexflow_tpu.ops.pallas.packed_update import (
-        pack_table, packed_row_update_batched, set_stream_mode,
+    """A/B the two stream formats via the SAME harness compile() runs."""
+    from dlrm_flexflow_tpu.autotune.machine import (
+        calibrate_stream_mode, preset,
     )
 
-    dim, vocab, tables, k = 16, 1_000_000, 10, args.batch
-    g = jnp.ones((tables, k, dim), jnp.float32)
-    idx = jax.random.randint(
-        jax.random.PRNGKey(1), (args.repeats, tables, k), 0, vocab, jnp.int32
-    )
-
-    def timed_mode(mode: str) -> float:
-        set_stream_mode(mode)
-        packs = [
-            pack_table(jnp.zeros((vocab, dim), jnp.float32))
-            for _ in range(tables)
-        ]
-
-        @jax.jit
-        def loop(packs, idx):
-            def body(c, i):
-                newc = packed_row_update_batched(
-                    list(c), [i[t] for t in range(tables)],
-                    [g[t] for t in range(tables)], [vocab] * tables, dim,
-                )
-                return tuple(newc), 0.0
-            c, _ = jax.lax.scan(body, tuple(packs), idx)
-            return sum(cc[0, 0] for cc in c)
-
-        return _timed(loop, packs, idx, repeats=args.repeats)
-
-    for mode in ("expanded", "compact"):
-        us = timed_mode(mode)
-        print(f"stream {mode:9s} {us:9.1f} us/step "
-              f"({tables}x{k} updates D={dim})")
-    set_stream_mode("expanded")
+    spec = preset("tpu_v5e")
+    for dim in (16, 64):
+        spec = calibrate_stream_mode(
+            spec, dim=dim, k=args.batch, repeats=args.repeats, verbose=True,
+        )
+    print(f"winners: {spec.stream_mode_by_dim}")
 
 
 def part_calib(args):
@@ -123,7 +68,7 @@ def part_calib(args):
     # mlperf D=128); single-chip bench applies them from the machine file
     from dlrm_flexflow_tpu.autotune.machine import calibrate_modes_for_dims
 
-    spec = calibrate_modes_for_dims(spec, [16, 64, 128])
+    spec = calibrate_modes_for_dims(spec, [16, 64, 128], verbose=True)
     spec.save(cache)
     print(f"gather_gbps={spec.gather_gbps:.2f} gather_mode={spec.gather_mode}")
     print(f"stream_mode={spec.stream_mode}")
