@@ -426,6 +426,8 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
     )
     g = jnp.ones((tables, k, dim), jnp.float32)
 
+    interpret = jax.default_backend() != "tpu"  # CPU smoke path
+
     def timed() -> float:
         packs = [
             pack_table(jnp.zeros((vocab, dim), jnp.float32))
@@ -438,6 +440,7 @@ def calibrate_stream_mode(spec: MachineSpec, dim: int = 16,
                 newc = packed_row_update_batched(
                     list(c), [i[t] for t in range(tables)],
                     [g[t] for t in range(tables)], [vocab] * tables, dim,
+                    interpret=interpret,
                 )
                 return tuple(newc), 0.0
             c, _ = jax.lax.scan(body, tuple(packs), idx)
