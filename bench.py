@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--mesh", action="store_true", help="use all devices with hybrid plan")
     ap.add_argument("--mode", default="train", choices=["train", "infer"],
                     help="train step throughput or forward-only (serving)")
+    ap.add_argument("--table-dtype", default="float32",
+                    choices=["float32", "bfloat16", "float16"],
+                    help="serving-only: quantize embedding tables (halves "
+                         "table HBM + doubles effective gather bandwidth)")
     args = ap.parse_args()
     if args.quick:
         args.steps, args.warmup = 10, 3
@@ -205,6 +209,12 @@ def main():
         stage = jax.device_put
     stacked_feeds = {k: stage(v) for k, v in stacked_feeds.items()}
     stacked_labels = stage(stacked_labels)
+
+    if args.table_dtype != "float32":
+        assert args.mode == "infer", "--table-dtype quantizes serving only"
+        n_cast = model.quantize_embeddings(args.table_dtype)
+        print(f"# quantized {n_cast} embedding arrays to {args.table_dtype}",
+              file=sys.stderr)
 
     rng0 = jax.random.PRNGKey(0)
     params, opt_state, totals = model._params, model._opt_state, model._metrics_total

@@ -1182,6 +1182,10 @@ class FFModel:
         """One fused step = reference forward+zero_gradients+backward+update
         (the reference hot loop, dlrm.cc:162-183)."""
         assert self._compiled
+        assert not getattr(self, "_tables_quantized", False), (
+            "tables were quantized for serving (quantize_embeddings); "
+            "training needs the f32 master tables"
+        )
         self._apply_packed_modes()
         if self.config.host_routing and getattr(self, "_route_ops", None):
             feeds = {**feeds, **self.compute_routes(feeds)}
@@ -1262,6 +1266,10 @@ class FFModel:
     def train_chunk(self, stacked_feeds: Dict[str, Any], stacked_labels) -> float:
         """Run K steps in one dispatch: inputs are [K, B, ...] stacks."""
         assert self._compiled
+        assert not getattr(self, "_tables_quantized", False), (
+            "tables were quantized for serving (quantize_embeddings); "
+            "training needs the f32 master tables"
+        )
         self._apply_packed_modes()
         assert self._multi_step is not None, (
             "host-tail offload steps per batch (the host serves tail rows "
@@ -1436,6 +1444,30 @@ class FFModel:
     # ------------------------------------------------------------------ state IO
     def get_parameters(self):
         return self._params
+
+    def quantize_embeddings(self, dtype: str = "bfloat16") -> int:
+        """Serving-side table quantization (beyond the reference): cast
+        every embedding table (packed or narrow layout) to a narrow dtype
+        — halves the tables' HBM footprint and doubles the effective
+        row-gather bandwidth for inference. Training needs the f32 master
+        tables, so train_batch/train_chunk refuse afterwards (re-compile
+        or set_parameters to restore). Returns the number of arrays cast."""
+        assert self._compiled
+        jdt = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}[dtype]
+        n = 0
+        new_params = dict(self._params)
+        for op in self.graph.compute_ops:
+            if op.op_type is not OperatorType.OP_EMBEDDING:
+                continue
+            sub = dict(new_params.get(op.name, {}))
+            for k, v in list(sub.items()):
+                if hasattr(v, "dtype") and v.dtype == jnp.float32:
+                    sub[k] = v.astype(jdt)
+                    n += 1
+            new_params[op.name] = sub
+        self._params = new_params
+        self._tables_quantized = n > 0
+        return n
 
     def set_parameters(self, params) -> None:
         """reference: Parameter::set_weights numpy round trip

@@ -204,3 +204,45 @@ def test_fit_validation_data_reports_val_metrics():
                      validation_data=(vfeeds, vlabels))
     assert "val_accuracy" in hist and 0.0 <= hist["val_accuracy"] <= 1.0
     assert "accuracy" in hist
+
+
+def test_quantize_embeddings_serving():
+    """Serving-side table quantization (beyond the reference): bf16 tables
+    keep the forward close to f32, halve table bytes, and training refuses
+    afterwards (f32 master tables required)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from dlrm_flexflow_tpu import (
+        FFConfig, LossType, MetricsType, SGDOptimizer,
+    )
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[500, 300, 800],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[64, 16, 1],
+        batch_size=64,
+    )
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=64, compute_dtype="float32",
+                      onehot_embedding_threshold=0, packed_tables="on"),
+    )
+    model.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 64, seed=5)
+    y32 = np.asarray(model.forward(feeds))
+    n = model.quantize_embeddings("bfloat16")
+    assert n >= 3  # one weight per table at least
+    for op in model.graph.compute_ops:
+        for v in model._params.get(op.name, {}).values():
+            if op.op_type.name == "OP_EMBEDDING":
+                assert v.dtype == jnp.bfloat16
+    y16 = np.asarray(model.forward(feeds))
+    np.testing.assert_allclose(y16, y32, atol=0.05)
+    with pytest.raises(AssertionError, match="quantized"):
+        model.train_batch(feeds, labels)
