@@ -70,9 +70,9 @@ def main():
     ap.add_argument("--mode", default="train", choices=["train", "infer"],
                     help="train step throughput or forward-only (serving)")
     ap.add_argument("--table-dtype", default="float32",
-                    choices=["float32", "bfloat16", "float16"],
-                    help="serving-only: quantize embedding tables (halves "
-                         "table HBM + doubles effective gather bandwidth)")
+                    choices=["float32", "bfloat16", "float16", "int8"],
+                    help="serving-only: quantize embedding tables (bf16 = "
+                         "2x less table HBM; int8 = 4x, per-row scales)")
     args = ap.parse_args()
     if args.quick:
         args.steps, args.warmup = 10, 3

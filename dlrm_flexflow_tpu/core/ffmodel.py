@@ -1446,24 +1446,44 @@ class FFModel:
         return self._params
 
     def quantize_embeddings(self, dtype: str = "bfloat16") -> int:
-        """Serving-side table quantization (beyond the reference): cast
-        every embedding table (packed or narrow layout) to a narrow dtype
-        — halves the tables' HBM footprint and doubles the effective
-        row-gather bandwidth for inference. Training needs the f32 master
-        tables, so train_batch/train_chunk refuse afterwards (re-compile
-        or set_parameters to restore). Returns the number of arrays cast."""
+        """Serving-side table quantization (beyond the reference):
+        "bfloat16"/"float16" cast every embedding table in place (2x less
+        table HBM, 2x effective row-gather bandwidth); "int8" rewrites
+        each table as int8 rows + per-row f32 scales (4x; the production
+        serving format — dequant rides the lookup). Training needs the
+        f32 master tables, so train_batch/train_chunk refuse afterwards
+        (re-compile or set_parameters to restore). Returns the number of
+        arrays touched."""
         assert self._compiled
-        jdt = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}[dtype]
         n = 0
         new_params = dict(self._params)
         for op in self.graph.compute_ops:
             if op.op_type is not OperatorType.OP_EMBEDDING:
                 continue
             sub = dict(new_params.get(op.name, {}))
-            for k, v in list(sub.items()):
-                if hasattr(v, "dtype") and v.dtype == jnp.float32:
-                    sub[k] = v.astype(jdt)
-                    n += 1
+            if dtype == "int8":
+                if "weight" not in sub:
+                    continue
+                from ..ops.embedding import quantize_table_int8
+
+                w = sub.pop("weight")
+                packed = bool(getattr(op, "packed", False))
+                if packed:
+                    from ..ops.pallas.packed_update import unpack_table
+
+                    w = unpack_table(w, op.num_entries, op.out_dim)
+                q, s = quantize_table_int8(
+                    w, packed, getattr(op, "chunk_packs", 1024)
+                )
+                sub["weight_q"] = q
+                sub["weight_scale"] = s
+                n += 1
+            else:
+                jdt = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}[dtype]
+                for k, v in list(sub.items()):
+                    if hasattr(v, "dtype") and v.dtype == jnp.float32:
+                        sub[k] = v.astype(jdt)
+                        n += 1
             new_params[op.name] = sub
         self._params = new_params
         self._tables_quantized = n > 0

@@ -94,6 +94,16 @@ class Embedding(Op):
 
     def _forward_device(self, inputs, params, ctx):
         (idx,) = inputs
+        if "weight_q" in params:
+            # int8 serving rows with per-row scales
+            # (FFModel.quantize_embeddings("int8")); training refuses this
+            # state, so only the lookup path exists
+            return [
+                quantized_embedding_bag(
+                    params["weight_q"], params["weight_scale"], idx,
+                    self.aggr, self.out_dim, packed=self.packed,
+                )
+            ]
         if self.packed:
             return [
                 packed_embedding_bag(
@@ -201,6 +211,55 @@ class Embedding(Op):
             "bytes": row_bytes * lookups * 2.0 + 4.0 * lookups,
             "param_bytes": 4.0 * self.num_entries * self.out_dim,
         }
+
+
+def quantized_embedding_bag(q, scale, idx, aggr: AggrMode, out_dim: int,
+                            packed: bool):
+    """Pooled lookup from int8 rows + per-row f32 scales (the production
+    serving format; 4x less table HBM than f32). Gathers are
+    dtype-preserving slices (no arithmetic on int8 until the dequant
+    multiply). `packed`: q is [Pp, 128] int8 and scale a D=1 packed pool;
+    else q is [V, D] int8 and scale [V]."""
+    from .pallas.packed_update import packed_gather_subpack
+
+    idx = idx.astype(jnp.int32)
+    squeeze_bag = idx.ndim == 1
+    if squeeze_bag:
+        idx = idx[:, None]
+    b, h = idx.shape
+    valid = idx >= 0
+    if packed:
+        rpp = 128 // out_dim
+        safe = jnp.clip(idx, 0, q.shape[0] * rpp - 1).reshape(-1)
+        qr = packed_gather_subpack(q, safe, out_dim)          # [K, D] int8
+        sr = packed_gather_subpack(scale, safe, 1)            # [K, 1] f32
+    else:
+        safe = jnp.clip(idx, 0, q.shape[0] - 1).reshape(-1)
+        qr = q.at[safe].get(mode="promise_in_bounds")
+        sr = scale.at[safe].get(mode="promise_in_bounds")[:, None]
+    rows = (qr.astype(jnp.float32) * sr).reshape(b, h, out_dim)
+    rows = jnp.where(valid[..., None], rows, jnp.zeros((), rows.dtype))
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        return rows[:, 0, :] if squeeze_bag else rows
+    pooled = jnp.sum(rows, axis=1)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        pooled = pooled / count.astype(pooled.dtype)
+    return pooled
+
+
+def quantize_table_int8(w, packed_layout: bool, chunk_packs: int = 1024):
+    """[V, D] f32 -> (q int8, per-row scale f32) in the target layout."""
+    from .pallas.packed_update import pack_table
+
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s[:, None]), -127, 127).astype(jnp.int8)
+    if packed_layout:
+        return (
+            pack_table(q, chunk_packs),
+            pack_table(s[:, None].astype(jnp.float32), chunk_packs),
+        )
+    return q, s.astype(jnp.float32)
 
 
 def packed_embedding_bag(packed, idx, aggr: AggrMode, out_dim: int):

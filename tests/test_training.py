@@ -246,3 +246,42 @@ def test_quantize_embeddings_serving():
     np.testing.assert_allclose(y16, y32, atol=0.05)
     with pytest.raises(AssertionError, match="quantized"):
         model.train_batch(feeds, labels)
+
+
+@pytest.mark.parametrize("packed", ["on", "off"])
+def test_quantize_embeddings_int8(packed):
+    """int8 rows + per-row scales (4x table memory): pooled outputs stay
+    within quantization tolerance of f32 in both layouts."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dlrm_flexflow_tpu import (
+        FFConfig, LossType, MetricsType, SGDOptimizer,
+    )
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[500, 300, 800],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[64, 16, 1],
+        batch_size=64,
+    )
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=64, compute_dtype="float32",
+                      onehot_embedding_threshold=0, packed_tables=packed),
+    )
+    model.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 64, seed=6)
+    y32 = np.asarray(model.forward(feeds))
+    n = model.quantize_embeddings("int8")
+    assert n == 3
+    for opn in ("table_0", "table_1", "table_2"):
+        assert model._params[opn]["weight_q"].dtype == jnp.int8
+        assert "weight" not in model._params[opn]
+    y8 = np.asarray(model.forward(feeds))
+    # int8 per-row scales: ~0.8% relative row error bound, pooled over 2
+    np.testing.assert_allclose(y8, y32, atol=0.08)
