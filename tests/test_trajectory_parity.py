@@ -100,6 +100,8 @@ def _torch_trajectory(weights, feeds, labels, opt_kind, lr):
     if opt_kind == "sgd":
         opt = torch.optim.SGD(tm.parameters(), lr=lr)
         opts = [opt]
+    elif opt_kind == "sgdm":
+        opts = [torch.optim.SGD(tm.parameters(), lr=lr, momentum=0.9)]
     else:
         opts = [
             torch.optim.Adam(dense_params, lr=lr, eps=1e-8),
@@ -124,11 +126,11 @@ def _torch_trajectory(weights, feeds, labels, opt_kind, lr):
 
 
 def _ours_trajectory(opt, feeds, labels, mesh=None, plan=None,
-                     init_weights=None):
+                     init_weights=None, packed="auto"):
     m = make_dlrm_model(
         CFG,
         FFConfig(batch_size=BS, compute_dtype="float32", seed=11,
-                 onehot_embedding_threshold=0),
+                 onehot_embedding_threshold=0, packed_tables=packed),
     )
     m.compile(opt, LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False,
               mesh=mesh, plan=plan)
@@ -258,3 +260,48 @@ def test_trajectory_adam_matches_torch(packed):
         wf["table_2"]["weight"],
         tm.tables[2].weight.detach().numpy(), rtol=2e-3, atol=3e-4,
     )
+
+
+def test_trajectory_momentum_packed_all_rows_matches_torch():
+    """Momentum SGD on the PACKED lazy-momentum kernel vs torch's dense
+    momentum: with vocab == batch and a full permutation each step every
+    row is touched every step, so lazy velocity decay equals torch's dense
+    decay exactly and torch is a valid oracle (VERDICT r2 item 3's
+    momentum leg at full-model scale)."""
+    g = globals()
+    old_cfg = g["CFG"]
+    g["CFG"] = DLRMConfig(
+        sparse_feature_size=8,
+        embedding_size=[32, 32, 32, 32],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 8],
+        mlp_top=[40, 16, 1],
+        batch_size=32,
+    )
+    try:
+        feeds, labels = _data(25, seed=29, unique_rows=True)
+        m0 = make_dlrm_model(
+            CFG, FFConfig(batch_size=BS, compute_dtype="float32", seed=11,
+                          onehot_embedding_threshold=0)
+        )
+        m0.compile(
+            SGDOptimizer(lr=0.05, momentum=0.9),
+            LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False,
+        )
+        w0 = _logical_weights(m0)
+        ours, m = _ours_trajectory(
+            SGDOptimizer(lr=0.05, momentum=0.9), feeds, labels,
+            init_weights=w0, packed="on",
+        )
+        assert any(
+            getattr(op, "packed", False) for op in m.graph.compute_ops
+        ), "packed lazy-momentum kernel must be on the tested path"
+        ref, tm = _torch_trajectory(w0, feeds, labels, "sgdm", lr=0.05)
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=3e-4)
+        wf = _logical_weights(m)
+        np.testing.assert_allclose(
+            wf["table_0"]["weight"],
+            tm.tables[0].weight.detach().numpy(), rtol=2e-3, atol=3e-4,
+        )
+    finally:
+        g["CFG"] = old_cfg
