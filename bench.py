@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--mesh", action="store_true", help="use all devices with hybrid plan")
     ap.add_argument("--mode", default="train", choices=["train", "infer"],
                     help="train step throughput or forward-only (serving)")
+    ap.add_argument("--onehot-threshold", type=int, default=8192,
+                    help="vocab bound for the one-hot matmul path; 0 sends "
+                         "every table through the packed gather+kernel "
+                         "(measurable: the 16 kaggle small tables are "
+                         "~1.16 ms of forward as one-hot matmuls)")
     ap.add_argument("--table-dtype", default="float32",
                     choices=["float32", "bfloat16", "float16", "int8"],
                     help="serving-only: quantize embedding tables (bf16 = "
@@ -105,6 +110,7 @@ def main():
     ffc.packed_tables = args.packed_tables
     ffc.packed_gather_mode = args.packed_gather_mode
     ffc.packed_stream_mode = args.packed_stream_mode
+    ffc.onehot_embedding_threshold = args.onehot_threshold
     if args.host_tail_threshold > 0:
         ffc.host_tail_threshold = args.host_tail_threshold
         # expected Zipf(1.05) tail traffic at hot=2^20 is ~20% of lookups;

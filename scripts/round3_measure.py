@@ -95,7 +95,12 @@ def part_decomp(args):
         ("train(subpack)", base + ["--packed-gather-mode", "subpack"]),
         ("train(expanded)", base + ["--packed-stream-mode", "expanded"]),
         ("train(compact)", base + ["--packed-stream-mode", "compact"]),
+        ("train(all-packed)", base + ["--onehot-threshold", "0"]),
         ("infer(best)", base + ["--mode", "infer"]),
+        ("infer(bf16-tables)", base + ["--mode", "infer",
+                                       "--table-dtype", "bfloat16"]),
+        ("infer(int8-tables)", base + ["--mode", "infer",
+                                       "--table-dtype", "int8"]),
     ]
     for label, cmd in runs:
         print(f"== {label}: {' '.join(cmd[1:])}", flush=True)
