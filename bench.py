@@ -82,6 +82,27 @@ def main():
     if args.quick:
         args.steps, args.warmup = 10, 3
 
+    # Fail fast instead of hanging forever when the device backend is
+    # unreachable (e.g. a TPU-tunnel outage): probe device init in a
+    # subprocess with a timeout. Skipped when jax is already imported
+    # in-process (tests configure the CPU backend first) or via env.
+    import os
+    import subprocess
+
+    if "jax" not in sys.modules and not os.environ.get("BENCH_SKIP_PROBE"):
+        try:
+            # DEVNULL, not pipes: a hung backend helper process would keep
+            # an inherited pipe open and stall the post-kill read forever
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(f"bench: device backend unreachable ({type(e).__name__}); "
+                  "is the TPU tunnel up?", file=sys.stderr)
+            sys.exit(3)
+
     import jax
 
     from dlrm_flexflow_tpu import SGDOptimizer, FFConfig, LossType, MetricsType
