@@ -11,21 +11,29 @@ This kernel replaces the scatter with dense MXU work:
      rows per 128-lane pack. The narrow [V, D] layout lane-pads each row to
      128 on TPU (measured: reshape to packed costs a 0.7 ms relayout, and
      the packed gather is no slower), so packed is the canonical storage.
-  2. Updates (row, delta) are keyed by pack id and sorted — ONE batched
+  2. Updates (row, delta) are keyed by row and sorted — ONE batched
      bitonic lax.sort over all tables of the same operand shape (measured
-     2.3 ms for 10x65536 keys vs 2.9 ms for one table: batching wins), then
-     the lane-expanded delta rows are permuted with per-table
-     promise-in-bounds gathers (separate gather ops overlap their latency:
-     3.7 ms for 10x65536 rows vs 14.8 ms for one batched gather).
+     2.3 ms for 10x65536 keys vs 2.9 ms for one table: batching wins;
+     host routing can precompute the order off the critical path). The
+     payload permutation composes with the bag broadcast (gather_payload
+     reads src[order // h] — the [B*H, D] expansion is never built) and
+     separate per-table gather ops overlap their latency (3.7 ms for
+     10x65536 rows vs 14.8 ms for one batched gather).
   3. A grid over chunks of C consecutive packs walks the table once.
-     Each cell streams its sorted update tiles [U, 128] from HBM (double
-     buffered DMA), builds the in-chunk one-hot on the VPU from a packed
-     pack-position stream ([K/128, 128] — no lane replication), and
-     accumulates acc += onehot^T @ deltas on the MXU (bf16 -> f32).
-     Duplicate rows are summed by the matmul — no dedup prep, no
-     conflicts, fully deterministic (the round-1 pack-RMW kernel lost 3.7x
-     to dedup prep). HBM traffic is one sequential read+write of the
-     table plus one read of the update stream.
+     Each cell streams its sorted update tiles from HBM (double-buffered
+     DMA), builds the in-chunk one-hot on the VPU from an ENCODED stream
+     ([K/128, 128] int32 carrying psmod*rpp + sub), and accumulates
+     acc += onehot^T @ deltas on the MXU (bf16 -> f32). Duplicate rows
+     are summed by the matmul — no dedup prep, no conflicts, fully
+     deterministic (the round-1 pack-RMW kernel lost 3.7x to dedup prep).
+     HBM traffic is one sequential read+write of the table plus one read
+     of the update stream. Two stream formats (set_stream_mode, winner
+     measured at calibration): "expanded" ships lane-expanded [K, 128]
+     delta tiles built by XLA; "compact" ships dense-packed [K/rpp, 128]
+     (rpp-fold less stream traffic) and the kernel expands lanes itself —
+     a constant line-replication matmul, an identity-matmul transpose of
+     the per-entry sub vector, and rpp static lane rolls selected by roll
+     class (sub - pos) mod rpp with a target-lane-group mask.
 
 Measured at kaggle dims (V=1M, D=16, K=65536, 10 tables): kernels 1.9 ms
 total vs 53.8 ms for the XLA scatters.
