@@ -28,7 +28,11 @@ from .core.initializers import (
     ZeroInitializer,
 )
 from .core.tensor import ParameterSpec, TensorSpec
-from .training.optimizer import AdamOptimizer, SGDOptimizer
+from .training.optimizer import (
+    AdamOptimizer,
+    RowWiseAdagradOptimizer,
+    SGDOptimizer,
+)
 
 __version__ = "0.1.0"
 
@@ -49,6 +53,7 @@ __all__ = [
     "ParameterSpec",
     "SGDOptimizer",
     "AdamOptimizer",
+    "RowWiseAdagradOptimizer",
     "GlorotUniform",
     "ZeroInitializer",
     "UniformInitializer",

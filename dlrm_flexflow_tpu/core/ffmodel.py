@@ -50,6 +50,7 @@ class FFModel:
         self.label_tensor: Optional[TensorSpec] = None
         # populated by compile()
         self.optimizer: Optional[Optimizer] = None
+        self.sparse_optimizer: Optional[Optimizer] = None
         self.loss_type: Optional[LossType] = None
         self.metrics_mask: MetricsType = MetricsType.METRICS_NONE
         self.mesh = None
@@ -487,16 +488,30 @@ class FFModel:
         plan=None,
         seed: Optional[int] = None,
         donate: bool = True,
+        sparse_optimizer: Optional[Optimizer] = None,
     ) -> None:
         """reference: FFModel::compile(optimizer, loss, metrics)
-        (src/runtime/model.cc:1567). See module docstring for the mapping."""
+        (src/runtime/model.cc:1567). See module docstring for the mapping.
+
+        sparse_optimizer: optional SEPARATE optimizer for the sparse
+        embedding-row updates (the production DLRM pattern — e.g. row-wise
+        AdaGrad on tables + Adam on the dense towers; beyond the
+        reference's single-optimizer compile). Defaults to `optimizer`.
+        Sparse Adam requires dense Adam (the bias-correction step count
+        lives in the dense state)."""
         self._compile_args = dict(
             optimizer=optimizer, loss_type=loss_type, metrics=tuple(metrics),
             comp_mode=comp_mode, mesh=mesh, plan=plan, seed=seed, donate=donate,
+            sparse_optimizer=sparse_optimizer,
         )
         self.optimizer = optimizer or SGDOptimizer(
             lr=self.config.learning_rate, weight_decay=self.config.weight_decay
         )
+        self.sparse_optimizer = sparse_optimizer or self.optimizer
+        assert not (
+            isinstance(self.sparse_optimizer, AdamOptimizer)
+            and not isinstance(self.optimizer, AdamOptimizer)
+        ), "sparse Adam requires dense Adam (shared step count)"
         self.loss_type = loss_type
         mask = MetricsType.METRICS_NONE
         for m in metrics:
@@ -661,6 +676,7 @@ class FFModel:
         graph = self.graph
         loss_t = self.loss_type
         opt = self.optimizer
+        sopt = self.sparse_optimizer
         metrics_mask = self.metrics_mask
         profiling = self.config.profiling
         onehot_thr = self.config.onehot_embedding_threshold
@@ -679,7 +695,7 @@ class FFModel:
         # backward, src/ops/embedding.cu:192-217). Requires a row-local
         # optimizer rule (plain SGD / row-wise AdaGrad).
         sparse_ops = []
-        if opt.supports_sparse:
+        if sopt.supports_sparse:
             for op in graph.compute_ops:
                 if hasattr(op, "sparse_update") and op.inputs and all(
                     isinstance(t.owner_op, InputOp) for t in op.inputs
@@ -810,15 +826,21 @@ class FFModel:
             )(dense_params, overrides)
             lr = opt_state["dense"].get("lr") if isinstance(opt_state["dense"], dict) else None
             new_dense, dstate = opt.update(g_dense, opt_state["dense"], dense_params)
-            if isinstance(opt, AdamOptimizer):
+            if sopt is not opt:
+                # a distinct sparse optimizer carries its own rate; the
+                # dense LR schedule does not leak onto the tables
+                lr = None
+            if isinstance(sopt, AdamOptimizer):
                 # sparse path gets the bias-corrected alpha_t for this step
-                # (reference: alpha_t precomputed per step, optimizer.cc)
+                # (reference: alpha_t precomputed per step, optimizer.cc);
+                # the step count lives in the dense Adam state (compile
+                # asserts dense is Adam too)
                 t_f = dstate["step"].astype(jnp.float32)
-                base = lr if lr is not None else opt.alpha
+                base = lr if lr is not None else sopt.alpha
                 lr = (
                     base
-                    * jnp.sqrt(1.0 - jnp.power(opt.beta2, t_f))
-                    / (1.0 - jnp.power(opt.beta1, t_f))
+                    * jnp.sqrt(1.0 - jnp.power(sopt.beta2, t_f))
+                    / (1.0 - jnp.power(sopt.beta1, t_f))
                 )
             new_params = dict(new_dense)
             from ..training.sparse_engine import apply_sparse_updates
@@ -838,7 +860,7 @@ class FFModel:
                 if len(v) == 3
             }
             upd_params, sstates = apply_sparse_updates(
-                sparse_ops, params, sparse_xs, g_over, opt,
+                sparse_ops, params, sparse_xs, g_over, sopt,
                 opt_state["sparse"], ctx0, lr=lr, routes=routes,
             )
             new_params.update(upd_params)
@@ -876,7 +898,7 @@ class FFModel:
             dense_init = {k: v for k, v in params.items() if k not in sparse_names}
             sstates = {}
             for op in sparse_ops:
-                st = op.sparse_state_init(opt)
+                st = op.sparse_state_init(sopt)
                 if st is not None and mesh is not None and hasattr(op, "layout"):
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -966,7 +988,8 @@ class FFModel:
             machine.max_segments = float(self.config.simulator_max_num_segments)
         if self.config.search_overlap_backward_update:
             machine.overlap_backward_update = 1.0
-        osf = 1.0 if getattr(self.optimizer, "sparse_init", None) and             self.optimizer.sparse_init((2, 2)) is not None else 0.0
+        sopt_ = getattr(self, "sparse_optimizer", None) or self.optimizer
+        osf = 1.0 if getattr(sopt_, "sparse_init", None) and             sopt_.sparse_init((2, 2)) is not None else 0.0
         # row-splitting is exact only for SUM pooling (embedding_collection
         # partial sums); AVG collections keep whole-table placement
         from ..ffconst import AggrMode
@@ -1226,7 +1249,8 @@ class FFModel:
             dense = st.get("dense")
             if isinstance(dense, dict) and "lr" in dense:
                 return float(np.asarray(dense["lr"]))
-        return float(getattr(self.optimizer, "lr", self.config.learning_rate))
+        opt_for_rows = getattr(self, "sparse_optimizer", None) or self.optimizer
+        return float(getattr(opt_for_rows, "lr", self.config.learning_rate))
 
     def _setup_host_tail(self, plan) -> None:
         """Compile-time host-tail setup (see parallel/host_tail.py): run

@@ -285,3 +285,76 @@ def test_quantize_embeddings_int8(packed):
     y8 = np.asarray(model.forward(feeds))
     # int8 per-row scales: ~0.8% relative row error bound, pooled over 2
     np.testing.assert_allclose(y8, y32, atol=0.08)
+
+
+def test_sparse_optimizer_mixed_adam_rowwise_adagrad():
+    """compile(optimizer=Adam, sparse_optimizer=RowWiseAdagrad): the
+    production DLRM pattern (beyond the reference's single-optimizer
+    compile). Dense towers must follow Adam, tables must follow row-wise
+    AdaGrad at the SPARSE optimizer's own rate — each checked against a
+    single-optimizer run of the matching kind."""
+    import numpy as np
+
+    from dlrm_flexflow_tpu import (
+        AdamOptimizer, FFConfig, LossType, RowWiseAdagradOptimizer,
+        SGDOptimizer,
+    )
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[300, 200],
+        embedding_bag_size=1,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[48, 16, 1],
+        batch_size=32,
+    )
+
+    def run(opt, sopt, steps=1):
+        # ONE step from identical init: after that, dense-trajectory
+        # divergence makes cross-optimizer comparison meaningless
+        m = make_dlrm_model(
+            cfg, FFConfig(batch_size=32, compute_dtype="float32", seed=7,
+                          onehot_embedding_threshold=0),
+        )
+        m.compile(opt, LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False,
+                  sparse_optimizer=sopt)
+        feeds, labels = random_batches(cfg, 32 * steps, seed=9)
+        for i in range(steps):
+            f = {k: v[32 * i: 32 * (i + 1)] for k, v in feeds.items()}
+            loss = m.train_batch(f, labels[32 * i: 32 * (i + 1)])
+        assert np.isfinite(float(loss))
+        return m
+
+    mixed = run(AdamOptimizer(alpha=0.01),
+                RowWiseAdagradOptimizer(lr=0.05))
+    ada_only = run(RowWiseAdagradOptimizer(lr=0.05), None)
+    adam_only = run(AdamOptimizer(alpha=0.01), None)
+
+    # step-1 table update follows the sparse optimizer exactly
+    np.testing.assert_allclose(
+        mixed.get_weights("table_0")["weight"],
+        ada_only.get_weights("table_0")["weight"], rtol=1e-5, atol=1e-6,
+    )
+    # ...and differs from what Adam would have done to the tables
+    assert not np.allclose(
+        mixed.get_weights("table_0")["weight"],
+        adam_only.get_weights("table_0")["weight"], atol=1e-6,
+    )
+    # step-1 dense update follows Adam exactly
+    np.testing.assert_allclose(
+        mixed.get_weights("top_mlp_1")["kernel"],
+        adam_only.get_weights("top_mlp_1")["kernel"], rtol=1e-5, atol=1e-6,
+    )
+    # multi-step smoke: the mixed configuration trains stably
+    run(AdamOptimizer(alpha=0.01), RowWiseAdagradOptimizer(lr=0.05),
+        steps=6)
+    # misuse guard: sparse Adam without dense Adam refuses at compile
+    m = make_dlrm_model(
+        cfg, FFConfig(batch_size=32, compute_dtype="float32", seed=7,
+                      onehot_embedding_threshold=0),
+    )
+    with pytest.raises(AssertionError, match="sparse Adam"):
+        m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [], sparse_optimizer=AdamOptimizer(alpha=0.01))
