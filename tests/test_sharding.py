@@ -602,3 +602,32 @@ def test_hierarchical_degenerate_falls_back_flat():
             vocabs, 4, 8, [0, 1], chips_per_host=cph
         )
         assert not lay.hierarchical
+
+
+def test_sharded_mixed_sparse_optimizer_trains(mesh):
+    """compile(optimizer=Adam, sparse_optimizer=RowWiseAdagrad) on the
+    8-device mesh: the collection's row updates follow the sparse
+    optimizer while dense towers ride Adam — one epoch must train with
+    finite loss and the collection state must be the AdaGrad accumulator
+    (not Adam m/v)."""
+    from dlrm_flexflow_tpu import RowWiseAdagradOptimizer
+
+    cfg = _tiny_cfg()
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=64, compute_dtype="float32", seed=11,
+                      onehot_embedding_threshold=0),
+    )
+    model.compile(
+        AdamOptimizer(alpha=0.01),
+        LossType.LOSS_BINARY_CROSSENTROPY,
+        [MetricsType.METRICS_ACCURACY],
+        mesh=mesh,
+        plan=dlrm_hybrid_plan(),
+        sparse_optimizer=RowWiseAdagradOptimizer(lr=0.05),
+    )
+    feeds, labels = random_batches(cfg, 64 * 4, seed=9)
+    model.fit(feeds, labels, epochs=1, verbose=False)
+    st = model._opt_state["sparse"]["embedding_collection"]
+    # row-wise AdaGrad accumulator: one state pool shaped like the params
+    # pool's rows (Adam would carry a stacked [2, ...] m/v state)
+    assert st is not None and st.shape[0] != 2
