@@ -1465,6 +1465,35 @@ class FFModel:
             self.eval_batch(batch, labels[sl])
         return self.get_metrics()
 
+    def predict(
+        self,
+        feeds: Dict[str, np.ndarray],
+        batch_size: Optional[int] = None,
+    ) -> np.ndarray:
+        """Serving entry for an ARBITRARY number of examples: inputs are
+        chunked to the compiled batch size and the last partial chunk is
+        padded by repeating its final row (valid indices, static XLA
+        shapes — no per-remainder recompile) then trimmed. The reference's
+        keras predict drops remainders; serving cannot."""
+        assert self._compiled
+        bs = batch_size or self.config.batch_size
+        n = next(iter(feeds.values())).shape[0]
+        assert n > 0, "predict: empty input"
+        outs = []
+        for i in range(0, n, bs):
+            chunk = {k: v[i : i + bs] for k, v in feeds.items()}
+            m = next(iter(chunk.values())).shape[0]
+            if m < bs:
+                chunk = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], bs - m, axis=0)], axis=0
+                    )
+                    for k, v in chunk.items()
+                }
+            y = self.forward(chunk, training=False)
+            outs.append(np.asarray(y)[:m])
+        return np.concatenate(outs, axis=0)
+
     # ------------------------------------------------------------------ state IO
     def get_parameters(self):
         return self._params

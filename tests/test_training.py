@@ -358,3 +358,25 @@ def test_sparse_optimizer_mixed_adam_rowwise_adagrad():
     with pytest.raises(AssertionError, match="sparse Adam"):
         m.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
                   [], sparse_optimizer=AdamOptimizer(alpha=0.01))
+
+
+def test_predict_arbitrary_count_pads_statically():
+    """FFModel.predict serves any example count: chunks at the compiled
+    batch, pads the tail by repeating the last row, trims after — outputs
+    equal per-row forward results, ONE compiled executable."""
+    cfg = tiny_config(batch_size=32)
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=32, compute_dtype="float32", seed=5)
+    )
+    model.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, _ = random_batches(cfg, 77, seed=11)  # 2 full chunks + tail 13
+    y = model.predict(feeds)
+    assert y.shape[0] == 77
+    # spot-check tail rows against a full-batch forward containing them
+    full, _ = random_batches(cfg, 77, seed=11)
+    ref = model.forward(
+        {k: np.concatenate([v[64:77], v[:19]], axis=0) for k, v in full.items()}
+    )
+    np.testing.assert_allclose(y[64:77], np.asarray(ref)[:13], rtol=1e-5,
+                               atol=1e-6)
