@@ -125,8 +125,15 @@ def main():
         "summit": summit_config,
     }[args.config](batch_size=args.batch_size)
 
-    if args.config == "mlperf-full" and args.host_tail_threshold == 0:
-        args.host_tail_threshold = 1 << 20
+    if args.config == "mlperf-full":
+        if args.mode != "train":
+            # the unclipped 227M/293M-row vocabs only fit via the host-tail
+            # split, and the host-tail bench measures training (per-step
+            # host work); serving this config needs multi-chip sharding
+            ap.error("mlperf-full supports --mode train only "
+                     "(host-tail offload; see PERF.md)")
+        if args.host_tail_threshold == 0:
+            args.host_tail_threshold = 1 << 20
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
     ffc.packed_tables = args.packed_tables
     ffc.packed_gather_mode = args.packed_gather_mode
@@ -179,7 +186,7 @@ def main():
              labels_np[args.batch_size * j: args.batch_size * (j + 1)])
             for j in range(n_batches)
         ]
-        for i in range(args.warmup):
+        for i in range(max(args.warmup, 1)):  # >=1: compile outside timing
             loss = model.train_batch(*batches[i % n_batches])
         _ = float(loss)
         t0 = time.perf_counter()

@@ -700,8 +700,14 @@ class FFModel:
                 if hasattr(op, "sparse_update") and op.inputs and all(
                     isinstance(t.owner_op, InputOp) for t in op.inputs
                 ):
-                    # small tables go through the one-hot matmul (dense grads)
-                    if 0 < getattr(op, "num_entries", 0) <= onehot_thr:
+                    # small tables go through the one-hot matmul (dense
+                    # grads) — EXCEPT host-tail ops, whose hot prefix may
+                    # shrink num_entries under the threshold but whose
+                    # backward only exists on the sparse path
+                    if (
+                        0 < getattr(op, "num_entries", 0) <= onehot_thr
+                        and not getattr(op, "host_tail_vocab", 0)
+                    ):
                         continue
                     sparse_ops.append(op)
         sparse_names = {op.name for op in sparse_ops}
@@ -1115,7 +1121,9 @@ class FFModel:
         # decisions that apply even when NO table stays placed (owner empty):
         # one-hot replication and host-tail offload are per-table modes, not
         # collection placements
-        if (report or {}).get("replicated_tables"):
+        # explicit None check: a searched "replicate NOTHING" (empty list)
+        # must still clear any pre-set replication on the plan
+        if (report or {}).get("replicated_tables") is not None:
             plan.replicated_tables = report["replicated_tables"]
         # host-tail placements chosen by the search (mode 2): the
         # compile-time pass reads plan.host_tail_rows and splits those
@@ -1196,7 +1204,8 @@ class FFModel:
         self._apply_packed_modes()
         ht = getattr(self, "_host_tail", None)
         if ht is not None:
-            feeds = {**feeds, **ht.build_feeds(feeds)}
+            # read-only tail serve: no drop counting, no pending update
+            feeds = {**feeds, **ht.build_feeds(feeds, train=False)}
         feeds, _ = self._stage(feeds)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.config.seed), self._step_count)
         return self._forward_fn(self._params, feeds, training, rng)
@@ -1262,6 +1271,22 @@ class FFModel:
         if not entries:
             self._host_tail = getattr(self, "_host_tail", None)
             return
+        # the host applies plain -lr*g to tail rows (reference: CPU-side
+        # plain-SGD embedding backward, src/ops/embedding.cc); any stateful
+        # or decayed rule would silently diverge between the hot prefix and
+        # the tail of the SAME table — refuse instead
+        row_opt = getattr(self, "sparse_optimizer", None) or self.optimizer
+        from ..training.optimizer import SGDOptimizer as _SGD
+
+        assert (
+            isinstance(row_opt, _SGD)
+            and row_opt.momentum == 0.0
+            and row_opt.weight_decay == 0.0
+        ), (
+            "host-tail offload supports plain SGD row updates only "
+            f"(got {type(row_opt).__name__}); pass sparse_optimizer="
+            "SGDOptimizer(lr=...) or disable host_tail_threshold"
+        )
         from ..parallel.host_tail import HostTailRuntime, HostTailStore
 
         rt = HostTailRuntime()
@@ -1336,7 +1361,8 @@ class FFModel:
         self._apply_packed_modes()
         ht = getattr(self, "_host_tail", None)
         if ht is not None:
-            feeds = {**feeds, **ht.build_feeds(feeds)}
+            # read-only tail serve: no drop counting, no pending update
+            feeds = {**feeds, **ht.build_feeds(feeds, train=False)}
         feeds, labels = self._stage(feeds, labels)
         self._metrics_total, loss = self._eval_step(
             self._params, self._metrics_total, feeds, labels

@@ -100,12 +100,22 @@ class HostTailStore:
             self._arena[slots] = self._init_rows(idxs)
         return out
 
-    def lookup(self, rows: np.ndarray) -> np.ndarray:
-        """Absolute row ids [K] -> [K, D] f32 (touch-on-read)."""
+    def lookup(self, rows: np.ndarray, create: bool = True) -> np.ndarray:
+        """Absolute row ids [K] -> [K, D] f32. `create` touch-allocates
+        (training); eval/serving reads untouched rows' init values without
+        inserting them (no arena growth from eval-only ids)."""
         rows = np.asarray(rows, np.int64)
         uniq, inv = np.unique(rows, return_inverse=True)
-        slots = self._slots_for(uniq, create=True)
-        return self._arena[slots][inv]
+        slots = self._slots_for(uniq, create=create)
+        if create:
+            return self._arena[slots][inv]
+        out = np.empty((uniq.shape[0], self.dim), np.float32)
+        hit = slots >= 0
+        if hit.any():
+            out[hit] = self._arena[slots[hit]]
+        if (~hit).any():
+            out[~hit] = self._init_rows(uniq[~hit])
+        return out[inv]
 
     def scatter_add(self, rows: np.ndarray, deltas: np.ndarray) -> None:
         """Duplicate-safe row accumulation (the host half of the sparse
@@ -154,9 +164,13 @@ class HostTailRuntime:
     def feed_names(self, op_name: str) -> Tuple[str, str]:
         return f"_hosttail:{op_name}:pos", f"_hosttail:{op_name}:val"
 
-    def build_feeds(self, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        """Compute tail partial feeds for one batch. Also records the miss
-        rows so apply_grads can route the step's gradients back."""
+    def build_feeds(self, feeds: Dict[str, np.ndarray],
+                    train: bool = True) -> Dict[str, np.ndarray]:
+        """Compute tail partial feeds for one batch. When `train`, also
+        records the miss rows so apply_grads can route the step's
+        gradients back and counts lookups/drops; eval/serving calls
+        (train=False) leave the drop counters (the TRAINING drop-rate
+        observability contract) and the pending-update state untouched."""
         out = {}
         for name, (store, sfeed, hot, k_cap) in self.entries.items():
             idx = np.asarray(feeds[sfeed])
@@ -165,17 +179,20 @@ class HostTailRuntime:
             b, h = idx.shape
             ex, mem = np.nonzero(idx >= hot)  # tail lookups (example, member)
             rows = idx[ex, mem].astype(np.int64)
-            self.total += rows.shape[0]
+            if train:
+                self.total += rows.shape[0]
             if rows.shape[0] > k_cap:
-                self.dropped += rows.shape[0] - k_cap
+                if train:
+                    self.dropped += rows.shape[0] - k_cap
                 ex, rows = ex[:k_cap], rows[:k_cap]
             k = rows.shape[0]
             pos = np.full(k_cap, b, np.int32)  # b = out-of-range -> dropped
             val = np.zeros((k_cap, store.dim), np.float32)
             pos[:k] = ex
             if k:
-                val[:k] = store.lookup(rows)
-            self._pending[name] = rows
+                val[:k] = store.lookup(rows, create=train)
+            if train:
+                self._pending[name] = rows
             pname, vname = self.feed_names(name)
             out[pname] = pos
             out[vname] = val

@@ -73,7 +73,10 @@ def apply_sparse_updates(
     # group by (row count, dim, chunk) so sorts batch into one lax.sort
     groups: Dict[tuple, List] = {}
     for op in packed_ops:
-        (idx,) = sparse_xs[op.name]
+        # host-tail ops carry (idx, pos, val); the device update only sees
+        # idx — tail rows (>= the hot-prefix vocab) drop in the stream
+        # prep and the host applies their grads (FFModel g_host path)
+        idx = sparse_xs[op.name][0]
         # UNEXPANDED payload source: the [B*H, D] bag broadcast composes
         # into the sorted-order payload gather (gather_payload), so it is
         # never materialized

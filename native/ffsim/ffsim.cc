@@ -550,11 +550,9 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
     emb_u = add(c.embed_upd_max, 0);
     edge(a2a_b, emb_u);
   }
-  std::vector<char> has_succ(num_ops, 0);
   for (int e = 0; e < n_oe; e++) {
     const int a = oe_src[e], b = oe_dst[e];
     if (a < 0 || a >= num_ops || b < 0 || b >= num_ops) continue;
-    has_succ[a] = 1;
     if (placed[a] && !placed[b]) {
       // embedding output reaches b through the pooled exchange
       edge(a2a_f, fwd[b]);
@@ -569,11 +567,12 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
       edge(emb_u, bwd[a]);
     }  // placed->placed: both inside the aggregate, no edge needed
   }
-  // fwd-before-own-bwd, and loss turnaround at graph sinks
+  // fwd-before-own-bwd (covers the loss turnaround at graph sinks too:
+  // a sink's bwd cannot start before its fwd, and the loss itself is
+  // modeled as part of the sink's cost)
   for (int i = 0; i < num_ops; i++) {
     if (fwd[i] != kNone && bwd[i] != kNone) {
       edge(fwd[i], bwd[i]);
-      if (!has_succ[i]) edge(fwd[i], bwd[i]);
     }
   }
   // dense-grad allreduce after the bwd of every op that owns dense params

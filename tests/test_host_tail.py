@@ -47,9 +47,11 @@ def test_store_demand_allocation_deterministic():
     np.testing.assert_array_equal(s3.lookup(rows), s1.lookup(rows))
 
 
-def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0):
+def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0,
+                  packed="off"):
     """Train a full-vocab on-device model and a host-tail model with
-    IDENTICAL effective initial tables; return per-step losses + finals."""
+    IDENTICAL effective initial tables; return per-step losses + finals.
+    packed="on" runs both through the packed kernel (interpret on CPU)."""
     from dlrm_flexflow_tpu.ops.embedding import Embedding
 
     rng = np.random.RandomState(seed)
@@ -59,14 +61,15 @@ def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0):
         ff = FFConfig(batch_size=bs, compute_dtype="float32",
                       host_tail_threshold=hot if tail else 0,
                       host_tail_cap_frac=k_cap_frac,
-                      onehot_embedding_threshold=0, fuse_embeddings=False)
+                      onehot_embedding_threshold=0, fuse_embeddings=False,
+                      packed_tables=packed)
         model = make_dlrm_model(cfg, ff)
         model.compile(SGDOptimizer(lr=0.05),
                       LossType.LOSS_BINARY_CROSSENTROPY,
                       [MetricsType.METRICS_ACCURACY])
         # force identical initial tables: device rows from a shared seed,
-        # host tail rows PRE-SEEDED with the same values
-        params = model.get_parameters()
+        # host tail rows PRE-SEEDED with the same values (set_weights
+        # handles the packed layout)
         embs = [op for op in model.graph.compute_ops
                 if isinstance(op, Embedding)]
         for t, op in enumerate(embs):
@@ -74,13 +77,12 @@ def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0):
                 vocabs[t], cfg.sparse_feature_size
             ).astype(np.float32) * 0.05
             if tail and op.host_tail_vocab:
-                params[op.name]["weight"] = full[:hot]
+                model.set_weights(op.name, {"weight": full[:hot]})
                 store = model._host_tail.entries[op.name][0]
                 tail_rows = np.arange(hot, vocabs[t])
                 store.load_state(tail_rows, full[hot:])
             else:
-                params[op.name]["weight"] = full
-        model.set_parameters(params)
+                model.set_weights(op.name, {"weight": full})
         results[tail] = model
     feeds, labels = random_batches(_cfg(vocabs, bs, bag=bag), bs * steps,
                                    seed=3)
@@ -311,3 +313,77 @@ def test_host_tail_memory_is_touched_rows_only():
     # eval path serves tail rows too
     ev = float(model.eval_batch(feeds, labels))
     assert np.isfinite(ev)
+
+
+def test_host_tail_packed_matches_full_device_model():
+    """The PACKED kernel path composes with host-tail offload (the
+    flagship mlperf-full bench configuration: packed auto-enables on TPU
+    at bench batch sizes): host-tail ops carry (idx, pos, val) and the
+    device update must only see idx. Trajectory parity vs the packed
+    full-device model, exactly like the scatter-path test."""
+    vocabs = [50, 200, 120]
+    hot = 40
+    models, losses = _train_models(vocabs, hot, bs=16, steps=3, packed="on")
+    for op in models[True].graph.compute_ops:
+        if getattr(op, "host_tail_vocab", 0):
+            assert getattr(op, "packed", False), "packed gate must include host-tail ops"
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-4, atol=1e-5)
+    assert models[True].host_tail_dropped == 0
+
+
+def test_host_tail_under_onehot_threshold_stays_on_sparse_path():
+    """A hot prefix under the one-hot threshold must NOT be demoted to the
+    one-hot dense-grad path (its backward only exists on the sparse path;
+    compile used to crash)."""
+    cfg = _cfg([50, 200, 120], 16)
+    ff = FFConfig(batch_size=16, compute_dtype="float32",
+                  host_tail_threshold=40, host_tail_cap_frac=1.0,
+                  onehot_embedding_threshold=8192, fuse_embeddings=False)
+    model = make_dlrm_model(cfg, ff)
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 16, seed=4)
+    loss = model.train_batch(feeds, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_host_tail_refuses_stateful_optimizers():
+    """Host tail rows get plain -lr*g; stateful/decayed rules would make
+    hot-prefix and tail rows of the SAME table follow different updates —
+    compile refuses instead of silently diverging."""
+    import pytest
+
+    from dlrm_flexflow_tpu import AdamOptimizer
+
+    cfg = _cfg([50, 200, 120], 16)
+    ff = FFConfig(batch_size=16, compute_dtype="float32",
+                  host_tail_threshold=40, onehot_embedding_threshold=0,
+                  fuse_embeddings=False)
+    model = make_dlrm_model(cfg, ff)
+    with pytest.raises(AssertionError, match="plain SGD"):
+        model.compile(AdamOptimizer(alpha=0.01),
+                      LossType.LOSS_BINARY_CROSSENTROPY, [])
+    model = make_dlrm_model(cfg, ff)
+    with pytest.raises(AssertionError, match="plain SGD"):
+        model.compile(SGDOptimizer(lr=0.05, weight_decay=0.01),
+                      LossType.LOSS_BINARY_CROSSENTROPY, [])
+
+
+def test_host_tail_eval_does_not_pollute_drop_counters():
+    """eval/forward serve tail values read-only: training drop-rate
+    observability and the pending-update state must be untouched, and
+    eval-only ids must not allocate store rows."""
+    vocabs = [50, 200, 120]
+    models, _ = _train_models(vocabs, 40, bs=16, steps=2)
+    m = models[True]
+    total0, dropped0 = m._host_tail.total, m._host_tail.dropped
+    touched0 = sum(e[0].touched_rows for e in m._host_tail.entries.values())
+    feeds, labels = random_batches(_cfg(vocabs, 16), 16, seed=77)
+    m.eval_batch(feeds, labels)
+    m.forward(feeds)
+    assert m._host_tail.total == total0
+    assert m._host_tail.dropped == dropped0
+    assert sum(
+        e[0].touched_rows for e in m._host_tail.entries.values()
+    ) == touched0
