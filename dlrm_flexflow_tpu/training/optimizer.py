@@ -22,6 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _dedup_row_grads(rows, g32, num_rows: int):
+    """Static-shape dedup for lazy sparse updates: (uniq [K] with
+    out-of-range fill for empty/dropped slots, per-unique-row summed grads
+    G [K, D], summed SQUARES Sq [K, D]). Unique slots never collide, so
+    the callers' state writes are conflict-free scatter-sets and every
+    temporary is O(K*D) — never the dense [V, D] table shape."""
+    rows = jnp.where(rows < 0, num_rows, rows)  # negatives drop like OOB
+    uniq, inv = jnp.unique(
+        rows, size=rows.shape[0], fill_value=num_rows, return_inverse=True
+    )
+    k = rows.shape[0]
+    G = jax.ops.segment_sum(g32, inv, num_segments=k)
+    Sq = jax.ops.segment_sum(jnp.square(g32), inv, num_segments=k)
+    return uniq, G, Sq
+
+
 class Optimizer:
     # Sparse-row support: embedding tables get their gradients applied as
     # scatter updates over only the touched rows, never materializing a
@@ -80,20 +96,20 @@ class SGDOptimizer(Optimizer):
             )
             return new_table, state
         # lazy momentum: v[r] = mu*v[r] + G_r (G_r = summed duplicate grads,
-        # decay applied once per touched row per step), w[r] -= lr * step_r
+        # decay applied once per touched occurrence), w[r] -= lr * step_r.
+        # O(K*D): dedup to static-size unique rows + segment sums + row
+        # scatters — NOT dense [V, D] temporaries (a 1Mx128 pool would move
+        # ~GBs per step to touch a few thousand rows).
         g32 = row_grads.astype(jnp.float32)
-        G = jnp.zeros(table.shape, jnp.float32).at[rows].add(g32, mode="drop")
-        touched = (
-            jnp.zeros((table.shape[0],), jnp.float32)
-            .at[rows].add(1.0, mode="drop")[:, None]
-            > 0
+        uniq, G, _ = _dedup_row_grads(rows, g32, table.shape[0])
+        v_rows = jnp.take(state, jnp.minimum(uniq, state.shape[0] - 1), axis=0)
+        v2_rows = self.momentum * v_rows + G
+        step = G + self.momentum * v2_rows if self.nesterov else v2_rows
+        new_state = state.at[uniq].set(v2_rows, mode="drop")
+        new_table = table.at[uniq].add(
+            (-lr * step).astype(table.dtype), mode="drop"
         )
-        v2 = jnp.where(touched, self.momentum * state + G, state)
-        step = G + self.momentum * v2 if self.nesterov else v2
-        new_table = jnp.where(
-            touched, table - (lr * step).astype(table.dtype), table
-        )
-        return new_table, v2
+        return new_table, new_state
 
     def init(self, params):
         base = {"step": jnp.zeros((), jnp.int32), "lr": jnp.float32(self.lr)}
@@ -158,21 +174,20 @@ class AdamOptimizer(Optimizer):
         if self.weight_decay != 0.0:
             decay = jnp.take(table, jnp.minimum(rows, table.shape[0] - 1), axis=0)
             g32 = g32 + self.weight_decay * decay.astype(jnp.float32)
+        # O(K*D) lazy update on the touched rows only (see the momentum
+        # path): dense [V, D] G/Sq/where temporaries made this O(V*D)
         m, v = state[0], state[1]
-        G = jnp.zeros(table.shape, jnp.float32).at[rows].add(g32, mode="drop")
-        Sq = jnp.zeros(table.shape, jnp.float32).at[rows].add(
-            jnp.square(g32), mode="drop"
-        )
-        touched = (
-            jnp.zeros((table.shape[0],), jnp.float32)
-            .at[rows].add(1.0, mode="drop")[:, None]
-            > 0
-        )
-        m2 = jnp.where(touched, self.beta1 * m + (1.0 - self.beta1) * G, m)
-        v2 = jnp.where(touched, self.beta2 * v + (1.0 - self.beta2) * Sq, v)
-        upd = alpha_t * m2 / (jnp.sqrt(v2) + self.epsilon)
-        new_table = jnp.where(touched, table - upd.astype(table.dtype), table)
-        return new_table, jnp.stack([m2, v2])
+        uniq, G, Sq = _dedup_row_grads(rows, g32, table.shape[0])
+        safe = jnp.minimum(uniq, table.shape[0] - 1)
+        m_rows = jnp.take(m, safe, axis=0)
+        v_rows = jnp.take(v, safe, axis=0)
+        m2_rows = self.beta1 * m_rows + (1.0 - self.beta1) * G
+        v2_rows = self.beta2 * v_rows + (1.0 - self.beta2) * Sq
+        upd = alpha_t * m2_rows / (jnp.sqrt(v2_rows) + self.epsilon)
+        new_m = m.at[uniq].set(m2_rows, mode="drop")
+        new_v = v.at[uniq].set(v2_rows, mode="drop")
+        new_table = table.at[uniq].add(-upd.astype(table.dtype), mode="drop")
+        return new_table, jnp.stack([new_m, new_v])
 
     def init(self, params):
         return {
