@@ -1271,25 +1271,37 @@ class FFModel:
         if not entries:
             self._host_tail = getattr(self, "_host_tail", None)
             return
-        # the host applies plain -lr*g to tail rows (reference: CPU-side
-        # plain-SGD embedding backward, src/ops/embedding.cc); any stateful
-        # or decayed rule would silently diverge between the hot prefix and
-        # the tail of the SAME table — refuse instead
+        # tail rows must follow the SAME rule as the device's hot prefix
+        # (one table, one optimizer): plain SGD (-lr*g; the reference's
+        # CPU-side embedding backward, src/ops/embedding.cc) and row-wise
+        # AdaGrad (per-row accumulator in the store) are supported;
+        # momentum/Adam would silently diverge — refuse instead
         row_opt = getattr(self, "sparse_optimizer", None) or self.optimizer
-        from ..training.optimizer import SGDOptimizer as _SGD
-
-        assert (
-            isinstance(row_opt, _SGD)
-            and row_opt.momentum == 0.0
-            and row_opt.weight_decay == 0.0
-        ), (
-            "host-tail offload supports plain SGD row updates only "
-            f"(got {type(row_opt).__name__}); pass sparse_optimizer="
-            "SGDOptimizer(lr=...) or disable host_tail_threshold"
+        from ..training.optimizer import (
+            RowWiseAdagradOptimizer as _RWA,
+            SGDOptimizer as _SGD,
         )
+
+        if isinstance(row_opt, _RWA):
+            rule, eps, acc0 = (
+                "rowwise_adagrad", row_opt.epsilon,
+                row_opt.initial_accumulator,
+            )
+        else:
+            assert (
+                isinstance(row_opt, _SGD)
+                and row_opt.momentum == 0.0
+                and row_opt.weight_decay == 0.0
+            ), (
+                "host-tail offload supports plain SGD or row-wise AdaGrad "
+                f"row updates only (got {type(row_opt).__name__}); pass "
+                "sparse_optimizer= one of those or disable "
+                "host_tail_threshold"
+            )
+            rule, eps, acc0 = "sgd", 0.0, 0.0
         from ..parallel.host_tail import HostTailRuntime, HostTailStore
 
-        rt = HostTailRuntime()
+        rt = HostTailRuntime(rule=rule, epsilon=eps)
         for j, (op, sfeed, full, hot, k_cap) in enumerate(entries):
             # init scale mirrors GlorotUniform over the FULL [vocab, D]
             # table so tail rows are distributed like device rows
@@ -1297,7 +1309,8 @@ class FFModel:
             rt.add(
                 op.name,
                 HostTailStore(
-                    op.out_dim, scale, seed=self.config.seed * 1000 + j
+                    op.out_dim, scale, seed=self.config.seed * 1000 + j,
+                    acc_init=acc0,
                 ),
                 sfeed, hot, k_cap,
             )

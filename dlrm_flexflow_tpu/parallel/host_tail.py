@@ -53,12 +53,16 @@ class HostTailStore:
     uniform(-scale, scale) rows, stored O(touched)."""
 
     def __init__(self, dim: int, scale: float, seed: int = 0,
-                 initial_capacity: int = 1024):
+                 initial_capacity: int = 1024, acc_init: float = 0.0):
         self.dim = int(dim)
         self.scale = float(scale)
         self.seed = int(seed)
+        self.acc_init = float(acc_init)
         self._slot: Dict[int, int] = {}
         self._arena = np.zeros((initial_capacity, dim), np.float32)
+        # per-row optimizer state (row-wise AdaGrad accumulator), grown
+        # with the arena; plain SGD leaves it untouched
+        self._acc = np.full(initial_capacity, acc_init, np.float32)
         self._n = 0
 
     @property
@@ -95,6 +99,10 @@ class HostTailStore:
                 self._arena = np.concatenate(
                     [self._arena, np.zeros_like(self._arena)], axis=0
                 )
+                self._acc = np.concatenate(
+                    [self._acc,
+                     np.full_like(self._acc, self.acc_init)], axis=0
+                )
             idxs = np.asarray([r for (_, r) in new_rows], np.int64)
             slots = np.asarray([self._slot[int(r)] for r in idxs], np.int64)
             self._arena[slots] = self._init_rows(idxs)
@@ -127,19 +135,43 @@ class HostTailStore:
         np.add.at(acc, inv, np.asarray(deltas, np.float32))
         self._arena[slots] += acc
 
+    def rowwise_adagrad_step(self, rows: np.ndarray, grads: np.ndarray,
+                             lr: float, epsilon: float) -> None:
+        """Row-wise AdaGrad on tail rows, mirroring the device rule
+        (training/optimizer.py RowWiseAdagradOptimizer.sparse_row_update):
+        acc[r] += sum over duplicate occurrences of mean(g_k^2);
+        w[r] -= lr * rsqrt(acc_new + eps) * G_r (summed duplicate grads,
+        one post-update scale per row)."""
+        rows = np.asarray(rows, np.int64)
+        g = np.asarray(grads, np.float32)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        slots = self._slots_for(uniq, create=True)
+        gsq = np.zeros(uniq.shape[0], np.float32)
+        np.add.at(gsq, inv, np.mean(np.square(g), axis=-1))
+        self._acc[slots] += gsq
+        G = np.zeros((uniq.shape[0], self.dim), np.float32)
+        np.add.at(G, inv, g)
+        scale = lr / np.sqrt(self._acc[slots] + epsilon)
+        self._arena[slots] -= scale[:, None] * G
+
     # ---- checkpoint ---------------------------------------------------------
-    def state(self) -> Tuple[np.ndarray, np.ndarray]:
+    def state(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         rows = np.fromiter(self._slot.keys(), np.int64, len(self._slot))
         slots = np.fromiter(self._slot.values(), np.int64, len(self._slot))
         order = np.argsort(rows)
-        return rows[order], self._arena[slots[order]].copy()
+        return (rows[order], self._arena[slots[order]].copy(),
+                self._acc[slots[order]].copy())
 
-    def load_state(self, rows: np.ndarray, values: np.ndarray) -> None:
+    def load_state(self, rows: np.ndarray, values: np.ndarray,
+                   acc: Optional[np.ndarray] = None) -> None:
         self._slot = {int(r): i for i, r in enumerate(np.asarray(rows))}
         self._n = len(self._slot)
         cap = max(1024, self._n)
         self._arena = np.zeros((cap, self.dim), np.float32)
         self._arena[: self._n] = np.asarray(values, np.float32)
+        self._acc = np.full(cap, self.acc_init, np.float32)
+        if acc is not None:
+            self._acc[: self._n] = np.asarray(acc, np.float32)
 
 
 class HostTailRuntime:
@@ -149,13 +181,17 @@ class HostTailRuntime:
     One entry per offloaded embedding op; `hot` is the device-resident
     prefix length, `k_cap` the static exchange capacity."""
 
-    def __init__(self):
+    def __init__(self, rule: str = "sgd", epsilon: float = 1e-10):
         # op name -> (store, sparse_feed_name, hot, k_cap, bag_dims)
         self.entries: Dict[str, Tuple[HostTailStore, str, int, int]] = {}
         # op name -> miss rows of the LAST prepared batch (for the update)
         self._pending: Dict[str, np.ndarray] = {}
         self.dropped = 0  # lifetime dropped tail lookups (capacity overflow)
         self.total = 0  # lifetime tail lookups
+        # tail-row update rule, matched to the model's sparse optimizer at
+        # compile: "sgd" (plain -lr*g) or "rowwise_adagrad"
+        self.rule = rule
+        self.epsilon = epsilon
 
     def add(self, op_name: str, store: HostTailStore, sparse_feed: str,
             hot: int, k_cap: int) -> None:
@@ -200,16 +236,21 @@ class HostTailRuntime:
 
     def apply_grads(self, g_vals: Dict[str, np.ndarray], lr: float) -> None:
         """g_vals: op name -> [K_cap, D] d(loss)/d(val) from the device
-        step (a gather of the pooled-output grad at pos). SGD on the tail
-        rows, matching the reference's CPU-side plain-SGD embedding update
-        (src/ops/embedding.cc backward)."""
+        step (a gather of the pooled-output grad at pos). Tail rows follow
+        self.rule — plain SGD (the reference's CPU-side embedding update,
+        src/ops/embedding.cc backward) or row-wise AdaGrad matching the
+        device's sparse optimizer."""
         for name, g in g_vals.items():
             store, _, _, _ = self.entries[name]
             rows = self._pending.get(name)
             if rows is None or rows.shape[0] == 0:
                 continue
             k = rows.shape[0]
-            store.scatter_add(rows, -lr * np.asarray(g, np.float32)[:k])
+            g_k = np.asarray(g, np.float32)[:k]
+            if self.rule == "rowwise_adagrad":
+                store.rowwise_adagrad_step(rows, g_k, lr, self.epsilon)
+            else:
+                store.scatter_add(rows, -lr * g_k)
 
     @property
     def drop_fraction(self) -> float:

@@ -68,9 +68,22 @@ def save_checkpoint(path: str, model, extra: Optional[Dict[str, Any]] = None) ->
     np.savez(os.path.join(path, "opt_state.npz"), **_flatten(opt))
     totals = jax.tree_util.tree_map(np.asarray, model._metrics_total)
     np.savez(os.path.join(path, "metrics.npz"), **_flatten(totals))
+    # host-tail stores (touched tail rows + per-row optimizer state):
+    # without them a resumed host-tail model would silently re-init every
+    # cold row it had trained
+    ht = getattr(model, "_host_tail", None)
+    if ht is not None and ht.entries:
+        blobs = {}
+        for name, (store, _, _, _) in ht.entries.items():
+            rows, vals, acc = store.state()
+            blobs[f"{name}/rows"] = rows
+            blobs[f"{name}/vals"] = vals
+            blobs[f"{name}/acc"] = acc
+        np.savez(os.path.join(path, "host_tail.npz"), **blobs)
     manifest = {
         "version": 1,
         "step": int(model._step_count),
+        "host_tail": bool(ht is not None and ht.entries),
         "extra": extra or {},
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -98,6 +111,19 @@ def restore_checkpoint(path: str, model) -> Dict[str, Any]:
     totals = load_npz("metrics.npz")
     model._metrics_total = jax.tree_util.tree_map(jax.numpy.asarray, totals)
     model._step_count = manifest["step"]
+    if manifest.get("host_tail"):
+        ht = getattr(model, "_host_tail", None)
+        assert ht is not None and ht.entries, (
+            "checkpoint carries host-tail stores but the model has none "
+            "(compile with the same host_tail_threshold)"
+        )
+        with np.load(os.path.join(path, "host_tail.npz")) as z:
+            for name, (store, _, _, _) in ht.entries.items():
+                acc_key = f"{name}/acc"
+                store.load_state(
+                    z[f"{name}/rows"], z[f"{name}/vals"],
+                    z[acc_key] if acc_key in z.files else None,
+                )
     # re-apply plan shardings if compiled distributed
     if model.mesh is not None and model.plan is not None:
         model._params = model.plan.shard_params(model._params, model.graph, model.mesh)

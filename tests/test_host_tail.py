@@ -41,14 +41,14 @@ def test_store_demand_allocation_deterministic():
     s1.scatter_add(np.asarray([5, 5]), np.ones((2, 8), np.float32))
     np.testing.assert_allclose(s1.lookup(np.asarray([5]))[0], a[0] + 2.0)
     # checkpoint round-trip
-    rows_s, vals_s = s1.state()
+    rows_s, vals_s, acc_s = s1.state()
     s3 = HostTailStore(8, scale=0.1, seed=7)
-    s3.load_state(rows_s, vals_s)
+    s3.load_state(rows_s, vals_s, acc_s)
     np.testing.assert_array_equal(s3.lookup(rows), s1.lookup(rows))
 
 
 def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0,
-                  packed="off"):
+                  packed="off", opt_factory=None):
     """Train a full-vocab on-device model and a host-tail model with
     IDENTICAL effective initial tables; return per-step losses + finals.
     packed="on" runs both through the packed kernel (interpret on CPU)."""
@@ -64,7 +64,7 @@ def _train_models(vocabs, hot, bs, steps, bag=2, seed=0, k_cap_frac=1.0,
                       onehot_embedding_threshold=0, fuse_embeddings=False,
                       packed_tables=packed)
         model = make_dlrm_model(cfg, ff)
-        model.compile(SGDOptimizer(lr=0.05),
+        model.compile(opt_factory() if opt_factory else SGDOptimizer(lr=0.05),
                       LossType.LOSS_BINARY_CROSSENTROPY,
                       [MetricsType.METRICS_ACCURACY])
         # force identical initial tables: device rows from a shared seed,
@@ -387,3 +387,69 @@ def test_host_tail_eval_does_not_pollute_drop_counters():
     assert sum(
         e[0].touched_rows for e in m._host_tail.entries.values()
     ) == touched0
+
+
+def test_host_tail_rowwise_adagrad_matches_full_device():
+    """Row-wise AdaGrad host tails: the store keeps a per-row accumulator
+    and applies the device's exact rule, so the hot/tail partition stays
+    semantically invisible under the production Criteo optimizer."""
+    from dlrm_flexflow_tpu import RowWiseAdagradOptimizer
+
+    vocabs = [50, 200, 120]
+    hot = 40
+    models, losses = _train_models(
+        vocabs, hot, bs=16, steps=4,
+        opt_factory=lambda: RowWiseAdagradOptimizer(lr=0.05),
+    )
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-4, atol=1e-5)
+    assert models[True]._host_tail.rule == "rowwise_adagrad"
+
+
+def test_host_tail_checkpoint_roundtrip(tmp_path):
+    """Touched tail rows (+ per-row accumulator) survive checkpoint/resume
+    — without this a resumed host-tail model silently re-inits every cold
+    row it had trained."""
+    from dlrm_flexflow_tpu import RowWiseAdagradOptimizer
+    from dlrm_flexflow_tpu.training.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    vocabs = [50, 200, 120]
+    hot = 40
+
+    def build():
+        cfg = _cfg(vocabs, 16)
+        ff = FFConfig(batch_size=16, compute_dtype="float32",
+                      host_tail_threshold=hot, host_tail_cap_frac=1.0,
+                      onehot_embedding_threshold=0, fuse_embeddings=False)
+        m = make_dlrm_model(cfg, ff)
+        m.compile(RowWiseAdagradOptimizer(lr=0.05),
+                  LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+        return m
+
+    feeds, labels = random_batches(_cfg(vocabs, 16), 16 * 3, seed=5)
+    batches = [
+        ({k: v[16 * i: 16 * (i + 1)] for k, v in feeds.items()},
+         labels[16 * i: 16 * (i + 1)])
+        for i in range(3)
+    ]
+    m1 = build()
+    m1.train_batch(*batches[0])
+    m1.train_batch(*batches[1])
+    save_checkpoint(str(tmp_path / "ck"), m1)
+    l1 = float(m1.train_batch(*batches[2]))
+
+    m2 = build()
+    restore_checkpoint(str(tmp_path / "ck"), m2)
+    # rerun the SAME step 3: identical loss, then identical stores
+    l2 = float(m2.train_batch(*batches[2]))
+    assert l1 == l2, (l1, l2)
+    for name, (s1, _, _, _) in m1._host_tail.entries.items():
+        s2 = m2._host_tail.entries[name][0]
+        r1, v1, a1 = s1.state()
+        r2, v2, a2 = s2.state()
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(a1, a2, rtol=1e-6, atol=1e-7)
