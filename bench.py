@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="kaggle",
                     choices=["tiny", "kaggle", "mlperf", "mlperf-lite",
-                             "mlperf-full", "summit"])
+                             "mlperf-full", "summit", "summit-large"])
     # mlperf-full: the UNCLIPPED 26-table Terabyte config (227M/293M-row
     # vocabs) on one chip — host-tail offload keeps a hot prefix per huge
     # table in HBM and serves cold rows from the demand-allocated host
@@ -113,6 +113,7 @@ def main():
         mlperf_config,
         mlperf_lite_config,
         summit_config,
+        summit_large_config,
         tiny_config,
     )
 
@@ -123,6 +124,7 @@ def main():
         "mlperf-lite": mlperf_lite_config,
         "mlperf-full": mlperf_config,
         "summit": summit_config,
+        "summit-large": summit_large_config,
     }[args.config](batch_size=args.batch_size)
 
     if args.config == "mlperf-full":

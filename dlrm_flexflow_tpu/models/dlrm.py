@@ -42,10 +42,15 @@ class DLRMConfig:
     def __post_init__(self):
         if self.sigmoid_top < 0:
             self.sigmoid_top = len(self.mlp_top) - 2  # last layer sigmoid
-        assert self.mlp_bot[-1] == self.sparse_feature_size, (
-            "bottom MLP must end at sparse_feature_size "
-            f"({self.mlp_bot[-1]} != {self.sparse_feature_size})"
-        )
+        # dot interaction pairs the bottom output with each D-dim
+        # embedding, so bot must end at D; cat just concatenates (the
+        # reference's run_summit_large.sh ends bot at 4096 with D=64)
+        if self.arch_interaction_op == "dot":
+            assert self.mlp_bot[-1] == self.sparse_feature_size, (
+                "dot interaction: bottom MLP must end at "
+                f"sparse_feature_size ({self.mlp_bot[-1]} != "
+                f"{self.sparse_feature_size})"
+            )
 
     @property
     def num_tables(self) -> int:
@@ -55,7 +60,7 @@ class DLRMConfig:
         f = self.num_tables + 1
         d = self.sparse_feature_size
         if self.arch_interaction_op == "cat":
-            return f * d
+            return self.mlp_bot[-1] + self.num_tables * d
         if self.arch_interaction_op == "dot":
             return f * (f - 1) // 2 + d
         raise ValueError(self.arch_interaction_op)
@@ -242,6 +247,25 @@ def mlperf_lite_config(batch_size: int = 2048, vocab_cap: int = 2_000_000) -> DL
     cfg = mlperf_config(batch_size=batch_size)
     cfg.embedding_size = [min(v, vocab_cap) for v in cfg.embedding_size]
     return cfg
+
+
+def summit_large_config(batch_size: int = 512,
+                        num_tables: int = 6) -> DLRMConfig:
+    """reference: examples/cpp/DLRM/run_summit_large.sh — the MLPerf-like
+    big-MLP config: 1M-row tables dim 64 with MULTI-HOT bags of 100
+    (K = 100*B update rows per table per step), bot 2048-4096x5, top
+    4096x4-1. The reference script's top input dim (10240) is inconsistent
+    with its own cat interaction; ours is the consistent bot_out + T*D.
+    num_tables: 6 (the script's active variant) or 24 (commented one)."""
+    return DLRMConfig(
+        sparse_feature_size=64,
+        embedding_size=[1_000_000] * num_tables,
+        embedding_bag_size=100,
+        mlp_bot=[2048, 4096, 4096, 4096, 4096, 4096],
+        mlp_top=[4096 + num_tables * 64, 4096, 4096, 4096, 4096, 1],
+        arch_interaction_op="cat",
+        batch_size=batch_size,
+    )
 
 
 def summit_config(batch_size: int = 512) -> DLRMConfig:
