@@ -1,0 +1,42 @@
+#!/bin/bash
+# One-shot round-3 TPU measurement sequence (run when the tunnel is up).
+# Parts run SEQUENTIALLY (TPU runs must not overlap); each under timeout;
+# logs land in /tmp/r3_measure/. Does NOT commit — inspect logs, then
+# commit .ffsim_machine.json + PERF.md updates by hand.
+set -u
+cd /root/repo
+LOG=/tmp/r3_measure
+mkdir -p "$LOG"
+
+probe() {
+  timeout 180 python - <<'EOF' >/dev/null 2>&1
+import subprocess, sys
+r = subprocess.run([sys.executable, "-c",
+    "import jax; assert jax.devices()[0].platform=='tpu'"],
+    stdin=subprocess.DEVNULL, stdout=subprocess.DEVNULL,
+    stderr=subprocess.DEVNULL, timeout=150)
+sys.exit(r.returncode)
+EOF
+}
+
+run_part() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name start $(date)" | tee -a "$LOG/driver.log"
+  if ! probe; then
+    echo "!!! tunnel down before $name; aborting" | tee -a "$LOG/driver.log"
+    exit 2
+  fi
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  rc=$?
+  echo "=== $name done rc=$rc $(date)" | tee -a "$LOG/driver.log"
+  tail -15 "$LOG/$name.log" | tee -a "$LOG/driver.log"
+}
+
+run_part gather 2400 python scripts/round3_measure.py gather
+run_part stream 3600 python scripts/round3_measure.py stream
+run_part calib  5400 python scripts/round3_measure.py calib
+cp .ffsim_machine.json "$LOG/ffsim_machine.calibrated.json" 2>/dev/null
+run_part decomp 14400 python scripts/round3_measure.py decomp
+run_part bench_kaggle 2400 python bench.py
+run_part bench_serving 2400 python bench.py --mode infer
+echo "ALL PARTS DONE $(date)" | tee -a "$LOG/driver.log"
