@@ -9,6 +9,10 @@ Parts (all independent; TPU runs must not overlap):
   calib   — fresh full calibration (gather mode + stream mode + packed
             constants + narrow gather/scatter) -> .ffsim_machine.json;
             commit the file so bench/compile pick the measured winners.
+  residual— whole-step residual anchored on kaggle (saved into the
+            machine file) + raw/calibrated prediction error on summit and
+            mlperf-lite (the VERDICT r2 item-5 transfer validation); run
+            AFTER calib (a fresh machine file has step_residual 1.0).
   decomp  — step decomposition at kaggle bs=65536: full train step,
             forward-only, and no-update ablations.
 
@@ -81,6 +85,63 @@ def part_calib(args):
     print(f"saved -> {cache}; commit it so compile/bench apply the winners")
 
 
+def part_residual(args):
+    """Whole-step residual + per-config prediction accuracy (run AFTER
+    calib: the fresh machine file's step_residual is 1.0 until this runs).
+    kaggle anchors the residual and SAVES it into .ffsim_machine.json;
+    summit / mlperf-lite then report raw and residual-calibrated
+    prediction error — the VERDICT r2 item-5 'transfers within 15%'
+    validation."""
+    import numpy as np
+
+    from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
+    from dlrm_flexflow_tpu.autotune.machine import MachineSpec, preset
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import (
+        kaggle_config, make_dlrm_model, mlperf_lite_config, summit_config,
+    )
+
+    cache = ".ffsim_machine.json"
+    configs = [
+        ("kaggle", kaggle_config, 65536),
+        ("summit", summit_config, 32768),
+        ("mlperf-lite", mlperf_lite_config, 16384),
+    ]
+    residual = None
+    for name, fn, bs in configs:
+        cfg = fn(batch_size=bs)
+        model = make_dlrm_model(
+            cfg, FFConfig(batch_size=bs, compute_dtype="bfloat16")
+        )
+        model.compile(
+            SGDOptimizer(lr=0.01), LossType.LOSS_BINARY_CROSSENTROPY, []
+        )
+        feeds, labels = random_batches(cfg, bs, seed=0)
+        if name == "kaggle":
+            # anchor: measure + store the residual in the machine file
+            residual, measured, pred = model.calibrate_step_residual(
+                feeds, labels, steps=args.repeats, cache_path=cache
+            )
+            print(f"[{name}] measured {measured:.0f}us raw-pred {pred:.0f}us"
+                  f" -> residual {residual:.3f}"
+                  f" (raw error {100 * (pred / measured - 1):+.1f}%)",
+                  flush=True)
+        else:
+            # transfer check: do NOT overwrite the anchored residual
+            import os
+
+            machine = (MachineSpec.from_file(cache) if os.path.exists(cache)
+                       else preset("tpu_v5e")).torus_for(1)
+            _, measured, pred = model.calibrate_step_residual(
+                feeds, labels, steps=args.repeats, machine=machine
+            )
+            cal = pred * (residual if residual else 1.0)
+            print(f"[{name}] measured {measured:.0f}us raw-pred {pred:.0f}us"
+                  f" (raw error {100 * (pred / measured - 1):+.1f}%), "
+                  f"kaggle-residual-calibrated {cal:.0f}us "
+                  f"({100 * (cal / measured - 1):+.1f}%)", flush=True)
+
+
 def part_decomp(args):
     """Step decomposition via bench-protocol ablations (run AFTER calib so
     auto modes pick the measured winners)."""
@@ -109,14 +170,15 @@ def part_decomp(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("part", choices=["gather", "stream", "calib", "decomp"])
+    ap.add_argument("part", choices=["gather", "stream", "calib",
+                                     "residual", "decomp"])
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--keep-cache", action="store_true")
     args = ap.parse_args()
     print("devices:", jax.devices())
-    {"gather": part_gather, "stream": part_stream,
-     "calib": part_calib, "decomp": part_decomp}[args.part](args)
+    {"gather": part_gather, "stream": part_stream, "calib": part_calib,
+     "residual": part_residual, "decomp": part_decomp}[args.part](args)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ run_part gather 2400 python scripts/round3_measure.py gather
 run_part stream 3600 python scripts/round3_measure.py stream
 run_part calib  5400 python scripts/round3_measure.py calib
 cp .ffsim_machine.json "$LOG/ffsim_machine.calibrated.json" 2>/dev/null
+run_part residual 7200 python scripts/round3_measure.py residual
+cp .ffsim_machine.json "$LOG/ffsim_machine.with_residual.json" 2>/dev/null
 run_part decomp 14400 python scripts/round3_measure.py decomp
 run_part bench_kaggle 2400 python bench.py
 run_part bench_serving 2400 python bench.py --mode infer
