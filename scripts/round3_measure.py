@@ -175,8 +175,17 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--keep-cache", action="store_true")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="plumbing smoke only: parts that SAVE "
+                         ".ffsim_machine.json would pollute it with "
+                         "CPU-measured garbage (step_residual ~1000x)")
     args = ap.parse_args()
     print("devices:", jax.devices())
+    if not args.allow_cpu:
+        assert jax.devices()[0].platform == "tpu", (
+            "refusing to run measurement parts off-TPU (pass --allow-cpu "
+            "for plumbing smokes, in a scratch cwd)"
+        )
     {"gather": part_gather, "stream": part_stream, "calib": part_calib,
      "residual": part_residual, "decomp": part_decomp}[args.part](args)
 

@@ -7,6 +7,11 @@ set -u
 cd /root/repo
 LOG=/tmp/r3_measure
 mkdir -p "$LOG"
+# persistent executable cache: the decomp part re-runs bench ~9x and each
+# distinct-mode compile is 4-6 min through the tunnel; identical HLO
+# (repeat runs, best-mode final bench) hits the disk cache instead
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 probe() {
   timeout 180 python - <<'EOF' >/dev/null 2>&1
