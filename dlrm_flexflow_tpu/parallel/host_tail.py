@@ -182,7 +182,7 @@ class HostTailRuntime:
     prefix length, `k_cap` the static exchange capacity."""
 
     def __init__(self, rule: str = "sgd", epsilon: float = 1e-10):
-        # op name -> (store, sparse_feed_name, hot, k_cap, bag_dims)
+        # op name -> (store, sparse_feed_name, hot, k_cap)
         self.entries: Dict[str, Tuple[HostTailStore, str, int, int]] = {}
         # op name -> miss rows of the LAST prepared batch (for the update)
         self._pending: Dict[str, np.ndarray] = {}
