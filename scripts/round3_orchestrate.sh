@@ -37,13 +37,16 @@ run_part() {
   tail -15 "$LOG/$name.log" | tee -a "$LOG/driver.log"
 }
 
-run_part gather 2400 python scripts/round3_measure.py gather
-run_part stream 3600 python scripts/round3_measure.py stream
+# Ordered by value-per-minute in case the tunnel window is short: the
+# calibrated machine file (+residual) and the headline bench are the
+# committed artifacts; decomp ablations and micro A/Bs document PERF.md.
 run_part calib  5400 python scripts/round3_measure.py calib
 cp .ffsim_machine.json "$LOG/ffsim_machine.calibrated.json" 2>/dev/null
 run_part residual 7200 python scripts/round3_measure.py residual
 cp .ffsim_machine.json "$LOG/ffsim_machine.with_residual.json" 2>/dev/null
-run_part decomp 14400 python scripts/round3_measure.py decomp
 run_part bench_kaggle 2400 python bench.py
 run_part bench_serving 2400 python bench.py --mode infer
+run_part decomp 14400 python scripts/round3_measure.py decomp
+run_part gather 2400 python scripts/round3_measure.py gather
+run_part stream 3600 python scripts/round3_measure.py stream
 echo "ALL PARTS DONE $(date)" | tee -a "$LOG/driver.log"
