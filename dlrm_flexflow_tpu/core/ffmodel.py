@@ -597,6 +597,10 @@ class FFModel:
                 # AdaGrad, and lazy Adam — m/v live in packed side pools)
                 from ..ops.pallas import pallas_supported as _psup
 
+                # gate on the SPARSE optimizer: it is what the packed row
+                # update dispatches on (a distinct dense optimizer never
+                # touches the tables)
+                _row_opt = self.sparse_optimizer
                 plan.packed_pool = bool(
                     (
                         self.config.packed_tables == "on"
@@ -607,8 +611,8 @@ class FFModel:
                         )
                     )
                     and (
-                        isinstance(optimizer, (SGDOptimizer, AdamOptimizer))
-                        or type(optimizer).__name__ == "RowWiseAdagradOptimizer"
+                        isinstance(_row_opt, (SGDOptimizer, AdamOptimizer))
+                        or type(_row_opt).__name__ == "RowWiseAdagradOptimizer"
                     )
                 )
             # host-tail offload BEFORE fusion/init: huge tables keep a hot
@@ -738,6 +742,13 @@ class FFModel:
             self.config.packed_tables == "auto"
             and self.config.use_pallas != "off"
             and pallas_supported()
+        )
+        # the engine's packed dispatch handles exactly these row-update
+        # optimizers; anything else (custom Optimizer subclass) must keep
+        # the unpacked scatter path
+        packed_enable = packed_enable and (
+            isinstance(sopt, (SGDOptimizer, AdamOptimizer))
+            or type(sopt).__name__ == "RowWiseAdagradOptimizer"
         )
         for op in sparse_ops:
             if (
@@ -1249,8 +1260,16 @@ class FFModel:
         return loss
 
     def _current_lr(self) -> float:
-        """Scalar learning rate of the CURRENT step (LR schedules mutate
-        the optimizer state after compile, so no compile-time snapshot)."""
+        """Scalar learning rate of the CURRENT step for the HOST-side row
+        updates (LR schedules mutate the optimizer state after compile, so
+        no compile-time snapshot). Mirrors the device step's rate choice: a
+        DISTINCT sparse optimizer carries its own rate (train_step sets
+        lr=None so the dense schedule does not leak onto the tables); only
+        when the table rows ride the dense optimizer does the scheduled
+        dense-state lr apply."""
+        sopt = getattr(self, "sparse_optimizer", None)
+        if sopt is not None and sopt is not self.optimizer:
+            return float(getattr(sopt, "lr", self.config.learning_rate))
         st = self._opt_state
         if isinstance(st, dict):
             if "lr" in st:
@@ -1258,7 +1277,7 @@ class FFModel:
             dense = st.get("dense")
             if isinstance(dense, dict) and "lr" in dense:
                 return float(np.asarray(dense["lr"]))
-        opt_for_rows = getattr(self, "sparse_optimizer", None) or self.optimizer
+        opt_for_rows = sopt or self.optimizer
         return float(getattr(opt_for_rows, "lr", self.config.learning_rate))
 
     def _setup_host_tail(self, plan) -> None:
@@ -1668,26 +1687,29 @@ class FFModel:
             np.broadcast_to(labels, (steps,) + np.asarray(labels).shape)
         )
         rng0 = jax.random.PRNGKey(self.config.seed)
-        # timing must not perturb the live model: snapshot training state and
-        # restore after the runs (the timed executable's state outputs are
-        # only consumed as a device-sync point)
-        saved = (self._params, self._opt_state, self._metrics_total)
+        assert self._multi_step is not None, (
+            "calibrate_step_residual needs the scanned multi-step path; "
+            "host-tail models step per batch (host intervenes between steps)"
+        )
+        # timing must not perturb the live model: the jitted multi-step
+        # DONATES its state args (compile's donate=True default), so run on
+        # COPIES — snapshotting the live arrays and restoring them would
+        # hand back deleted buffers after donation. Each timed run feeds the
+        # previous run's outputs (fresh buffers, identical shapes/shardings).
+        state = jax.tree_util.tree_map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x,
+            (self._params, self._opt_state, self._metrics_total),
+        )
 
-        def run():
-            p, o, t, loss = self._multi_step(
-                self._params, self._opt_state, self._metrics_total,
-                stacked, slabels, rng0,
-            )
-            self._params, self._opt_state, self._metrics_total = p, o, t
-            return float(loss)
+        def run(state):
+            p, o, t, loss = self._multi_step(*state, stacked, slabels, rng0)
+            float(loss)  # host readback = device-sync point
+            return (p, o, t)
 
-        try:
-            run()  # compile + warm
-            t0 = _time.perf_counter()
-            run()
-            measured_us = (_time.perf_counter() - t0) / steps * 1e6
-        finally:
-            self._params, self._opt_state, self._metrics_total = saved
+        state = run(state)  # compile + warm
+        t0 = _time.perf_counter()
+        run(state)
+        measured_us = (_time.perf_counter() - t0) / steps * 1e6
         _, pred_us, _ = autotune_plan_joint(
             self.graph, machine, bs, budget=1,
             min_vocab=self.config.onehot_embedding_threshold,

@@ -197,11 +197,12 @@ def apply_sparse_updates(
             for op, nt, na in zip(ops_g, new_tables, new_accs):
                 new_params[op.name] = {**params[op.name], "weight": nt}
                 new_sstates[op.name] = na
-        else:  # pragma: no cover - compile() only packs for the above
-            for op, rows, grads in items:
-                upd, new_sstates[op.name] = op.sparse_update(
-                    params[op.name], sparse_xs[op.name], g_over[op.name],
-                    opt, sstates[op.name], ctx, lr=lr,
-                )
-                new_params[op.name] = upd
+        else:  # pragma: no cover - compile() gates packing on these types
+            # op.sparse_update would scatter UNPACKED row ids into the
+            # packed [V*D/128, 128] storage — corruption, not a fallback
+            raise TypeError(
+                "packed tables support SGD (incl. momentum), Adam, and "
+                f"row-wise AdaGrad row updates; got {type(opt).__name__} "
+                "(compile() should have kept these ops unpacked)"
+            )
     return new_params, new_sstates

@@ -453,3 +453,53 @@ def test_host_tail_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(a1, a2, rtol=1e-6, atol=1e-7)
+
+
+def test_host_tail_lr_follows_distinct_sparse_optimizer():
+    """With a DISTINCT sparse optimizer, the host tail rows must step at
+    the SPARSE rate (the device step sets lr=None so the dense schedule
+    does not leak onto the tables; the host half must match), and the
+    tail/full-device trajectory equality must hold under the mixed
+    optimizer setup."""
+    from dlrm_flexflow_tpu import AdamOptimizer
+    from dlrm_flexflow_tpu.ops.embedding import Embedding
+
+    vocabs = [50, 200, 120]
+    hot, bs, steps = 40, 16, 4
+    models = {}
+    for tail in (False, True):
+        cfg = _cfg(vocabs, bs)
+        ff = FFConfig(batch_size=bs, compute_dtype="float32",
+                      host_tail_threshold=hot if tail else 0,
+                      host_tail_cap_frac=1.0,
+                      onehot_embedding_threshold=0, fuse_embeddings=False,
+                      packed_tables="off")
+        model = make_dlrm_model(cfg, ff)
+        model.compile(AdamOptimizer(alpha=0.001),
+                      LossType.LOSS_BINARY_CROSSENTROPY,
+                      [MetricsType.METRICS_ACCURACY],
+                      sparse_optimizer=SGDOptimizer(lr=0.1))
+        assert model._current_lr() == pytest.approx(0.1)
+        embs = [op for op in model.graph.compute_ops
+                if isinstance(op, Embedding)]
+        for t, op in enumerate(embs):
+            full = np.random.RandomState(100 + t).randn(
+                vocabs[t], cfg.sparse_feature_size
+            ).astype(np.float32) * 0.05
+            if tail and op.host_tail_vocab:
+                model.set_weights(op.name, {"weight": full[:hot]})
+                store = model._host_tail.entries[op.name][0]
+                store.load_state(np.arange(hot, vocabs[t]), full[hot:])
+            else:
+                model.set_weights(op.name, {"weight": full})
+        models[tail] = model
+    feeds, labels = random_batches(_cfg(vocabs, bs), bs * steps, seed=3)
+    losses = {}
+    for tail, model in models.items():
+        ls = []
+        for i in range(steps):
+            b = {k: v[bs * i: bs * (i + 1)] for k, v in feeds.items()}
+            ls.append(float(model.train_batch(b, labels[bs * i: bs * (i + 1)])))
+        losses[tail] = ls
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)

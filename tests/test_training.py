@@ -380,3 +380,35 @@ def test_predict_arbitrary_count_pads_statically():
     )
     np.testing.assert_allclose(y[64:77], np.asarray(ref)[:13], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_calibrate_step_residual_preserves_model():
+    """Timing must not perturb or BREAK the live model: the multi-step
+    executable donates its state buffers (compile's donate=True default),
+    so a snapshot-and-restore of the live arrays would hand back DELETED
+    buffers — train_batch after calibration must still work and params
+    must be bit-identical to before."""
+    from dlrm_flexflow_tpu.autotune.machine import preset
+
+    cfg = tiny_config(batch_size=16)
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=16, compute_dtype="float32", seed=3)
+    )
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 16, seed=0)
+    before = {
+        op: {k: np.asarray(v) for k, v in sub.items()}
+        for op, sub in model.get_parameters().items()
+    }
+    machine = preset("tpu_v5e").torus_for(1)
+    residual, measured, pred = model.calibrate_step_residual(
+        feeds, labels, steps=2, machine=machine
+    )
+    assert measured > 0 and pred > 0 and residual > 0
+    after = model.get_parameters()  # deleted buffers would raise here
+    for op, sub in before.items():
+        for k, v in sub.items():
+            np.testing.assert_array_equal(np.asarray(after[op][k]), v)
+    l1 = model.train_batch(feeds, labels)  # and the model still trains
+    assert np.isfinite(l1)
