@@ -1322,16 +1322,21 @@ class FFModel:
 
         rt = HostTailRuntime(rule=rule, epsilon=eps)
         for j, (op, sfeed, full, hot, k_cap) in enumerate(entries):
-            # init scale mirrors GlorotUniform over the FULL [vocab, D]
-            # table so tail rows are distributed like device rows
-            scale = float(np.sqrt(6.0 / (full + op.out_dim)))
+            # init scale mirrors the device hot prefix: the offload pass
+            # rewrites a Glorot initializer to uniform(±limit) with the
+            # FULL-table fan and records the limit; both halves then draw
+            # from the same distribution
+            scale = float(getattr(
+                op, "host_tail_init_scale",
+                np.sqrt(6.0 / (full + op.out_dim)),
+            ))
             rt.add(
                 op.name,
                 HostTailStore(
                     op.out_dim, scale, seed=self.config.seed * 1000 + j,
                     acc_init=acc0,
                 ),
-                sfeed, hot, k_cap,
+                sfeed, hot, full, k_cap,
             )
         self._host_tail = rt
 

@@ -182,8 +182,8 @@ class HostTailRuntime:
     prefix length, `k_cap` the static exchange capacity."""
 
     def __init__(self, rule: str = "sgd", epsilon: float = 1e-10):
-        # op name -> (store, sparse_feed_name, hot, k_cap)
-        self.entries: Dict[str, Tuple[HostTailStore, str, int, int]] = {}
+        # op name -> (store, sparse_feed_name, hot, full_vocab, k_cap)
+        self.entries: Dict[str, Tuple[HostTailStore, str, int, int, int]] = {}
         # op name -> miss rows of the LAST prepared batch (for the update)
         self._pending: Dict[str, np.ndarray] = {}
         self.dropped = 0  # lifetime dropped tail lookups (capacity overflow)
@@ -194,8 +194,8 @@ class HostTailRuntime:
         self.epsilon = epsilon
 
     def add(self, op_name: str, store: HostTailStore, sparse_feed: str,
-            hot: int, k_cap: int) -> None:
-        self.entries[op_name] = (store, sparse_feed, hot, k_cap)
+            hot: int, full: int, k_cap: int) -> None:
+        self.entries[op_name] = (store, sparse_feed, hot, full, k_cap)
 
     def feed_names(self, op_name: str) -> Tuple[str, str]:
         return f"_hosttail:{op_name}:pos", f"_hosttail:{op_name}:val"
@@ -208,12 +208,15 @@ class HostTailRuntime:
         (train=False) leave the drop counters (the TRAINING drop-rate
         observability contract) and the pending-update state untouched."""
         out = {}
-        for name, (store, sfeed, hot, k_cap) in self.entries.items():
+        for name, (store, sfeed, hot, full, k_cap) in self.entries.items():
             idx = np.asarray(feeds[sfeed])
             if idx.ndim == 1:
                 idx = idx[:, None]
             b, h = idx.shape
-            ex, mem = np.nonzero(idx >= hot)  # tail lookups (example, member)
+            # tail lookups (example, member): out-of-vocab indices DROP
+            # (the dense exchange's convention) — treating them as tail
+            # rows would demand-allocate host rows for garbage ids
+            ex, mem = np.nonzero((idx >= hot) & (idx < full))
             rows = idx[ex, mem].astype(np.int64)
             if train:
                 self.total += rows.shape[0]
@@ -241,7 +244,7 @@ class HostTailRuntime:
         src/ops/embedding.cc backward) or row-wise AdaGrad matching the
         device's sparse optimizer."""
         for name, g in g_vals.items():
-            store, _, _, _ = self.entries[name]
+            store = self.entries[name][0]
             rows = self._pending.get(name)
             if rows is None or rows.shape[0] == 0:
                 continue

@@ -9,6 +9,7 @@ pooled array sharded over the mesh; the exchange happens inside the op.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 from ..core.graph import Graph
@@ -64,7 +65,22 @@ def offload_embedding_tails(
             f"_hosttail:{e.name}:val", (k_cap, e.out_dim), DataType.DT_FLOAT
         ))
         # shrink the device table to the hot prefix BEFORE init_params (a
-        # 293M x 128 f32 init would not fit anywhere)
+        # 293M x 128 f32 init would not fit anywhere). The hot prefix must
+        # be distributed like rows of the FULL [vocab, D] table (the
+        # host-tail contract: semantically one dense table) — Glorot's fan
+        # would otherwise be computed from the SHRUNK shape, initializing
+        # hot rows sqrt(full/hot)x larger than the tail store's rows.
+        from ..core.initializers import GlorotUniform, UniformInitializer
+
+        init = e.params[0].initializer
+        if isinstance(init, GlorotUniform):
+            limit = init.scale * math.sqrt(6.0 / (full + e.out_dim))
+            e.params[0].initializer = UniformInitializer(
+                min_val=-limit, max_val=limit
+            )
+            # the tail store mirrors the same distribution (FFModel
+            # _setup_host_tail reads this instead of recomputing)
+            e.host_tail_init_scale = limit
         e.num_entries = hot
         e.params[0].shape = (hot, e.out_dim)
         e.enable_host_tail(full, pos_in.outputs[0], val_in.outputs[0])

@@ -74,7 +74,7 @@ def save_checkpoint(path: str, model, extra: Optional[Dict[str, Any]] = None) ->
     ht = getattr(model, "_host_tail", None)
     if ht is not None and ht.entries:
         blobs = {}
-        for name, (store, _, _, _) in ht.entries.items():
+        for name, (store, *_rest) in ht.entries.items():
             rows, vals, acc = store.state()
             blobs[f"{name}/rows"] = rows
             blobs[f"{name}/vals"] = vals
@@ -118,7 +118,7 @@ def restore_checkpoint(path: str, model) -> Dict[str, Any]:
             "(compile with the same host_tail_threshold)"
         )
         with np.load(os.path.join(path, "host_tail.npz")) as z:
-            for name, (store, _, _, _) in ht.entries.items():
+            for name, (store, *_rest) in ht.entries.items():
                 acc_key = f"{name}/acc"
                 store.load_state(
                     z[f"{name}/rows"], z[f"{name}/vals"],

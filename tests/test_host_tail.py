@@ -278,7 +278,7 @@ def test_autotune_compiles_searched_host_tail(tmp_path):
                   [], mesh=make_mesh(), plan=plan)
     assert plan.host_tail_rows and plan.host_tail_rows[0] > 0
     assert model._host_tail is not None and len(model._host_tail.entries) == 1
-    (op_name, (store, _, hot, _)) = next(iter(model._host_tail.entries.items()))
+    (op_name, (store, _, hot, _full, _)) = next(iter(model._host_tail.entries.items()))
     assert hot == plan.host_tail_rows[0]
     feeds, labels = random_batches(cfg, bs, seed=0)
     feeds["sparse_0"] = np.random.RandomState(1).randint(
@@ -446,7 +446,7 @@ def test_host_tail_checkpoint_roundtrip(tmp_path):
     # rerun the SAME step 3: identical loss, then identical stores
     l2 = float(m2.train_batch(*batches[2]))
     assert l1 == l2, (l1, l2)
-    for name, (s1, _, _, _) in m1._host_tail.entries.items():
+    for name, (s1, *_rest) in m1._host_tail.entries.items():
         s2 = m2._host_tail.entries[name][0]
         r1, v1, a1 = s1.state()
         r2, v2, a2 = s2.state()
@@ -503,3 +503,59 @@ def test_host_tail_lr_follows_distinct_sparse_optimizer():
         losses[tail] = ls
     np.testing.assert_allclose(losses[True], losses[False],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_host_tail_hot_prefix_init_uses_full_table_fan():
+    """Glorot fan must come from the FULL [vocab, D] table, not the shrunk
+    hot prefix — otherwise hot rows start ~sqrt(full/hot)x larger than
+    tail rows and than the unoffloaded model's rows."""
+    vocabs = [10_000]
+    hot, dim = 64, 8
+    cfg = _cfg(vocabs, 16, dim=dim)
+    ff = FFConfig(batch_size=16, compute_dtype="float32",
+                  host_tail_threshold=hot, onehot_embedding_threshold=0,
+                  fuse_embeddings=False, packed_tables="off")
+    model = make_dlrm_model(cfg, ff)
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    from dlrm_flexflow_tpu.ops.embedding import Embedding
+
+    op = next(o for o in model.graph.compute_ops
+              if isinstance(o, Embedding) and o.host_tail_vocab)
+    limit = np.sqrt(6.0 / (vocabs[0] + dim))
+    w = model.get_weights(op.name)["weight"]
+    assert w.shape == (hot, dim)
+    assert np.abs(w).max() <= limit * (1 + 1e-6), (
+        "hot prefix drew from the shrunk-shape fan"
+    )
+    # both halves share the distribution: matching bound and a sane spread
+    store = model._host_tail.entries[op.name][0]
+    assert store.scale == pytest.approx(limit, rel=1e-6)
+    assert np.std(w) == pytest.approx(limit / np.sqrt(3.0), rel=0.2)
+
+
+def test_host_tail_drops_out_of_vocab_indices():
+    """Indices >= the full vocab must NOT demand-allocate host rows (the
+    dense exchange drops out-of-vocab; garbage ids would otherwise grow
+    host memory without bound)."""
+    vocabs = [50, 200, 120]
+    hot = 40
+    cfg = _cfg(vocabs, 8)
+    ff = FFConfig(batch_size=8, compute_dtype="float32",
+                  host_tail_threshold=hot, host_tail_cap_frac=1.0,
+                  onehot_embedding_threshold=0, fuse_embeddings=False,
+                  packed_tables="off")
+    model = make_dlrm_model(cfg, ff)
+    model.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    feeds, labels = random_batches(cfg, 8, seed=0)
+    # poison EVERY sparse feed's first row with ids far past each vocab
+    for name, (store, sfeed, h, full, _) in model._host_tail.entries.items():
+        feeds[sfeed] = np.array(feeds[sfeed])
+        feeds[sfeed][0] = full + 1000
+    loss = model.train_batch(feeds, labels)
+    assert np.isfinite(loss)
+    for name, (store, sfeed, h, full, _) in model._host_tail.entries.items():
+        touched = np.fromiter(store._slot.keys(), np.int64,
+                              len(store._slot))
+        assert (touched < full).all(), "out-of-vocab id allocated a tail row"
