@@ -1578,10 +1578,35 @@ class FFModel:
                 continue
             sub = dict(new_params.get(op.name, {}))
             if dtype == "int8":
-                if "weight" not in sub:
-                    continue
                 from ..ops.embedding import quantize_table_int8
 
+                if "pool" in sub:
+                    # fused EmbeddingCollection: quantize the flat pool
+                    # (serving is single-chip/per-replica; the sharded
+                    # exchange paths have no int8 dequant)
+                    lay = op.layout
+                    if (
+                        self.mesh is not None
+                        and self.mesh.shape.get(
+                            getattr(self.plan, "batch_axis", "data"), 1
+                        ) > 1
+                    ):
+                        raise ValueError(
+                            "int8 serving for a SHARDED embedding "
+                            "collection is not supported; quantize a "
+                            "single-chip (or per-replica) model instead"
+                        )
+                    flat = sub.pop("pool").astype(jnp.float32).reshape(
+                        lay.num_shards * lay.r_pad, lay.dim
+                    )
+                    q, s = quantize_table_int8(flat, False)
+                    sub["pool_q"] = q
+                    sub["pool_scale"] = s
+                    n += 1
+                    new_params[op.name] = sub
+                    continue
+                if "weight" not in sub:
+                    continue
                 w = sub.pop("weight")
                 packed = bool(getattr(op, "packed", False))
                 if packed:

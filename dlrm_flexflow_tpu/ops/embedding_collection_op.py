@@ -61,8 +61,12 @@ class EmbeddingCollection(Op):
         idx = jnp.stack(
             [x if x.ndim == 2 else x[:, None] for x in inputs], axis=1
         )  # [B, T, H]
-        pool = params["pool"]
         if ctx.mesh is not None and ctx.mesh.shape.get("data", 1) > 1:
+            assert "pool_q" not in params, (
+                "int8-quantized collection serving is single-chip/replica "
+                "only (quantize_embeddings refuses sharded collections)"
+            )
+            pool = params["pool"]
             if self.layout.exchange == "routed":
                 from ..parallel.routed_exchange import routed_embedding_lookup
 
@@ -82,7 +86,7 @@ class EmbeddingCollection(Op):
         else:
             # single flat gather over the whole pool: remap per-table indices
             # to pool-global rows, one embedding_bag for all tables
-            from ..ops.embedding import embedding_bag
+            from ..ops.embedding import embedding_bag, quantized_embedding_bag
 
             lay = self.layout
             assert not lay.has_splits, "row-split layout requires a mesh"
@@ -94,9 +98,18 @@ class EmbeddingCollection(Op):
                 jnp.int32,
             )
             flat_idx = jnp.where(idx32 >= 0, idx32 + base[None, :, None], -1)
-            pooled = embedding_bag(
-                pool.reshape(n * r, d), flat_idx.reshape(b * t, h), self.aggr
-            )
+            if "pool_q" in params:
+                # int8 serving rows + per-row scales over the flat pool
+                # (FFModel.quantize_embeddings("int8") on a fused model)
+                pooled = quantized_embedding_bag(
+                    params["pool_q"], params["pool_scale"],
+                    flat_idx.reshape(b * t, h), self.aggr, d, packed=False,
+                )
+            else:
+                pooled = embedding_bag(
+                    params["pool"].reshape(n * r, d),
+                    flat_idx.reshape(b * t, h), self.aggr,
+                )
             out = pooled.reshape(b, t, d)
         return [out[:, t] for t in range(self.layout.num_tables)]
 

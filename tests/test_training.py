@@ -412,3 +412,37 @@ def test_calibrate_step_residual_preserves_model():
             np.testing.assert_array_equal(np.asarray(after[op][k]), v)
     l1 = model.train_batch(feeds, labels)  # and the model still trains
     assert np.isfinite(l1)
+
+
+def test_quantize_embeddings_int8_fused_collection():
+    """A fused EmbeddingCollection (params under 'pool') must quantize
+    too — silently returning 0 while bench labels the run int8 would be
+    a wrong measurement, not an error."""
+    import jax.numpy as jnp
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[500, 300, 800],
+        embedding_bag_size=2,
+        mlp_bot=[4, 16, 16],
+        mlp_top=[64, 16, 1],
+        batch_size=64,
+    )
+    model = make_dlrm_model(
+        cfg, FFConfig(batch_size=64, compute_dtype="float32",
+                      onehot_embedding_threshold=0, fuse_embeddings=True),
+    )
+    model.compile(SGDOptimizer(lr=0.1), LossType.LOSS_BINARY_CROSSENTROPY,
+                  [MetricsType.METRICS_ACCURACY])
+    coll = next(op for op in model.graph.compute_ops
+                if op.name == "embedding_collection")
+    feeds, labels = random_batches(cfg, 64, seed=6)
+    y32 = np.asarray(model.forward(feeds))
+    n = model.quantize_embeddings("int8")
+    assert n == 1
+    sub = model._params[coll.name]
+    assert sub["pool_q"].dtype == jnp.int8 and "pool" not in sub
+    y8 = np.asarray(model.forward(feeds))
+    np.testing.assert_allclose(y8, y32, atol=0.08)
+    with pytest.raises(AssertionError):
+        model.train_batch(feeds, labels)  # training refuses quantized
