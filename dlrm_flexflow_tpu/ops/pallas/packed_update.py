@@ -471,7 +471,7 @@ def _update_kernel(
             rep_oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 0) // rpp
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 1)
-            ).astype(g_buf.dtype)
+            ).astype(jnp.float32)
             eyef = (
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -519,10 +519,14 @@ def _update_kernel(
                     # line still carries the other rpp-1 entries' payloads
                     keep = lane // d == sub_col              # [128, 128]
                     gl = g_buf[slot][j * nl : (j + 1) * nl, :]   # [L, 128]
+                    # Mosaic requires a 32-bit matmul accumulator; the
+                    # replication product is exact (one-hot lhs), so the
+                    # f32-acc + cast round-trips bf16 payloads bit-exactly.
                     g_line = jax.lax.dot_general(
-                        rep_oh, gl, (((1,), (0,)), ((), ())),
-                        preferred_element_type=gl.dtype,
-                    )                                        # [128, 128]
+                        rep_oh, gl.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(gl.dtype)                       # [128, 128]
                     g_tile = jnp.zeros((LANES, LANES), gl.dtype)
                     for r in range(rpp):
                         rolled = (

@@ -23,6 +23,12 @@ for warmup and timed calls.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# `python scripts/round3_measure.py` puts scripts/ (not the repo root) on
+# sys.path; make the package importable regardless of invocation cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
