@@ -872,7 +872,7 @@ class FFModel:
                     _, opn, field = key.split(":", 2)
                     route_fields.setdefault(opn, {})[field] = feeds[key]
             routes = {
-                k: (v["order"], v["psmod"], v["starts"])
+                k: (v["order"], v["enc"], v["starts"])
                 for k, v in route_fields.items()
                 if len(v) == 3
             }
@@ -1799,12 +1799,12 @@ class FFModel:
         for op in getattr(self, "_route_ops", []) or []:
             idx = _np.asarray(feeds[op.inputs[0].owner_op.name])
             rows = _np.where(idx >= 0, idx, op.num_entries).reshape(-1)
-            o, pm, st = host_pack_routes(
+            o, enc, st = host_pack_routes(
                 rows, op.num_entries, op.out_dim, op.chunk_packs
             )
             pre = f"_route:{op.name}:"
             out[pre + "order"] = o
-            out[pre + "psmod"] = pm
+            out[pre + "enc"] = enc
             out[pre + "starts"] = st
         return out
 

@@ -226,7 +226,7 @@ def prep_sorted_routes(
     which the lazy Adam/momentum paths need for first-occurrence flags.
     Returns per-table (starts [n_chunks+1], ps_pk [K_pad/128, 128],
     order [K], rows_sorted [K] with sentinel pp*rpp for dropped entries).
-    `routes`: optional host-precomputed (order, psmod, starts) per table
+    `routes`: optional host-precomputed (order, enc, starts) per table
     (host_pack_routes / ffdata) — skips the on-device sort + counts pass."""
     t, k = rows_tk.shape
     rpp = rows_per_pack(d)
@@ -249,12 +249,16 @@ def prep_sorted_routes(
     rk = jnp.where(in_range, rows_tk, row_sent)
     p = rk // rpp  # sentinel row -> sentinel pack exactly
     if routes is not None:
-        # host-routed: the sort order, in-chunk pack positions, and chunk
-        # starts are index-derived, so the input pipeline precomputed them
-        # (host_pack_routes / ffdata) — the on-device bitonic sort and
-        # counts pass disappear from the step
+        # host-routed: the sort order, ENCODED stream (psmod*rpp + sub),
+        # and chunk starts are index-derived, so the input pipeline
+        # precomputed all three (host_pack_routes / ffdata) — the on-device
+        # bitonic sort, counts pass, AND the sorted-rows take_along_axis
+        # disappear from the step. (rows_s below is computed lazily: only
+        # the lazy Adam/momentum paths consume it; the plain-update path
+        # lets XLA DCE it — the [T, K] narrow int gather is NOT in XLA's
+        # fast gather class and costs ~ms at bench scale.)
         order = jnp.stack([r[0] for r in routes]).astype(jnp.int32)
-        psmod = jnp.stack([r[1] for r in routes]).astype(jnp.int32)
+        enc = jnp.stack([r[1] for r in routes]).astype(jnp.int32)
         rows_s = jnp.take_along_axis(rk, order, axis=1)
     else:
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
@@ -263,11 +267,11 @@ def prep_sorted_routes(
         # in-chunk pack position, sentinel = chunk_packs for dropped/padding,
         # packed 128 positions per row for the kernel's transposed one-hot
         psmod = jnp.where(ps < sentinel, ps % c_col, c_col)
-    # ENCODED stream value: psmod * rpp + in-pack row position. The kernel
-    # decodes psmod with one shift; the compact stream mode needs sub for
-    # its in-kernel lane expansion. Sentinel rows encode exactly
-    # chunk_packs * rpp (row_sent % rpp == 0).
-    enc = psmod * rpp + jax.lax.rem(rows_s, rpp)
+        # ENCODED stream value: psmod * rpp + in-pack row position. The
+        # kernel decodes psmod with one shift; the compact stream mode
+        # needs sub for its in-kernel lane expansion. Sentinel rows encode
+        # exactly chunk_packs * rpp (row_sent % rpp == 0).
+        enc = psmod * rpp + jax.lax.rem(rows_s, rpp)
     k_pad = (-(-k // TILE) + 1) * TILE  # one spare tile for tail over-read
     pad = k_pad - k
     ps_pk = jnp.concatenate(
@@ -327,6 +331,27 @@ def gather_payload(delta, order):
     return delta.at[order].get(mode="promise_in_bounds")
 
 
+def payload_rows_unsorted(delta, k: int):
+    """Materialize one table's payload in UNSORTED (stream) order: the
+    [K, D] view of the gather_payload tuple contract. Used by the expanded
+    stream mode, whose lane expansion runs BEFORE the sort permutation so
+    the permutation gather moves [K, 128] lines — XLA's wide-row gather
+    class (~6 ns/row measured round 2) — instead of [K, D] narrow rows.
+    Gathering D=16 narrow rows by `order` and expanding after (the round-3
+    composed-payload ordering) measured +7 ms/step on the kaggle bench:
+    narrow-row permutation gathers fall out of the fast class."""
+    if not isinstance(delta, tuple):
+        return delta
+    src, hh = delta[0], int(delta[1])
+    b, dd = src.shape
+    g = src if hh == 1 else jnp.broadcast_to(
+        src[:, None, :], (b, hh, dd)
+    ).reshape(k, dd)
+    if len(delta) > 2 and delta[2] is not None:
+        g = g * delta[2]
+    return g
+
+
 def lane_expand_sorted(g_sorted, sub_sorted, k_pad: int, delta_dtype):
     """[K, D] sorted deltas + [K] in-pack row positions -> [K_pad, 128]
     lane-expanded kernel stream (pad rows zero)."""
@@ -378,14 +403,38 @@ def _prep_streams(
     rpp = rows_per_pack(d)
     pre = prep_sorted_routes(rows_tk, vocab_sizes, d, chunk_packs_t, routes)
     k_pad = (-(-k // TILE) + 1) * TILE
+    rows_i = rows_tk.astype(jnp.int32)
+    in_range = (rows_i >= 0) & (
+        rows_i < jnp.asarray(list(vocab_sizes), jnp.int32)[:, None]
+    )
+    sub_u = jnp.where(in_range, rows_i % rpp, 0)
     out = []
     for i in range(t):
         starts, ps_pk, order, rows_s = pre[i]
-        # payload gathered into sorted order; separate per-table gather ops
-        # so the TPU overlaps their latency
-        g_s = gather_payload(deltas_list[i], order)
-        sub_s = rows_s % rpp
-        g_stream, compact = _stream_for_kernel(g_s, sub_s, k_pad, delta_dtype)
+        if get_stream_mode(d) == "compact" and rpp > 1:
+            # compact streams ship [K/rpp, 128]: the narrow payload gather
+            # is the only option (the kernel expands lanes itself)
+            g_s = gather_payload(deltas_list[i], order)
+            g_stream = compact_stream_sorted(g_s, k_pad, delta_dtype)
+            compact = True
+        else:
+            # expanded mode: lane-expand BEFORE the sort permutation so the
+            # permutation gather moves [K, 128] lines (XLA's wide-row
+            # gather class, ~6 ns/row measured). Gathering [K, D] narrow
+            # rows first and expanding after cost +7 ms/step on the kaggle
+            # bench (round-3 regression; see payload_rows_unsorted).
+            gi = payload_rows_unsorted(deltas_list[i], k).astype(delta_dtype)
+            if rpp == 1:
+                g_exp = gi
+            else:
+                oh_sub = (
+                    sub_u[i][:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (k, rpp), 1)
+                ).astype(delta_dtype)
+                g_exp = (oh_sub[..., None] * gi[:, None, :]).reshape(k, LANES)
+            g_exp = g_exp.at[order].get(mode="promise_in_bounds")
+            g_stream = jnp.pad(g_exp, ((0, k_pad - k), (0, 0)))
+            compact = False
         out.append((starts, ps_pk, g_stream, compact))
     return out
 
@@ -637,7 +686,7 @@ def packed_row_update_batched(
     out-of-range rows dropped. All tables must share K and D so the key
     sort batches into one lax.sort call. chunk_packs: int or per-table
     list (each table's packed array must be padded to its chunk size).
-    routes: optional host-precomputed (order, psmod, starts) per table."""
+    routes: optional host-precomputed (order, enc, starts) per table."""
     if isinstance(chunk_packs, int):
         chunk_packs = [chunk_packs] * len(packed_tables)
     rows_tk = jnp.stack(rows_list)
@@ -844,9 +893,14 @@ def host_pack_routes(rows, v: int, d: int, chunk_packs: int):
     from ...data import native_batcher as _nb
 
     order = _nb.argsort_i64(rk)
-    ps = rk[order] // rpp
-    psmod = _np.where(ps < sent, ps % chunk_packs, chunk_packs).astype(_np.int32)
+    rs = rk[order]
+    ps = rs // rpp
+    psmod = _np.where(ps < sent, ps % chunk_packs, chunk_packs)
+    # ship the ENCODED stream (psmod*rpp + in-pack position) so the device
+    # never touches the sorted row values (sentinel rows encode exactly
+    # chunk_packs*rpp: rs % rpp == 0 there)
+    enc = (psmod * rpp + rs % rpp).astype(_np.int32)
     starts = _np.searchsorted(
         ps, _np.arange(n_chunks + 1, dtype=_np.int64) * chunk_packs
     ).astype(_np.int32)
-    return order.astype(_np.int32), psmod, starts
+    return order.astype(_np.int32), enc, starts

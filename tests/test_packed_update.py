@@ -304,18 +304,18 @@ def test_packed_weight_io_roundtrip():
 
 def test_host_routes_match_device_sort():
     """host_pack_routes must reproduce the device prep's stream exactly
-    (same psmod stream content per chunk and same starts)."""
+    (same encoded stream content per chunk and same starts)."""
     rng = np.random.RandomState(8)
     v, d, k, c = 5000, 16, 2048, 64
     rows = rng.randint(0, v + 10, k).astype(np.int64)
     deltas = rng.randn(k, d).astype(np.float32)
     table = rng.randn(v, d).astype(np.float32)
     packed = pu.pack_table(jnp.asarray(table), chunk_packs=c)
-    order, psmod, starts = pu.host_pack_routes(rows, v, d, c)
+    order, enc, starts = pu.host_pack_routes(rows, v, d, c)
     got = pu.packed_row_update(
         packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
         chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
-        routes=[(jnp.asarray(order), jnp.asarray(psmod), jnp.asarray(starts))],
+        routes=[(jnp.asarray(order), jnp.asarray(enc), jnp.asarray(starts))],
     )
     ref = pu.packed_row_update_reference(
         packed, jnp.asarray(rows), jnp.asarray(deltas), v, d
@@ -329,7 +329,7 @@ def test_host_routes_match_device_sort():
         got_c = pu.packed_row_update(
             packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
             chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
-            routes=[(jnp.asarray(order), jnp.asarray(psmod),
+            routes=[(jnp.asarray(order), jnp.asarray(enc),
                      jnp.asarray(starts))],
         )
     finally:
