@@ -74,6 +74,12 @@ def main():
                          "every table through the packed gather+kernel "
                          "(measurable: the 16 kaggle small tables are "
                          "~1.16 ms of forward as one-hot matmuls)")
+    ap.add_argument("--onehot-packed-threshold", type=int, default=0,
+                    help="mid-band vocab bound for the PACKED one-hot "
+                         "matmul (onehot[B, V/rpp] @ packed[V/rpp, 128], "
+                         "all 128 MXU lanes live; dense [P, 128] grads — "
+                         "no gather/update stream for those tables); "
+                         "0 = off")
     ap.add_argument("--table-dtype", default="float32",
                     choices=["float32", "bfloat16", "float16", "int8"],
                     help="serving-only: quantize embedding tables (bf16 = "
@@ -141,6 +147,7 @@ def main():
     ffc.packed_gather_mode = args.packed_gather_mode
     ffc.packed_stream_mode = args.packed_stream_mode
     ffc.onehot_embedding_threshold = args.onehot_threshold
+    ffc.onehot_packed_threshold = args.onehot_packed_threshold
     if args.host_tail_threshold > 0:
         ffc.host_tail_threshold = args.host_tail_threshold
         # expected Zipf(1.05) tail traffic at hot=2^20 is ~20% of lookups;

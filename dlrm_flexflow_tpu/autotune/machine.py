@@ -264,19 +264,48 @@ def solve_update_model4(m1: float, m2: float, m3: float, m4: float,
     return pass_gbps, ns, per_table * 1e6, max(0.0, fixed) * 1e6
 
 
+def measure_dispatch_latency(repeats: int = 16) -> float:
+    """Seconds per (dispatch + scalar readback) of a trivial jitted call —
+    through a remote tunnel this is ~2.5-20 ms and would otherwise leak
+    into every timed-loop measurement's fixed term (each timed region is
+    ONE jitted call whose wall time includes exactly one dispatch+readback
+    round trip)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(())
+
+    @jax.jit
+    def null(x):
+        return x + 1.0
+
+    _ = float(null(x))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        _ = float(null(x))
+    return (time.perf_counter() - t0) / repeats
+
+
 def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
-                     repeats: int = 8) -> MachineSpec:
+                     repeats: int = 32) -> MachineSpec:
     """Measure the packed-update kernel's table-pass bandwidth, per-row
     cost, and per-step fixed overhead on the real device — the v2 analog
     of the reference's per-(op,config) kernel profiling
     (src/runtime/model.cu:20-64). Three (K, tables) points separate the
-    three terms."""
+    three terms. Each timed region is one jitted call over `repeats` scan
+    steps; the call's single dispatch+readback round trip (tunnel-sized,
+    measured separately) is subtracted before the /repeats so it cannot
+    masquerade as per-step on-chip overhead in the fitted fixed term."""
     import time
 
     import jax
     import jax.numpy as jnp
 
     from ..ops.pallas.packed_update import pack_table, packed_row_update_batched
+
+    dispatch_s = measure_dispatch_latency()
 
     def timed_at(k: int, tables: int, v: int = 0) -> float:
         v = v or vocab
@@ -305,7 +334,9 @@ def calibrate_packed(spec: MachineSpec, dim: int = 16, vocab: int = 1_000_000,
         t0 = time.perf_counter()
         out = loop(packs, idx)
         _ = float(out)
-        return (time.perf_counter() - t0) / repeats
+        return max(
+            (time.perf_counter() - t0 - dispatch_s) / repeats, 1e-7
+        )
 
     k1, k2, t1, t2 = 16384, 65536, 4, 8
     big_vocab = vocab * 4

@@ -57,6 +57,14 @@ class FFConfig:
     # Embedding tables with vocab <= this use one-hot MXU matmuls (stream
     # the table) instead of HBM gathers; their grads stay dense. 0 = off.
     onehot_embedding_threshold: int = 8192
+    # Mid-band extension of the one-hot path over PACKED tables: vocab in
+    # (onehot_embedding_threshold, this] contracts onehot[B, V/rpp] @
+    # packed[V/rpp, 128] — all 128 MXU lanes live (the narrow one-hot
+    # wastes 128/D of them), so the profitable vocab grows by rpp=128/D.
+    # Dense [P, 128] grads; these tables skip the gather AND the
+    # update-stream machinery. 0 = off. Requires 128 % dim == 0 and a
+    # pooling aggregation.
+    onehot_packed_threshold: int = 0
     allow_tensor_op_math: bool = True  # => bf16 matmuls on MXU
     # Pallas kernel routing: "auto" uses hand-written kernels only where they
     # measured faster than XLA on TPU (scripts/microbench_pallas.py decides;

@@ -162,6 +162,37 @@ class FFModel:
         )
         return self._add(op).outputs[0]
 
+    def lstm(
+        self,
+        input: TensorSpec,
+        hidden_size: int,
+        initial_state=None,
+        kernel_initializer=None,
+        recurrent_initializer=None,
+        bias_initializer=None,
+        name: Optional[str] = None,
+    ):
+        """LSTM over [B, T, E] -> (sequence [B, T, H], h_T [B, H],
+        c_T [B, H]). initial_state: optional (h0, c0) TensorSpec pair for
+        encoder->decoder chaining (reference: nmt/rnn.cu:305-318 threads
+        hx/cx through per-10-step LSTM nodes; here the whole time axis is
+        one lax.scan and the chain is a graph edge)."""
+        from ..ops.rnn import LSTM
+
+        h0, c0 = initial_state if initial_state is not None else (None, None)
+        op = LSTM(
+            self.graph.unique_name(name or "lstm"),
+            input,
+            hidden_size,
+            h0=h0,
+            c0=c0,
+            kernel_initializer=kernel_initializer,
+            recurrent_initializer=recurrent_initializer,
+            bias_initializer=bias_initializer,
+        )
+        self._add(op)
+        return op.outputs[0], op.outputs[1], op.outputs[2]
+
     def dot_interaction(
         self,
         inputs: Sequence[TensorSpec],
@@ -468,6 +499,26 @@ class FFModel:
             return True
         return False
 
+    def _onehot_packed_eligible(self, op, mesh) -> bool:
+        """Mid-band packed one-hot selection (config.onehot_packed_threshold):
+        vocab in (onehot_embedding_threshold, onehot_packed_threshold],
+        lane-divisible dim, pooling aggregation, single-chip, not a
+        host-tail op. These tables take dense [P, 128] grads through the
+        packed one-hot matmul instead of the sparse gather+update path."""
+        from ..ffconst import AggrMode
+        from ..ops.embedding import Embedding as _Embedding
+
+        thr = self.config.onehot_packed_threshold
+        if thr <= 0 or mesh is not None or type(op) is not _Embedding:
+            return False
+        v = getattr(op, "num_entries", 0)
+        return (
+            self.config.onehot_embedding_threshold < v <= thr
+            and 128 % op.out_dim == 0
+            and op.aggr is not AggrMode.AGGR_MODE_NONE
+            and not getattr(op, "host_tail_vocab", 0)
+        )
+
     def recompile(self) -> None:
         """Rebuild jitted steps after a graph mutation, preserving state."""
         assert self._compiled
@@ -713,6 +764,11 @@ class FFModel:
                         and not getattr(op, "host_tail_vocab", 0)
                     ):
                         continue
+                    # mid-band tables take the PACKED one-hot matmul
+                    # (dense [P, 128] grads; selected below) — they skip
+                    # the sparse path entirely
+                    if self._onehot_packed_eligible(op, mesh):
+                        continue
                     sparse_ops.append(op)
         sparse_names = {op.name for op in sparse_ops}
         self._sparse_names = sparse_names
@@ -771,6 +827,26 @@ class FFModel:
             else:
                 op.packed = False
         self._route_ops = [op for op in sparse_ops if getattr(op, "packed", False)]
+
+        # Mid-band tables (onehot_thr < vocab <= onehot_packed_threshold):
+        # packed storage + one-hot matmul over pack lines, dense grads —
+        # no gather, no update stream (ops/embedding.py
+        # packed_embedding_bag_onehot). Pure XLA (no Pallas gate).
+        for op in graph.compute_ops:
+            if type(op) is not _Embedding:
+                continue
+            op.onehot_packed = False  # reset stale recompile state
+            if op.name in sparse_names:
+                continue
+            if self._onehot_packed_eligible(op, mesh):
+                from ..ops.pallas.packed_update import pick_chunk_packs
+
+                op.packed = True
+                op.onehot_packed = True
+                op.chunk_packs = pick_chunk_packs(
+                    op.num_entries, op.out_dim, op.inputs[0].volume
+                )
+                params[op.name] = op.pack_params(params[op.name])
 
         def forward_only(params, feeds, training, rng):
             ctx = OpContext(

@@ -146,6 +146,7 @@ class OperatorType(enum.Enum):
     OP_TOPK = enum.auto()
     OP_MULTIHEAD_ATTENTION = enum.auto()
     OP_DOT_INTERACTION = enum.auto()  # DLRM pairwise feature interaction
+    OP_LSTM = enum.auto()  # recurrent cell chain (reference: nmt/lstm.cu)
     OP_FUSED = enum.auto()
 
 

@@ -272,6 +272,57 @@ def inception_v3(batch_size: int = 32, config: Optional[FFConfig] = None) -> FFM
     return model
 
 
+def nmt(
+    batch_size: int = 64,
+    src_len: int = 20,
+    dst_len: int = 20,
+    hidden_size: int = 2048,
+    embed_size: int = 2048,
+    vocab_size: int = 20 * 1024,
+    num_layers: int = 2,
+    config: Optional[FFConfig] = None,
+) -> FFModel:
+    """reference: the legacy NMT stand-alone (nmt/nmt.cc:33-47 defaults —
+    batch 64/worker, 2 LSTM layers, seq 20, hidden/embed 2048, vocab 20k;
+    graph wiring nmt/rnn.cu:298-327): src/dst token embeddings feed a
+    stacked encoder-decoder LSTM, the decoder's top sequence goes through
+    a vocab linear + softmax, and the loss is per-token CE against the dst
+    tokens (teacher forcing; softmaxDP = data-parallel softmax, which
+    under a DP mesh here is simply the batch-sharded loss). The
+    reference's LSTM_PER_NODE_LENGTH hand-pipelining (nmt/rnn.h:24)
+    becomes a single lax.scan per layer with DP/TP sharding from the plan
+    (ops/rnn.py docstring). Compile with
+    LossType.LOSS_SPARSE_CATEGORICAL_CROSSENTROPY and labels = dst tokens
+    [B, dst_len]."""
+    from ..ffconst import AggrMode
+
+    model = FFModel(config or FFConfig(batch_size=batch_size))
+    src = model.create_tensor(
+        [batch_size, src_len], dtype=DataType.DT_INT32, name="src_tokens"
+    )
+    dst = model.create_tensor(
+        [batch_size, dst_len], dtype=DataType.DT_INT32, name="dst_tokens"
+    )
+    enc = model.embedding(
+        src, vocab_size, embed_size, aggr=AggrMode.AGGR_MODE_NONE,
+        name="src_embed",
+    )
+    dec = model.embedding(
+        dst, vocab_size, embed_size, aggr=AggrMode.AGGR_MODE_NONE,
+        name="dst_embed",
+    )
+    for i in range(num_layers):
+        # encoder state threads into the decoder layer (the reference's
+        # hx/cx chain crossing the encoder/decoder boundary)
+        enc, h_t, c_t = model.lstm(enc, hidden_size, name=f"enc_lstm_{i}")
+        dec, _, _ = model.lstm(
+            dec, hidden_size, initial_state=(h_t, c_t), name=f"dec_lstm_{i}"
+        )
+    logits = model.dense(dec, vocab_size, name="vocab_linear")
+    model.softmax(logits, name="softmax_dp")
+    return model
+
+
 def candle_uno(
     batch_size: int = 64,
     dense_layers=(1000, 1000, 1000),

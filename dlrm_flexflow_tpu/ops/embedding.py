@@ -42,9 +42,10 @@ class Embedding(Op):
         self.out_dim = int(out_dim)
         self.aggr = aggr
         batch = input.shape[0]
-        if aggr is AggrMode.AGGR_MODE_NONE:
-            assert input.num_dims == 1 or input.shape[1] == 1
-            self._out((batch, out_dim))
+        if aggr is AggrMode.AGGR_MODE_NONE and input.num_dims == 2 and input.shape[1] > 1:
+            # per-token lookup (no pooling): [B, T] ids -> [B, T, D]
+            # sequence, the NMT/RNN front end (reference: nmt/embed.cu)
+            self._out((batch, input.shape[1], out_dim))
         else:
             self._out((batch, out_dim))
         self._param(
@@ -57,6 +58,9 @@ class Embedding(Op):
         # the Pallas packed-update kernel replaces the XLA scatter
         # (ops/pallas/packed_update.py; 19x at kaggle dims)
         self.packed = False
+        # mid-band one-hot-over-pack-lines forward for packed tables
+        # (config.onehot_packed_threshold; dense [P, 128] grads)
+        self.onehot_packed = False
         self.chunk_packs = 1024
         # host-tail offload (parallel/host_tail.py): when > 0, this is the
         # FULL vocabulary; num_entries holds only the device-resident hot
@@ -105,6 +109,16 @@ class Embedding(Op):
                 )
             ]
         if self.packed:
+            if getattr(self, "onehot_packed", False):
+                # mid-vocab: one-hot matmul over pack lines (dense grads,
+                # no gather / no update stream) — see compile()'s
+                # onehot_packed_threshold selection
+                return [
+                    packed_embedding_bag_onehot(
+                        params["weight"], idx, self.aggr, self.out_dim,
+                        ctx.compute_dtype,
+                    )
+                ]
             return [
                 packed_embedding_bag(
                     params["weight"], idx, self.aggr, self.out_dim
@@ -287,6 +301,59 @@ def packed_embedding_bag(packed, idx, aggr: AggrMode, out_dim: int):
     return pooled
 
 
+def packed_embedding_bag_onehot(
+    packed, idx, aggr: AggrMode, out_dim: int, compute_dtype=jnp.bfloat16
+):
+    """Mid-vocab pooled lookup as a one-hot matmul over PACK LINES.
+
+    The narrow one-hot (embedding_bag_onehot) contracts onehot[B, V] @
+    table[V, D] — at D=16 only 16 of the MXU's 128 output lanes do work,
+    an 8x waste that caps the profitable vocab at ~8k. Contracting over
+    the packed layout instead — onehot[B, V/rpp] @ packed[V/rpp, 128] —
+    keeps all 128 lanes live (rpp = 128/D rows ride each line), so the
+    same flop budget covers an rpp-times-larger vocab; the row's D-lane
+    slice falls out with the packed_gather mask-sum. Exact (one-hot row
+    select), dense [P, 128] grads via autodiff — mid-band tables skip the
+    HBM gather AND the update-stream machinery entirely.
+    reference: src/ops/embedding.cu:166-217 (one lookup+backward pair per
+    table regardless of vocab; this is the MXU-native mid-vocab analog)."""
+    idx = idx.astype(jnp.int32)
+    squeeze_bag = idx.ndim == 1
+    if squeeze_bag:
+        idx = idx[:, None]
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        raise ValueError("one-hot path requires pooling")
+    b, h = idx.shape
+    p_lines = packed.shape[0]
+    rpp = 128 // out_dim
+    flat = idx.reshape(-1)
+    valid = flat >= 0
+    # invalid (padding) lookups one-hot to all-zeros: sentinel line id
+    # p_lines never matches the iota
+    p = jnp.where(valid, flat // rpp, p_lines)
+    sub = jnp.where(valid, flat % rpp, 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (b * h, p_lines), 1)
+    onehot = (p[:, None] == iota_p).astype(compute_dtype)
+    lines = jax.lax.dot_general(
+        onehot, packed.astype(compute_dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B*H, 128]
+    l3 = lines.reshape(b * h, rpp, out_dim)
+    oh_sub = (
+        sub[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (b * h, rpp), 1)
+    )
+    rows = jnp.sum(l3 * oh_sub[..., None].astype(l3.dtype), axis=1)
+    pooled = jnp.sum(rows.reshape(b, h, out_dim), axis=1)
+    if aggr is AggrMode.AGGR_MODE_AVG:
+        count = jnp.maximum(
+            jnp.sum(valid.reshape(b, h), axis=1, keepdims=True), 1
+        )
+        pooled = pooled / count.astype(pooled.dtype)
+    return pooled.astype(packed.dtype)
+
+
 def embedding_bag(table, idx, aggr: AggrMode):
     """Pooled lookup with negative-index padding. Pure-XLA path; the Pallas
     fused path (used by the DLRM embedding collection) lives in
@@ -346,10 +413,13 @@ def bag_row_grads(idx, g_pooled, aggr: AggrMode, num_entries: int):
     b, h = idx.shape
     valid = idx >= 0
     g = g_pooled.astype(jnp.float32)
+    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        # per-token (sequence) lookup: each (b, t) slot has its own grad
+        return rows, g.reshape(b * h, -1)
     if aggr is AggrMode.AGGR_MODE_AVG:
         count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
         g = g / count.astype(g.dtype)
-    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
     grads = jnp.broadcast_to(g[:, None, :], (b, h, g.shape[-1])).reshape(b * h, -1)
     return rows, grads
 
@@ -367,8 +437,11 @@ def bag_row_src(idx, g_pooled, aggr: AggrMode, num_entries: int):
     b, h = idx.shape
     valid = idx >= 0
     g = g_pooled.astype(jnp.float32)
+    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
+    if aggr is AggrMode.AGGR_MODE_NONE:
+        # per-token grads: no bag broadcast — delta row k = src[k]
+        return rows, g.reshape(b * h, -1), 1
     if aggr is AggrMode.AGGR_MODE_AVG:
         count = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
         g = g / count.astype(g.dtype)
-    rows = jnp.where(valid, idx, num_entries).reshape(b * h)
     return rows, g, h

@@ -517,10 +517,14 @@ def _update_kernel(
             # lanes to sublanes via one MXU pass), and each sublane's
             # in-line position e % rpp.
             nl = LANES // rpp  # stream lines per 128-entry group
+            # rep_oh rides the STREAM dtype so bf16 payloads feed the MXU
+            # as bf16 x bf16 -> f32 (Mosaic only needs a 32-bit
+            # accumulator, not 32-bit operands); casting gl up to f32
+            # doubled the replication matmul's VMEM/VReg traffic.
             rep_oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 0) // rpp
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 1)
-            ).astype(jnp.float32)
+            ).astype(g_hbm.dtype)
             eyef = (
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -568,11 +572,12 @@ def _update_kernel(
                     # line still carries the other rpp-1 entries' payloads
                     keep = lane // d == sub_col              # [128, 128]
                     gl = g_buf[slot][j * nl : (j + 1) * nl, :]   # [L, 128]
-                    # Mosaic requires a 32-bit matmul accumulator; the
-                    # replication product is exact (one-hot lhs), so the
-                    # f32-acc + cast round-trips bf16 payloads bit-exactly.
+                    # Mosaic requires a 32-bit matmul ACCUMULATOR (operands
+                    # stay in the stream dtype); the replication product is
+                    # exact (one-hot lhs), so the f32-acc + cast
+                    # round-trips bf16 payloads bit-exactly.
                     g_line = jax.lax.dot_general(
-                        rep_oh, gl.astype(jnp.float32),
+                        rep_oh, gl,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(gl.dtype)                       # [128, 128]

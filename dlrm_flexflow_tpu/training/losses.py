@@ -29,7 +29,11 @@ def compute_loss(loss_type: LossType, logits, labels):
         p = jnp.clip(logits, eps, 1.0)
         return -jnp.mean(jnp.sum(labels * jnp.log(p), axis=-1))
     if loss_type is LossType.LOSS_SPARSE_CATEGORICAL_CROSSENTROPY:
-        idx = labels.reshape(labels.shape[0]).astype(jnp.int32)
+        if logits.ndim == 3:
+            # per-token sequence CE ([B, T, C] vs [B, T]) — the NMT
+            # softmaxDP loss (reference: nmt/softmax_data_parallel.cu)
+            logits = logits.reshape(-1, logits.shape[-1])
+        idx = labels.reshape(logits.shape[0]).astype(jnp.int32)
         p = jnp.clip(logits, eps, 1.0)
         picked = jnp.take_along_axis(jnp.log(p), idx[:, None], axis=-1)
         return -jnp.mean(picked)

@@ -427,3 +427,82 @@ def test_packed_checkpoint_roundtrip(tmp_path):
     l1 = model.train_batch(feeds, labels)
     l2 = model2.train_batch(feeds, labels)
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- mid-band
+# packed one-hot (config.onehot_packed_threshold): onehot[B, V/rpp] @
+# packed[V/rpp, 128] keeps all 128 MXU lanes live, extending the one-hot
+# path's profitable vocab by rpp = 128/D (reference analog:
+# src/ops/embedding.cu:166-217 — one lookup+backward per table).
+
+
+@pytest.mark.parametrize("d,bag,aggr_name", [
+    (16, 1, "SUM"), (16, 3, "SUM"), (32, 2, "AVG"), (64, 1, "SUM"),
+    (128, 2, "SUM"),
+])
+def test_packed_onehot_bag_matches_plain(d, bag, aggr_name):
+    from dlrm_flexflow_tpu.ffconst import AggrMode
+    from dlrm_flexflow_tpu.ops.embedding import (
+        embedding_bag, packed_embedding_bag_onehot,
+    )
+
+    aggr = getattr(AggrMode, f"AGGR_MODE_{aggr_name}")
+    rng = np.random.RandomState(7)
+    v, b = 1000, 64
+    table = rng.randn(v, d).astype(np.float32)
+    idx = rng.randint(0, v, (b, bag)).astype(np.int32)
+    idx[5, 0] = -1  # padding lookups one-hot to zero
+    idx[9, :] = -1
+    ref = embedding_bag(jnp.asarray(table), jnp.asarray(idx), aggr)
+    packed = pu.pack_table(jnp.asarray(table), chunk_packs=16)
+    got = packed_embedding_bag_onehot(
+        packed, jnp.asarray(idx), aggr, d, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_onehot_packed_midband_training_matches_baseline():
+    """Tables in (onehot_threshold, onehot_packed_threshold] ride the
+    packed one-hot matmul with dense grads; the loss trajectory must match
+    the gather+sparse-update baseline exactly (one-hot row select is
+    exact) and weight IO must stay logical-shaped."""
+    from dlrm_flexflow_tpu import FFConfig, LossType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16,
+        embedding_size=[500, 12000, 40000, 9000],
+        embedding_bag_size=1,
+        mlp_bot=[13, 64, 16],
+        mlp_top=[(4 + 1) * 16, 64, 1],
+        arch_interaction_op="cat",
+        batch_size=64,
+    )
+    feeds, labels = random_batches(cfg, 64, seed=0)
+    losses = {}
+    for name, pthr in (("base", 0), ("midband", 16384)):
+        ffc = FFConfig(batch_size=64, compute_dtype="float32")
+        ffc.onehot_packed_threshold = pthr
+        ffc.packed_tables = "off"
+        m = make_dlrm_model(cfg, ffc)
+        m.compile(SGDOptimizer(lr=0.05), LossType.LOSS_BINARY_CROSSENTROPY, [])
+        flags = {
+            op.name: getattr(op, "onehot_packed", False)
+            for op in m.graph.compute_ops
+            if hasattr(op, "num_entries")
+        }
+        if name == "midband":
+            # 12000 and 9000 sit in (8192, 16384]; 500 stays narrow
+            # one-hot; 40000 stays on the sparse path
+            assert flags == {"table_0": False, "table_1": True,
+                             "table_2": False, "table_3": True}, flags
+            assert "table_1" not in m._sparse_names
+            # weight IO returns logical [V, D] shapes for packed tables
+            assert m.get_weights("table_1")["weight"].shape == (12000, 16)
+        else:
+            assert not any(flags.values())
+        losses[name] = [float(m.train_batch(feeds, labels)) for _ in range(4)]
+    np.testing.assert_allclose(
+        losses["midband"], losses["base"], rtol=1e-6, atol=1e-6
+    )
