@@ -69,3 +69,7 @@ def test_summit_large_config_builds_and_steps():
     assert feeds["sparse_0"].shape == (8, 100)
     loss = model.train_batch(feeds, labels)
     assert np.isfinite(float(loss))
+
+
+def test_example_nmt():
+    _run("nmt.py", ["-e", "1", "-b", "8"])

@@ -170,3 +170,74 @@ def test_dot_interaction_matches_numpy():
     z = stacked @ stacked.transpose(0, 2, 1)
     expect = np.stack([z[:, 1, 0], z[:, 2, 0], z[:, 2, 1]], axis=1)
     np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_lstm_matches_torch():
+    """LSTM op vs torch.nn.LSTM: same [i, f, g, o] gate layout, fused
+    bias, zero or explicit initial state (reference analog: the NMT
+    stand-alone's cuDNN LSTM cells, nmt/lstm.cu)."""
+    import torch
+
+    b, t, e, h = 4, 7, 12, 16
+    rng = np.random.default_rng(3)
+    xv = rng.normal(size=(b, t, e)).astype(np.float32)
+    h0 = rng.normal(size=(b, h)).astype(np.float32) * 0.3
+    c0 = rng.normal(size=(b, h)).astype(np.float32) * 0.3
+
+    m = make_model()
+    x = m.create_tensor([b, t, e], name="x")
+    hx = m.create_tensor([b, h], name="h0")
+    cx = m.create_tensor([b, h], name="c0")
+    y, h_t, c_t = m.lstm(x, h, initial_state=(hx, cx), name="lstm")
+    params, outs = run_graph(
+        m, {"x": xv, "h0": h0, "c0": c0}, fetch=[y, h_t, c_t]
+    )
+    yv, hv, cv = outs
+
+    tl = torch.nn.LSTM(e, h, batch_first=True)
+    with torch.no_grad():
+        tl.weight_ih_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["wx"])))
+        tl.weight_hh_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["wh"])))
+        tl.bias_ih_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["bias"])))
+        tl.bias_hh_l0.zero_()
+        ty, (th, tc) = tl(
+            torch.from_numpy(xv),
+            (torch.from_numpy(h0)[None], torch.from_numpy(c0)[None]),
+        )
+    np.testing.assert_allclose(yv, ty.numpy(), atol=2e-5)
+    np.testing.assert_allclose(hv, th[0].numpy(), atol=2e-5)
+    np.testing.assert_allclose(cv, tc[0].numpy(), atol=2e-5)
+
+
+def test_lstm_zero_state_default():
+    import torch
+
+    b, t, e, h = 3, 5, 8, 10
+    rng = np.random.default_rng(5)
+    xv = rng.normal(size=(b, t, e)).astype(np.float32)
+    m = make_model()
+    x = m.create_tensor([b, t, e], name="x")
+    y, h_t, c_t = m.lstm(x, h, name="lstm")
+    params, (yv,) = run_graph(m, {"x": xv}, fetch=[y])
+    tl = torch.nn.LSTM(e, h, batch_first=True)
+    with torch.no_grad():
+        tl.weight_ih_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["wx"])))
+        tl.weight_hh_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["wh"])))
+        tl.bias_ih_l0.copy_(torch.from_numpy(np.asarray(params["lstm"]["bias"])))
+        tl.bias_hh_l0.zero_()
+        ty, _ = tl(torch.from_numpy(xv))
+    np.testing.assert_allclose(yv, ty.numpy(), atol=2e-5)
+
+
+def test_embedding_sequence_lookup_no_pooling():
+    """AGGR_MODE_NONE over [B, T] token ids returns the [B, T, D] sequence
+    (the NMT front end, reference nmt/embed.cu) with dense-grad row
+    scatter semantics per token."""
+    m = make_model()
+    ids = m.create_tensor([8, 5], dtype=DataType.DT_INT32, name="ids")
+    out = m.embedding(ids, 30, 6, aggr=AggrMode.AGGR_MODE_NONE, name="emb")
+    assert tuple(out.shape) == (8, 5, 6)
+    iv = np.random.default_rng(0).integers(0, 30, size=(8, 5)).astype(np.int32)
+    params, (y,) = run_graph(m, {"ids": iv}, fetch=[out])
+    w = np.asarray(params["emb"]["weight"])
+    np.testing.assert_allclose(y, w[iv], atol=1e-6)
