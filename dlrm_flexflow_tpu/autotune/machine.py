@@ -614,7 +614,7 @@ def measurable_graph_ops(graph):
     from ..ffconst import OperatorType
 
     kinds = (OperatorType.OP_CONV2D, OperatorType.OP_BATCHMATMUL,
-             OperatorType.OP_MULTIHEAD_ATTENTION)
+             OperatorType.OP_MULTIHEAD_ATTENTION, OperatorType.OP_LSTM)
     return [op for op in graph.compute_ops if op.op_type in kinds]
 
 

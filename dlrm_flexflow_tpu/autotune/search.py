@@ -107,7 +107,8 @@ def graph_to_cost_spec(
                 bindings.KIND_DENSE
                 if op.op_type in (OperatorType.OP_LINEAR, OperatorType.OP_CONV2D,
                                   OperatorType.OP_BATCHMATMUL,
-                                  OperatorType.OP_MULTIHEAD_ATTENTION)
+                                  OperatorType.OP_MULTIHEAD_ATTENTION,
+                                  OperatorType.OP_LSTM)
                 else bindings.KIND_OTHER
             )
             ops.append({
@@ -497,7 +498,8 @@ def graph_to_cost_spec_v2(
                 bindings.KIND_DENSE
                 if op.op_type in (OperatorType.OP_LINEAR, OperatorType.OP_CONV2D,
                                   OperatorType.OP_BATCHMATMUL,
-                                  OperatorType.OP_MULTIHEAD_ATTENTION)
+                                  OperatorType.OP_MULTIHEAD_ATTENTION,
+                                  OperatorType.OP_LSTM)
                 else bindings.KIND_OTHER
             )
             out_vol = (
