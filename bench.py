@@ -82,8 +82,12 @@ def main():
                          "0 = off")
     ap.add_argument("--table-dtype", default="float32",
                     choices=["float32", "bfloat16", "float16", "int8"],
-                    help="serving-only: quantize embedding tables (bf16 = "
-                         "2x less table HBM; int8 = 4x, per-row scales)")
+                    help="embedding-table storage dtype. train: bfloat16 "
+                         "stores packed tables bf16 (halves forward-gather "
+                         "+ update-pass HBM traffic; f32 kernel accumulate, "
+                         "f32 optimizer pools). infer: bf16/f16/int8 "
+                         "quantize serving tables (int8 adds per-row "
+                         "scales)")
     args = ap.parse_args()
     if args.quick:
         args.steps, args.warmup = 10, 3
@@ -143,6 +147,12 @@ def main():
         if args.host_tail_threshold == 0:
             args.host_tail_threshold = 1 << 20
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
+    if args.mode == "train" and args.table_dtype != "float32":
+        # training-time bf16 packed-table storage (config.table_dtype);
+        # int8/f16 remain serving-only quantization formats
+        assert args.table_dtype == "bfloat16", (
+            "train supports --table-dtype float32|bfloat16")
+        ffc.table_dtype = args.table_dtype
     ffc.packed_tables = args.packed_tables
     ffc.packed_gather_mode = args.packed_gather_mode
     ffc.packed_stream_mode = args.packed_stream_mode
@@ -253,8 +263,7 @@ def main():
     stacked_feeds = {k: stage(v) for k, v in stacked_feeds.items()}
     stacked_labels = stage(stacked_labels)
 
-    if args.table_dtype != "float32":
-        assert args.mode == "infer", "--table-dtype quantizes serving only"
+    if args.table_dtype != "float32" and args.mode == "infer":
         n_cast = model.quantize_embeddings(args.table_dtype)
         print(f"# quantized {n_cast} embedding arrays to {args.table_dtype}",
               file=sys.stderr)

@@ -113,6 +113,15 @@ class FFConfig:
     # lane_expand materialization); "auto" = calibrated winner
     # (machine.stream_mode)
     packed_stream_mode: str = "auto"
+    # TRAINING storage dtype for packed sparse embedding tables
+    # ("float32" | "bfloat16"). bf16 halves the two biggest HBM pools of
+    # the DLRM step — the forward row gathers and the update kernel's
+    # table pass — at the cost of bf16 rounding on each row write (the
+    # one-hot MXU kernel still accumulates f32 and the optimizer
+    # side pools — Adam m/v, momentum velocity, AdaGrad accumulators —
+    # stay f32). Serving-time quantization is separate
+    # (FFModel.quantize_embeddings). Dense params are unaffected.
+    table_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # activations/matmul dtype; params stay f32
     seed: int = 42
     # --- runtime-adjustable iteration config (reference: config.h:156-161) ---
@@ -225,6 +234,8 @@ class FFConfig:
                 self.packed_gather_mode = take()
             elif a == "--packed-stream-mode":
                 self.packed_stream_mode = take()
+            elif a == "--table-dtype":
+                self.table_dtype = take()
             elif a == "--machine-model-version":
                 self.machine_model_version = int(take())
             elif a == "--machine-model-file":

@@ -823,9 +823,20 @@ class FFModel:
                 op.chunk_packs = pick_chunk_packs(
                     op.num_entries, op.out_dim, op.inputs[0].volume
                 )
+                # training storage dtype (config.table_dtype): bf16 halves
+                # the two biggest HBM pools of the step (forward gathers +
+                # the update kernel's table pass). Sparse-row updates only:
+                # the kernel accumulates f32 into the bf16 storage; the
+                # dense-optimizer paths (mid-band one-hot, small tables)
+                # keep f32 params.
+                op.table_dtype = (
+                    self.config.table_dtype
+                    if self.config.table_dtype != "float32" else None
+                )
                 params[op.name] = op.pack_params(params[op.name])
             else:
                 op.packed = False
+                op.table_dtype = None
         self._route_ops = [op for op in sparse_ops if getattr(op, "packed", False)]
 
         # Mid-band tables (onehot_thr < vocab <= onehot_packed_threshold):
@@ -843,6 +854,7 @@ class FFModel:
 
                 op.packed = True
                 op.onehot_packed = True
+                op.table_dtype = None  # dense-grad path keeps f32 params
                 op.chunk_packs = pick_chunk_packs(
                     op.num_entries, op.out_dim, op.inputs[0].volume
                 )

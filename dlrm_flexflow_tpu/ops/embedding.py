@@ -62,6 +62,11 @@ class Embedding(Op):
         # (config.onehot_packed_threshold; dense [P, 128] grads)
         self.onehot_packed = False
         self.chunk_packs = 1024
+        # training storage dtype for the PACKED table (config.table_dtype;
+        # set by compile): bf16 halves the forward-gather and update-pass
+        # HBM traffic; the update kernel still accumulates f32 and the
+        # optimizer side pools stay f32
+        self.table_dtype = None
         # host-tail offload (parallel/host_tail.py): when > 0, this is the
         # FULL vocabulary; num_entries holds only the device-resident hot
         # prefix and rows >= num_entries live in the host tail store. The
@@ -204,7 +209,10 @@ class Embedding(Op):
     def pack_params(self, sub: dict) -> dict:
         from .pallas.packed_update import pack_table
 
-        return {**sub, "weight": pack_table(sub["weight"], self.chunk_packs)}
+        w = pack_table(sub["weight"], self.chunk_packs)
+        if self.table_dtype is not None:
+            w = w.astype(self.table_dtype)
+        return {**sub, "weight": w}
 
     def unpack_params(self, sub: dict) -> dict:
         from .pallas.packed_update import unpack_table

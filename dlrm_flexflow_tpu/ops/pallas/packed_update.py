@@ -432,8 +432,15 @@ def _prep_streams(
                     == jax.lax.broadcasted_iota(jnp.int32, (k, rpp), 1)
                 ).astype(delta_dtype)
                 g_exp = (oh_sub[..., None] * gi[:, None, :]).reshape(k, LANES)
-            g_exp = g_exp.at[order].get(mode="promise_in_bounds")
-            g_stream = jnp.pad(g_exp, ((0, k_pad - k), (0, 0)))
+            # fold the tail padding into the permutation gather (pad rows
+            # read entry 0 — GARBAGE is fine there: their encoded ps is the
+            # sentinel chunk_packs*rpp, which one-hots to an all-zero
+            # column in the kernel) instead of a separate [K_pad, 128]
+            # jnp.pad copy (~0.2 ms/step across the kaggle tables)
+            order_pad = jnp.concatenate(
+                [order, jnp.zeros((k_pad - k,), order.dtype)]
+            )
+            g_stream = g_exp.at[order_pad].get(mode="promise_in_bounds")
             compact = False
         out.append((starts, ps_pk, g_stream, compact))
     return out
@@ -484,7 +491,19 @@ def _update_kernel(
     s0a = jax.lax.div(s0, u) * u
     nt = jax.lax.div(s1 - s0a + u - 1, u)
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # f32 tables accumulate DIRECTLY into the output block: the separate
+    # acc zero + final (tp + acc) pass cost ~1.6 us of VPU time per cell
+    # (~1.3 ms/step across the kaggle chunks) and f32 += is the same
+    # rounding class as sum-then-add. Narrower table dtypes (bf16) keep
+    # the f32 scratch so a chunk's delta still sums in f32 and rounds to
+    # storage ONCE.
+    direct = out_ref.dtype == jnp.float32
+    if direct:
+        out_ref[:] = tp_ref[:]
+        acc = out_ref
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc = acc_ref
 
     def dmas(ti, slot):
         row0 = pl.multiple_of(
@@ -533,28 +552,20 @@ def _update_kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) % rpp
             )
 
-        def body(ti, _):
-            slot = jax.lax.rem(ti, 2)
-
-            @pl.when(ti + 1 < nt)
-            def _():
-                for dma in dmas(ti + 1, 1 - slot):
-                    dma.start()
-
-            for dma in dmas(ti, slot):
-                dma.wait()
-            base = s0a + ti * u
-            for j in range(_PS_ROWS):
+        def row_accum(ti, slot, j):
+                base = s0a + ti * u
                 cv = ps_buf[slot][j : j + 1, :]              # [1, 128]
                 ps_row = cv // rpp                           # in-chunk pack
                 # keep only rows in [s0, s1): head/tail tiles over-read the
-                # neighbor chunks' sorted rows
+                # neighbor chunks' sorted rows. The range mask applies to
+                # the [1, 128] ENTRY line (out-of-range entries snap to the
+                # sentinel pack, which never matches the iota) — masking
+                # the [C, 128] one-hot after the compare costs a full
+                # extra VPU pass per row.
                 row_g = base + j * LANES + lane
                 valid = (row_g >= s0) & (row_g < s1)
-                oh_t = jnp.where(
-                    valid, (ps_row == iota_c).astype(g_buf.dtype),
-                    jnp.zeros((), g_buf.dtype),
-                )                                            # [C, 128]
+                pr = jnp.where(valid, ps_row, c)             # [1, 128]
+                oh_t = (pr == iota_c).astype(g_buf.dtype)    # [C, 128]
                 if compact and rpp > 1:
                     # lane expansion IN-KERNEL from the dense-packed stream:
                     # entry e's payload sits at line e//rpp, lane group
@@ -592,17 +603,44 @@ def _update_kernel(
                         )
                 else:
                     g_tile = g_buf[slot][j * LANES : (j + 1) * LANES, :]
-                acc_ref[:] += jax.lax.dot_general(
+                acc[:] += jax.lax.dot_general(
                     oh_t,
                     g_tile,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+
+        def body(ti, _):
+            slot = jax.lax.rem(ti, 2)
+
+            @pl.when(ti + 1 < nt)
+            def _():
+                for dma in dmas(ti + 1, 1 - slot):
+                    dma.start()
+
+            for dma in dmas(ti, slot):
+                dma.wait()
+            base = s0a + ti * u
+            for j in range(_PS_ROWS):
+                # tile-alignment waste guard: a chunk's entry range
+                # [s0, s1) usually covers only a few of the tile's
+                # _PS_ROWS 128-entry rows (big tables average ~2 live
+                # rows of 8 at kaggle scale), and each dead row still
+                # costs a [C, 128] one-hot build + MXU pass — measured
+                # 2.36 ms vs the 1.59 ms r+w bandwidth floor on the
+                # 648 MB kaggle table. Skip rows fully outside the range
+                # so kernel compute scales with ACTUAL entries.
+                @pl.when(
+                    (base + j * LANES < s1) & (base + (j + 1) * LANES > s0)
+                )
+                def _(j=j):
+                    row_accum(ti, slot, j)
             return 0
 
         jax.lax.fori_loop(0, nt, body, 0)
 
-    out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
+    if not direct:
+        out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
 
 
 def _packed_apply(
@@ -641,7 +679,12 @@ def _packed_apply(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk_packs, LANES), jnp.float32),
+            # f32 tables accumulate into the output block (direct mode in
+            # _update_kernel); the f32 scratch shrinks to a dummy tile
+            pltpu.VMEM(
+                (8 if packed.dtype == jnp.float32 else chunk_packs, LANES),
+                jnp.float32,
+            ),
             pltpu.VMEM((2, _PS_ROWS, LANES), jnp.int32),
             pltpu.VMEM(
                 (2, TILE // rpp if compact else TILE, LANES), g_exp.dtype

@@ -506,3 +506,79 @@ def test_onehot_packed_midband_training_matches_baseline():
     np.testing.assert_allclose(
         losses["midband"], losses["base"], rtol=1e-6, atol=1e-6
     )
+
+
+def test_bf16_table_training_tracks_f32():
+    """config.table_dtype="bfloat16" stores packed sparse tables in bf16
+    (halving the forward-gather and update-pass HBM traffic on TPU); the
+    loss trajectory must track the f32-table packed path within bf16
+    rounding, and weight IO / set_weights must preserve the storage dtype."""
+    import jax.numpy as jnp
+
+    from dlrm_flexflow_tpu import LossType, MetricsType, SGDOptimizer
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+
+    losses = {}
+    for td in ("float32", "bfloat16"):
+        cfg, model = _small_dlrm("on")
+        model.config.table_dtype = td
+        model.compile(
+            SGDOptimizer(lr=0.05),
+            LossType.LOSS_BINARY_CROSSENTROPY,
+            [MetricsType.METRICS_ACCURACY],
+        )
+        want = jnp.bfloat16 if td == "bfloat16" else jnp.float32
+        for op in model.graph.compute_ops:
+            if getattr(op, "packed", False):
+                assert model._params[op.name]["weight"].dtype == want
+        feeds, labels = random_batches(cfg, 32 * 4, seed=7)
+        ls = []
+        for i in range(4):
+            batch = {k: v[32 * i: 32 * (i + 1)] for k, v in feeds.items()}
+            ls.append(
+                float(model.train_batch(batch, labels[32 * i: 32 * (i + 1)]))
+            )
+        losses[td] = ls
+        if td == "bfloat16":
+            # logical-shape weight IO round-trips through the bf16 storage
+            w = model.get_weights("table_0")["weight"]
+            assert w.shape == (500, 16) and w.dtype == np.dtype("bfloat16")
+            w2 = np.random.RandomState(5).randn(500, 16).astype(np.float32)
+            model.set_weights("table_0", {"weight": w2})
+            got = model.get_weights("table_0")["weight"].astype(np.float32)
+            np.testing.assert_allclose(got, w2, rtol=8e-3, atol=8e-3)
+    np.testing.assert_allclose(
+        losses["bfloat16"], losses["float32"], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_bf16_table_adagrad_accumulators_stay_f32():
+    """Row-wise AdaGrad on bf16 tables: the per-row accumulator pools keep
+    f32 (bf16 accumulator adds quantize to ~8 mantissa bits and drift)."""
+    import jax.numpy as jnp
+
+    from dlrm_flexflow_tpu import LossType
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.training.optimizer import RowWiseAdagradOptimizer
+
+    cfg, model = _small_dlrm("on")
+    model.config.table_dtype = "bfloat16"
+    model.compile(
+        RowWiseAdagradOptimizer(lr=0.05),
+        LossType.LOSS_BINARY_CROSSENTROPY, [],
+    )
+    packed = [op for op in model.graph.compute_ops
+              if getattr(op, "packed", False)]
+    assert packed
+    for op in packed:
+        assert model._params[op.name]["weight"].dtype == jnp.bfloat16
+        assert model._opt_state["sparse"][op.name].dtype == jnp.float32
+    feeds, labels = random_batches(cfg, 32 * 3, seed=8)
+    ls = [
+        float(model.train_batch(
+            {k: v[32 * i: 32 * (i + 1)] for k, v in feeds.items()},
+            labels[32 * i: 32 * (i + 1)],
+        ))
+        for i in range(3)
+    ]
+    assert ls[-1] < ls[0] + 0.05  # training stays sane on bf16 storage
