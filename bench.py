@@ -66,6 +66,20 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="Zipf exponent for the synthetic index stream "
+                         "(0 = uniform). Real Criteo ids are frequency-"
+                         "ordered ~Zipf(1.05); skew concentrates updates "
+                         "into few chunks, which the selective packed "
+                         "dispatch exploits. host-tail configs default "
+                         "to 1.05 regardless")
+    ap.add_argument("--packed-selective", default="on",
+                    choices=["on", "off"],
+                    help="touched-chunk-only update dispatch (off = "
+                         "round-4 full-table pass, for A/B)")
+    ap.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"],
+                    help="adam measures the lazy-Adam packed path "
+                         "(m/v side pools maintained by the same kernel)")
     ap.add_argument("--mesh", action="store_true", help="use all devices with hybrid plan")
     ap.add_argument("--mode", default="train", choices=["train", "infer"],
                     help="train step throughput or forward-only (serving)")
@@ -151,17 +165,19 @@ def main():
         if args.host_tail_threshold == 0:
             args.host_tail_threshold = 1 << 20
     ffc = FFConfig(batch_size=args.batch_size, compute_dtype=args.compute_dtype)
+    explicit_table_dtype = args.table_dtype != "auto"
     if args.table_dtype == "auto":
         args.table_dtype = "bfloat16" if args.mode == "train" else "float32"
     if args.mode == "train" and args.table_dtype != "float32":
         # training-time bf16 packed-table storage (config.table_dtype);
         # int8/f16 remain serving-only quantization formats
-        assert args.table_dtype == "bfloat16", (
-            "train supports --table-dtype float32|bfloat16")
+        if args.table_dtype != "bfloat16":
+            ap.error("train supports --table-dtype float32|bfloat16")
         ffc.table_dtype = args.table_dtype
     ffc.packed_tables = args.packed_tables
     ffc.packed_gather_mode = args.packed_gather_mode
     ffc.packed_stream_mode = args.packed_stream_mode
+    ffc.packed_selective = args.packed_selective
     ffc.onehot_embedding_threshold = args.onehot_threshold
     ffc.onehot_packed_threshold = args.onehot_packed_threshold
     if args.host_tail_threshold > 0:
@@ -180,13 +196,45 @@ def main():
         mesh = make_mesh()
         plan = dlrm_hybrid_plan()
 
+    if args.optimizer == "adam":
+        from dlrm_flexflow_tpu import AdamOptimizer
+
+        optimizer = AdamOptimizer(alpha=0.001)
+    else:
+        optimizer = SGDOptimizer(lr=0.01)
     model.compile(
-        SGDOptimizer(lr=0.01),
+        optimizer,
         LossType.LOSS_BINARY_CROSSENTROPY,
         [MetricsType.METRICS_ACCURACY],
         mesh=mesh,
         plan=plan,
     )
+
+    # Resolve what ACTUALLY engaged (ADVICE r4): table_dtype applies only
+    # where an op took bf16 storage (packed single tables, packed sharded
+    # pools); if the packed path gated off (CPU, batch volume below
+    # packed_min_rows, unsupported optimizer), the bench would otherwise
+    # report a bf16 configuration it never measured.
+    packed_engaged = any(
+        getattr(op, "packed", False)
+        or getattr(getattr(op, "layout", None), "packed_pool", False)
+        for op in model.graph.compute_ops
+    )
+    dtype_engaged = any(
+        getattr(op, "table_dtype", None) is not None
+        for op in model.graph.compute_ops
+    )
+    effective_table_dtype = args.table_dtype
+    if args.mode == "train" and args.table_dtype == "bfloat16" \
+            and not dtype_engaged:
+        msg = ("--table-dtype bfloat16 requested but no op engaged bf16 "
+               "table storage (packed path off: backend/--packed-tables/"
+               "batch volume < packed_min_rows/optimizer); measuring f32 "
+               "tables")
+        if explicit_table_dtype:
+            ap.error(msg)
+        print(f"# WARNING: {msg}", file=sys.stderr)
+        effective_table_dtype = "float32"
 
     # Pre-stage device-resident batches (ZCM analog), stacked with a leading
     # round-robin axis so the whole timed run is ONE dispatch: per-call launch
@@ -197,7 +245,10 @@ def main():
     n_batches = 4
     feeds_np, labels_np = random_batches(
         cfg, args.batch_size * n_batches, seed=0, learnable=False,
-        zipf=1.05 if args.host_tail_threshold > 0 else 0.0,
+        zipf=(
+            args.zipf if args.zipf > 0
+            else (1.05 if args.host_tail_threshold > 0 else 0.0)
+        ),
     )
 
     if getattr(model, "_host_tail", None):
@@ -228,6 +279,8 @@ def main():
             f"dt={dt:.3f}s host-tail tables={len(model._host_tail.entries)} "
             f"touched_rows={touched} "
             f"drop_frac={model.host_tail_drop_fraction():.5f} "
+            f"table_dtype={effective_table_dtype} "
+            f"packed={'yes' if packed_engaged else 'no'} "
             f"examples/s={examples_per_sec:,.0f} loss={loss_val:.4f}",
             file=sys.stderr,
         )
@@ -238,9 +291,12 @@ def main():
             "vs_baseline": round(
                 examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 4),
             "host_tail_tables": len(model._host_tail.entries),
+            "host_tail_touched_rows": int(touched),
             "host_tail_drop_fraction": round(
                 model.host_tail_drop_fraction(), 6),
             "devices": n_dev if args.mesh else 1,
+            "table_dtype": effective_table_dtype,
+            "packed_engaged": packed_engaged,
             "loss": round(loss_val, 5),
         }))
         return
@@ -335,6 +391,8 @@ def main():
     print(
         f"# config={args.config} bs={args.batch_size} steps={args.steps} "
         f"dt={dt:.3f}s devices={n_dev} mesh={'yes' if mesh else 'no'} "
+        f"table_dtype={effective_table_dtype} "
+        f"packed={'yes' if packed_engaged else 'no'} "
         f"examples/s={examples_per_sec:,.0f} per-chip={per_chip:,.0f} "
         f"all-to-all={a2a_gbps:.4g}GB/s loss={float(loss):.4f}",
         file=sys.stderr,
@@ -352,6 +410,8 @@ def main():
                 "examples_per_sec_per_chip": round(per_chip, 1),
                 "devices": n_dev if args.mesh else 1,
                 "all_to_all_gbps": round(a2a_gbps, 6),
+                "table_dtype": effective_table_dtype,
+                "packed_engaged": packed_engaged,
                 "loss": round(loss, 5),
             }
         )

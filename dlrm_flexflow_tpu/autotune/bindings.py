@@ -53,6 +53,11 @@ class FFSimMachine(ctypes.Structure):
         ("pcie_gbps", ctypes.c_double),
         ("pcie_latency_us", ctypes.c_double),
         ("host_row_ns", ctypes.c_double),
+        # dense-parameter sync comparison: 0 = allreduce (the runtime's
+        # XLA psum), 1 = parameter-server (reference simulator.cc:403-498
+        # models both; kept for cost comparison only)
+        ("param_sync", ctypes.c_int32),
+        ("ps_gbps", ctypes.c_double),
     ]
 
 
@@ -74,6 +79,11 @@ class FFSimOp(ctypes.Structure):
         # host-tail candidacy (mode 2 viable when tail_hot_rows > 0)
         ("tail_hot_rows", ctypes.c_double),
         ("tail_miss_frac", ctypes.c_double),
+        # packed-table STORAGE bytes/row (config.table_dtype; 0 => row_bytes)
+        ("table_row_bytes", ctypes.c_double),
+        # expected touched-chunk fraction for the selective update pass
+        # (0 => 1.0 full pass)
+        ("upd_touched_frac", ctypes.c_double),
     ]
 
 
@@ -201,6 +211,8 @@ def _ops_array(ops: Sequence[dict]):
         arr[i].fwd_us = op.get("fwd_us", 0.0)
         arr[i].tail_hot_rows = op.get("tail_hot_rows", 0.0)
         arr[i].tail_miss_frac = op.get("tail_miss_frac", 0.0)
+        arr[i].table_row_bytes = op.get("table_row_bytes", 0.0)
+        arr[i].upd_touched_frac = op.get("upd_touched_frac", 0.0)
     return arr
 
 

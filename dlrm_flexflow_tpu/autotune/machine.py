@@ -58,7 +58,11 @@ class MachineSpec:
     update_ns_per_row: float = 2.0
     update_us_per_table: float = 100.0
     # score with the event-driven DAG schedule (a2a overlaps bottom MLP,
-    # allreduce overlaps the embedding update)
+    # allreduce overlaps the embedding update). For the graph-generic path:
+    # 1 = per-chip timelines (each chip's own gather/dense/update chain —
+    # the reference's per-device scheduling, simulator.cc:500-560);
+    # 2 = representative-chip collapse (n x fewer tasks per eval; an upper
+    # bound that charges one chip both phase maxes); 0 = closed-form sum
     use_dag: int = 1
     # routed (capacity-bucketed) exchange model: wire independent of the
     # split degree + per-entry routing cost (parallel/routed_exchange.py)
@@ -74,6 +78,13 @@ class MachineSpec:
     pcie_gbps: float = 10.0
     pcie_latency_us: float = 20.0
     host_row_ns: float = 60.0
+    # dense-parameter sync mode for the cost model: 0 = allreduce (what
+    # the runtime implements — XLA psum over ICI), 1 = parameter-server
+    # (reference simulator.cc:403-498 models both sync modes; the PS branch
+    # is kept for comparison only — tests show allreduce winning on the
+    # torus, which is why the runtime has no PS path)
+    param_sync: int = 0
+    ps_gbps: float = 0.0  # PS link + host update bandwidth; 0 => pcie_gbps
     # measured/predicted full-step ratio from FFModel.calibrate_step_residual
     # (the profile-then-simulate loop closed over the WHOLE step: per-kernel
     # constants above get the per-op costs right, the residual absorbs what

@@ -425,6 +425,7 @@ def zipf_tail_fraction(vocab: int, hot: int, s: float = 1.05) -> float:
 def graph_to_cost_spec_v2(
     graph: Graph, global_batch: int, exchange_dtype_bytes: float = 4.0,
     dense_costs=None, host_tail_hot: int = 0, op_costs=None,
+    table_dtype_bytes: float = 4.0,
 ):
     """Lower the graph for the JOINT search: one FFSIM_EMBED per TABLE
     (split/mode are annealer state, not lowering inputs), dense ops get a
@@ -460,6 +461,24 @@ def graph_to_cost_spec_v2(
             "wire_row_bytes": exchange_dtype_bytes * dim,
             "stage": 0,
         }
+        if 128 % max(1, dim) == 0:
+            # packed-layout candidates: storage dtype (config.table_dtype)
+            # scales the gather/table-pass HBM terms, and the selective
+            # update dispatch touches only chunks that received entries —
+            # uniform-draw expectation E[touched]/C = 1-(1-1/C)^K is the
+            # UPPER bound (Zipf touches fewer)
+            entry["table_row_bytes"] = table_dtype_bytes * dim
+            from ..ops.pallas.packed_update import (
+                pick_chunk_packs, rows_per_pack,
+            )
+
+            packs = -(-int(vocab) // rows_per_pack(dim))
+            cp = pick_chunk_packs(int(vocab), dim, int(lookups))
+            n_chunks = max(1, -(-packs // cp))
+            if n_chunks > 1:
+                entry["upd_touched_frac"] = 1.0 - math.exp(
+                    float(lookups) * math.log1p(-1.0 / n_chunks)
+                )
         # host-tail candidacy (parallel/host_tail.py; mode 2): only tables
         # whose vocab dwarfs the hot prefix are worth splitting to the host
         if tail_ok and host_tail_hot > 0 and vocab > 4 * host_tail_hot:
@@ -602,6 +621,7 @@ def autotune_plan_joint(
     allow_splits: bool = True,
     enable_propagation: bool = True,
     host_tail_hot: int = 0,
+    table_dtype_bytes: float = 4.0,
 ):
     """Joint annealer over (owner, split, mode[, dense tp]) in the native
     core — the reference's per-op ParallelConfig MCMC (model.cc:1928-1991)
@@ -615,6 +635,7 @@ def autotune_plan_joint(
         dense_costs=getattr(machine, "dense_costs", None),
         host_tail_hot=host_tail_hot,
         op_costs=getattr(machine, "op_costs", None),
+        table_dtype_bytes=table_dtype_bytes,
     )
     if not enable_propagation:
         # reference parity: config-propagation moves along graph edges are

@@ -113,6 +113,12 @@ class FFConfig:
     # lane_expand materialization); "auto" = calibrated winner
     # (machine.stream_mode)
     packed_stream_mode: str = "auto"
+    # touched-chunk selective dispatch for the packed update kernel: "on"
+    # routes the update grid through only the chunks that received entries
+    # (table read+write HBM ∝ touched chunks — matches the reference
+    # backward's ∝-batch cost, src/ops/embedding.cu:192-217, under skewed
+    # index distributions); "off" reproduces the full-table pass (A/B)
+    packed_selective: str = "on"
     # TRAINING storage dtype for packed sparse embedding tables
     # ("float32" | "bfloat16"). bf16 halves the two biggest HBM pools of
     # the DLRM step — the forward row gathers and the update kernel's
@@ -234,6 +240,8 @@ class FFConfig:
                 self.packed_gather_mode = take()
             elif a == "--packed-stream-mode":
                 self.packed_stream_mode = take()
+            elif a == "--packed-selective":
+                self.packed_selective = take()
             elif a == "--table-dtype":
                 self.table_dtype = take()
             elif a == "--machine-model-version":

@@ -576,8 +576,9 @@ class FFModel:
         # after calibration in _run_strategy_search). Must be set BEFORE
         # any step tracing.
         from ..ops.pallas.packed_update import (
-            set_gather_mode, set_stream_mode,
+            set_gather_mode, set_selective, set_stream_mode,
         )
+        set_selective(self.config.packed_selective != "off")
         gmode = self.config.packed_gather_mode
         smode = self.config.packed_stream_mode
         if gmode == "auto" or smode == "auto":
@@ -859,6 +860,33 @@ class FFModel:
                     op.num_entries, op.out_dim, op.inputs[0].volume
                 )
                 params[op.name] = op.pack_params(params[op.name])
+
+        # bf16 table storage for SHARDED collections (round 5): packed
+        # pools under a real data axis only — there the local row update is
+        # the Pallas packed kernel (f32 accumulation into bf16 storage, one
+        # rounding per step; optimizer side pools stay f32, sparse_state_init
+        # is dtype-independent). The single-chip flat-collection fallback
+        # and non-packed pools keep f32: their scatter-add would round every
+        # duplicate add in bf16.
+        from ..ops.embedding_collection_op import EmbeddingCollection as _ECol
+
+        for op in sparse_ops:
+            if type(op) is not _ECol:
+                continue
+            if (
+                self.config.table_dtype == "bfloat16"
+                and mesh is not None
+                and plan is not None
+                and mesh.shape.get(plan.batch_axis, 1) > 1
+                and getattr(op.layout, "packed_pool", False)
+            ):
+                op.table_dtype = jnp.bfloat16
+                params[op.name] = {
+                    **params[op.name],
+                    "pool": params[op.name]["pool"].astype(jnp.bfloat16),
+                }
+            else:
+                op.table_dtype = None
 
         def forward_only(params, feeds, training, rng):
             ctx = OpContext(
@@ -1216,6 +1244,10 @@ class FFModel:
             # search may move a huge table's cold rows to the host (mode 2)
             # instead of paying the HBM overflow penalty
             host_tail_hot=self.config.host_tail_threshold or (1 << 20),
+            # packed-table storage dtype scales the gather/table-pass terms
+            table_dtype_bytes=(
+                2.0 if self.config.table_dtype == "bfloat16" else 4.0
+            ),
         )
         # decisions that apply even when NO table stays placed (owner empty):
         # one-hot replication and host-tail offload are per-table modes, not
@@ -1834,6 +1866,9 @@ class FFModel:
             exchange_dtype_bytes=(
                 2.0 if self.config.compute_dtype in ("bfloat16", "float16")
                 else 4.0
+            ),
+            table_dtype_bytes=(
+                2.0 if self.config.table_dtype == "bfloat16" else 4.0
             ),
         )
         residual = measured_us / max(pred_us, 1e-9)

@@ -38,6 +38,10 @@ class EmbeddingCollection(Op):
         super().__init__(name, inputs)
         self.layout = layout
         self.aggr = aggr
+        # training storage dtype of the pool (config.table_dtype; set by
+        # compile for packed pools under a real data axis — the packed
+        # kernel accumulates f32 into bf16 storage, side pools stay f32)
+        self.table_dtype = None
         per_table_init = per_table_initializer or GlorotUniform()
         batch = inputs[0].shape[0]
         if adopt_outputs is not None:

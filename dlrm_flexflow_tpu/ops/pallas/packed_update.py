@@ -191,18 +191,40 @@ def get_stream_mode(d=None) -> str:
     return _STREAM_MODE
 
 
+_SELECTIVE = True  # touched-chunk-only dispatch (VERDICT r4 item 1)
+
+
+def set_selective(on: bool) -> None:
+    """Enable/disable touched-chunk selective dispatch: when on, the update
+    grid's block index map routes every grid step through a compacted list
+    of chunks that actually received entries, so the table read+write HBM
+    traffic scales with TOUCHED chunks (∝ batch under Zipf indices) instead
+    of total vocab. The reference's scatter backward touches only batch rows
+    (src/ops/embedding.cu:192-217); this is the packed-layout equivalent.
+    Off reproduces the round-4 full-pass behavior for A/B measurement."""
+    global _SELECTIVE
+    _SELECTIVE = bool(on)
+
+
+def get_selective() -> bool:
+    return _SELECTIVE
+
+
 def snapshot_modes():
-    """Capture the full gather/stream mode state (modes are read at TRACE
-    time, so a model compiled with one config must re-apply its own modes
-    before its first step traces — another model's compile may have run in
-    between)."""
+    """Capture the full gather/stream/selective mode state (modes are read
+    at TRACE time, so a model compiled with one config must re-apply its own
+    modes before its first step traces — another model's compile may have
+    run in between)."""
     return (_GATHER_MODE, dict(_GATHER_MODE_BY_DIM),
-            _STREAM_MODE, dict(_STREAM_MODE_BY_DIM))
+            _STREAM_MODE, dict(_STREAM_MODE_BY_DIM), _SELECTIVE)
 
 
 def restore_modes(snap) -> None:
-    global _GATHER_MODE, _STREAM_MODE
-    _GATHER_MODE, gbd, _STREAM_MODE, sbd = snap
+    global _GATHER_MODE, _STREAM_MODE, _SELECTIVE
+    if len(snap) == 5:
+        _GATHER_MODE, gbd, _STREAM_MODE, sbd, _SELECTIVE = snap
+    else:  # pre-round-5 snapshot tuples carry no selective flag
+        _GATHER_MODE, gbd, _STREAM_MODE, sbd = snap
     _GATHER_MODE_BY_DIM.clear()
     _GATHER_MODE_BY_DIM.update(gbd)
     _STREAM_MODE_BY_DIM.clear()
@@ -463,7 +485,10 @@ def pick_chunk_packs(v: int, d: int, k: int) -> int:
 # --------------------------------------------------------------------------
 
 def _update_kernel(
-    starts_ref,  # SMEM [n_chunks+1] i32 (scalar prefetch)
+    cids_ref,    # SMEM [G] i32 chunk id per grid step (selective dispatch;
+                 # consumed by the block index maps, unused in the body)
+    lo_ref,      # SMEM [G] i32 entry-range start per grid step
+    hi_ref,      # SMEM [G] i32 entry-range end (lo==hi for padding steps)
     tp_ref,      # VMEM [C, 128] table chunk (aliased to output)
     ps_hbm,      # HBM [K_pad/128, 128] i32 ENCODED psmod*rpp+sub
     g_hbm,       # HBM deltas: [K_pad, 128] lane-expanded (expanded mode)
@@ -482,14 +507,16 @@ def _update_kernel(
     c, u = chunk_packs, TILE
     g_rows_tile = u // rpp if compact else u
     k = pl.program_id(0)
-    s0 = starts_ref[k]
-    s1 = starts_ref[k + 1]
+    s0 = lo_ref[k]
+    s1 = hi_ref[k]
     # DMA offsets must be provably tile-aligned; aligning the stream start
     # to TILE makes both the g rows (bf16: 16) and the packed-ps rows
     # (int32: 8, = TILE/128 per tile) aligned. Leading rows belong to the
     # previous chunk and are masked off.
     s0a = jax.lax.div(s0, u) * u
-    nt = jax.lax.div(s1 - s0a + u - 1, u)
+    # empty ranges (untouched chunk / padding step) must skip the stream
+    # DMA entirely: s0 > s0a would otherwise still yield nt = 1
+    nt = jnp.where(s1 > s0, jax.lax.div(s1 - s0a + u - 1, u), 0)
 
     # f32 tables accumulate DIRECTLY into the output block: the separate
     # acc zero + final (tp + acc) pass cost ~1.6 us of VPU time per cell
@@ -643,6 +670,30 @@ def _update_kernel(
         out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
 
 
+def _selective_schedule(starts: jax.Array, n_chunks: int):
+    """starts [n_chunks+1] -> (cids, lo, hi), each [n_chunks] i32: a grid
+    schedule that visits every TOUCHED chunk once (ascending) and parks the
+    remaining grid steps on ONE untouched chunk with an empty entry range.
+    The Pallas pipeline elides block copies when consecutive grid steps map
+    to the same block index, so the parked tail costs one chunk read+write
+    total — table HBM traffic becomes ∝ touched chunks, matching the
+    reference backward's ∝-batch cost (src/ops/embedding.cu:192-217) while
+    keeping the static grid XLA needs."""
+    tch = starts[1:] > starts[:-1]                       # [n_chunks]
+    n_t = jnp.sum(tch.astype(jnp.int32))
+    iota = jnp.arange(n_chunks, dtype=jnp.int32)
+    key = jnp.where(tch, iota, iota + n_chunks)
+    skey = jax.lax.sort(key)                             # touched first
+    park = jnp.argmin(tch).astype(jnp.int32)             # first untouched
+    live = iota < n_t
+    cids = jnp.where(live, skey, park)
+    lo = starts.at[cids].get(mode="promise_in_bounds")
+    hi = jnp.where(
+        live, starts.at[cids + 1].get(mode="promise_in_bounds"), lo
+    )
+    return cids, lo, hi
+
+
 def _packed_apply(
     packed: jax.Array,
     starts: jax.Array,
@@ -659,23 +710,28 @@ def _packed_apply(
     compact = bool(compact and rpp > 1)
     n_chunks = pp // chunk_packs
     assert n_chunks * chunk_packs == pp and starts.shape[0] == n_chunks + 1
+    if get_selective():
+        cids, lo, hi = _selective_schedule(starts, n_chunks)
+    else:
+        cids = jnp.arange(n_chunks, dtype=jnp.int32)
+        lo, hi = starts[:-1], starts[1:]
     kernel = functools.partial(
         _update_kernel, chunk_packs=chunk_packs, rpp=rpp, d=d,
         compact=compact,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (chunk_packs, LANES), lambda k, starts: (k, 0),
+                (chunk_packs, LANES), lambda k, cids, lo, hi: (cids[k], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (chunk_packs, LANES), lambda k, starts: (k, 0),
+            (chunk_packs, LANES), lambda k, cids, lo, hi: (cids[k], 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -697,7 +753,7 @@ def _packed_apply(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        input_output_aliases={1: 0},  # table chunk updated in place
+        input_output_aliases={3: 0},  # table chunk updated in place
         cost_estimate=pl.CostEstimate(
             # the one-hot accumulation processes every ENTRY (ps_pk.size =
             # K_pad) in both stream modes; compact's g rows are K_pad/rpp
@@ -711,7 +767,7 @@ def _packed_apply(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts, packed, ps_pk, g_exp)
+    )(cids, lo, hi, packed, ps_pk, g_exp)
 
 
 # --------------------------------------------------------------------------

@@ -246,7 +246,8 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
   c.gather_us.assign(n, 0.0);
   c.upd_us.assign(n, 0.0);
   c.op_fwd.assign(num_ops, 0.0);
-  std::vector<double> rows_bytes(n, 0.0);
+  std::vector<double> rows_bytes(n, 0.0);       // storage-dtype table bytes
+  std::vector<double> rows_state_bytes(n, 0.0);  // f32 optimizer-pool basis
   double dense_param_bytes = 0, repl_bytes_per_chip = 0;
   double slot_payload = 0, domain_payload = 0;
   const bool routed = m.routed_exchange > 0;
@@ -297,20 +298,31 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
       int s = split ? split[t] : 1;
       s = std::max(1, std::min(s, std::min(n, (int)std::max(1.0, op.table_rows))));
       const int o0 = ((owner[t] % n) + n) % n;
+      // packed-table storage dtype (config.table_dtype): bf16 halves the
+      // gather and table-pass HBM terms; the f32 optimizer side pools ride
+      // the memory term separately below
+      const double trb =
+          op.table_row_bytes > 0 ? op.table_row_bytes : op.row_bytes;
+      // selective touched-chunk dispatch: the table read+write pass scales
+      // with the chunks that received entries (∝ batch under skew), not
+      // total vocab (ops/pallas/packed_update.py _selective_schedule)
+      const double touched =
+          op.upd_touched_frac > 0 ? std::min(op.upd_touched_frac, 1.0) : 1.0;
       for (int k = 0; k < s; k++) {
         const int dev = (o0 + k) % n;
-        const double bytes = op.lookups / s * op.row_bytes;
+        const double bytes = op.lookups / s * trb;
         c.gather_us[dev] += bytes / gather_bpu;
         if (m.update_pass_gbps > 0) {
           c.upd_us[dev] +=
-              2.0 * (op.table_rows / s) * op.row_bytes /
+              2.0 * (op.table_rows / s) * trb * touched /
                   (m.update_pass_gbps * 1e3) +
               (op.lookups / s) * m.update_ns_per_row * 1e-3 +
               m.update_us_per_table;
         } else {
-          c.upd_us[dev] += bytes / scatter_bpu;
+          c.upd_us[dev] += op.lookups / s * op.row_bytes / scatter_bpu;
         }
-        rows_bytes[dev] += op.table_rows / s * op.row_bytes;
+        rows_bytes[dev] += op.table_rows / s * trb;
+        rows_state_bytes[dev] += op.table_rows / s * op.row_bytes;
       }
       const double prows = op.pooled_rows > 0 ? op.pooled_rows : op.lookups;
       const double wrb = op.wire_row_bytes > 0 ? op.wire_row_bytes : op.row_bytes;
@@ -397,21 +409,40 @@ Costs2 compute_costs2(const FFSimMachine& m, const FFSimOp* ops,
     c.a2a_us = 2.0 * (t_ici + t_dcn);
   }
 
-  // dense-grad allreduce (slice rings + DCN stage when multi-slice)
-  c.allreduce_us = ar_slice_us(m, dense_param_bytes, dom);
-  if (n_slices > 1)
-    c.allreduce_us += link_time_us(
-        m, 2.0 * dense_param_bytes * double(n_slices - 1) / n_slices,
-        m.dcn_gbps, m.dcn_latency_us, n_slices - 1);
+  if (m.param_sync == 1) {
+    // parameter-server comparison mode (reference: simulator.cc:403-498
+    // models PS sync — per-worker grad xfer to a pinned server copy +
+    // update there + param xfer back; :561-604 models NCCL allreduce).
+    // Every chip's dense grads funnel through the HOST link into the
+    // server and updated params return: 2*n*P bytes through one link,
+    // serialized — no torus bisection helps. The optimizer update runs on
+    // the host at the same link-class bandwidth. The runtime implements
+    // only allreduce (XLA psum over ICI); this branch exists so the model
+    // can SHOW that choice winning (tests/test_autotune2.py).
+    const double ps_bw =
+        (m.ps_gbps > 0 ? m.ps_gbps : (m.pcie_gbps > 0 ? m.pcie_gbps : 10.0));
+    c.allreduce_us = link_time_us(m, 2.0 * n * dense_param_bytes, ps_bw,
+                                  m.pcie_latency_us, 1);
+    c.update_us = dense_param_bytes * (2.0 + opt_state_factor) / (ps_bw * 1e3);
+  } else {
+    // dense-grad allreduce (slice rings + DCN stage when multi-slice)
+    c.allreduce_us = ar_slice_us(m, dense_param_bytes, dom);
+    if (n_slices > 1)
+      c.allreduce_us += link_time_us(
+          m, 2.0 * dense_param_bytes * double(n_slices - 1) / n_slices,
+          m.dcn_gbps, m.dcn_latency_us, n_slices - 1);
 
-  c.update_us =
-      dense_param_bytes * (2.0 + opt_state_factor) / bpu;
+    c.update_us =
+        dense_param_bytes * (2.0 + opt_state_factor) / bpu;
+  }
 
   const double cap_bytes = m.hbm_capacity_gb * 1e9;
   for (int d = 0; d < n; d++) {
+    // table storage at its dtype; optimizer side pools stay f32
+    // (rows_state_bytes), as do replicated one-hot tables
     const double used =
-        (rows_bytes[d] + repl_bytes_per_chip) *
-            (1.0 + 0.25 * opt_state_factor) +
+        rows_bytes[d] + rows_state_bytes[d] * 0.25 * opt_state_factor +
+        repl_bytes_per_chip * (1.0 + 0.25 * opt_state_factor) +
         dense_param_bytes * (1.0 + opt_state_factor);
     if (used > cap_bytes)
       c.mem_penalty += (used - cap_bytes) / 1e6 * kPenaltyUsPerMB;
@@ -484,22 +515,166 @@ double simulate2_total(const FFSimMachine& m, const Costs2& c) {
   return m.use_dag > 0 ? dag_makespan(m, c) : c.closed();
 }
 
-// Graph-GENERIC task DAG (reference: SimTask DAG built from the actual op
-// graph for any model, simulator.cc:328-498). Two scheduling devices:
-//   0 = representative worst chip (dense DP work is symmetric across chips,
-//       so one chip's timeline IS the fleet's; the asymmetric embedding
-//       work enters as its max-over-chips aggregate),
-//   1 = the network (exchange halves, dense-grad allreduce).
-// Tasks: per-op fwd/bwd for every non-placed-embed op; one gather/update
-// aggregate for the placed embedding group; collective tasks between them.
+// Graph-GENERIC task DAG, PER-CHIP variant — the DEFAULT generic scoring
+// path (use_dag=1; reference: SimTask DAG built from the actual op graph
+// for any model, simulator.cc:328-498; per-device timelines 500-560).
+// Devices 0..n-1 are the chips — each carries its OWN copy of the
+// data-parallel fwd/bwd tasks plus its own embedding gather/update load
+// (c.gather_us[d]/c.upd_us[d]) — and device n is the network (exchange
+// halves, dense-grad allreduce).
+//
+// Why per-chip matters (round-4 VERDICT item 7, pinned by
+// tests/test_autotune2.py): the exchange collectives DO barrier the
+// phases, but each chip's serial chain runs through its OWN gather, its
+// own dense fwd/bwd, and its own update. The representative-chip collapse
+// (dag_makespan_generic_rep, use_dag=2) charges ONE device
+// max-over-chips(gather) AND max-over-chips(update); when those maxes
+// land on DIFFERENT chips — e.g. a lookup-heavy table on chip A and a
+// huge-vocab table on chip B — the real makespan is
+// max_d(own-gather + chain + own-update), strictly less. The collapse is
+// an upper bound (exact when one chip carries both maxes), kept for
+// comparison at n x fewer tasks per eval.
 // Edges come from the REAL producer-consumer op edges, so what overlaps the
 // exchange is whatever the graph actually allows (in DLRM the bottom MLP;
 // in a transformer nothing — the whole stack consumes the embedding).
-double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
-                            int32_t num_ops, const int32_t* mode,
-                            int32_t num_tables, const int32_t* oe_src,
-                            const int32_t* oe_dst, int32_t n_oe,
-                            const Costs2& c) {
+double dag_makespan_generic_perchip(const FFSimMachine& m, const FFSimOp* ops,
+                                    int32_t num_ops, const int32_t* mode,
+                                    int32_t num_tables, const int32_t* oe_src,
+                                    const int32_t* oe_dst, int32_t n_oe,
+                                    const Costs2& c) {
+  const int n = std::max(1, (int)m.num_chips);
+  const int net = n;  // network device id
+  std::vector<double> dur;
+  std::vector<int32_t> dev;
+  auto add = [&](double d, int device) {
+    dur.push_back(d);
+    dev.push_back(device);
+    return (int32_t)dur.size() - 1;
+  };
+  std::vector<int32_t> es, ed;
+  auto edge = [&](int a, int b) {
+    if (a >= 0 && b >= 0) {
+      es.push_back(a);
+      ed.push_back(b);
+    }
+  };
+  constexpr int kNone = -1;
+  // fwd/bwd task ids per (op, chip): replicated DP tasks, one per chip
+  std::vector<int> fwd((size_t)num_ops * n, kNone), bwd((size_t)num_ops * n, kNone);
+  std::vector<char> placed(num_ops, 0);
+  bool any_placed = false;
+  std::vector<int> emb_f(n, kNone), emb_u(n, kNone);
+  {
+    int t = 0;
+    for (int i = 0; i < num_ops; i++) {
+      if (ops[i].kind == FFSIM_EMBED) {
+        const int ti = t++;
+        // mode 0 (placed) and mode 2 (host-tail) both account their device
+        // work in the per-chip gather/update tasks; only replicated
+        // one-hot tables (mode 1) run as dense DP ops
+        if (!mode || (ti < num_tables && mode[ti] != 1)) {
+          placed[i] = 1;
+          any_placed = true;
+          continue;
+        }
+      }
+    }
+  }
+  // gathers first on each chip (they feed the exchange; ready-queue ties
+  // break by insertion order) — matching the staged DAG's ordering
+  int a2a_f = kNone, a2a_b = kNone;
+  if (any_placed) {
+    for (int d = 0; d < n; d++) emb_f[d] = add(c.gather_us[d], d);
+  }
+  for (int i = 0; i < num_ops; i++)
+    if (!placed[i])
+      for (int d = 0; d < n; d++) fwd[(size_t)i * n + d] = add(c.op_fwd[i], d);
+  if (any_placed) {
+    a2a_f = add(c.a2a_us / 2.0, net);
+    for (int d = 0; d < n; d++) edge(emb_f[d], a2a_f);
+  }
+  for (int i = num_ops - 1; i >= 0; i--)
+    if (!placed[i])
+      for (int d = 0; d < n; d++)
+        bwd[(size_t)i * n + d] = add(2.0 * c.op_fwd[i], d);
+  if (any_placed) {
+    a2a_b = add(c.a2a_us / 2.0, net);
+    for (int d = 0; d < n; d++) {
+      emb_u[d] = add(c.upd_us[d], d);
+      edge(a2a_b, emb_u[d]);
+    }
+  }
+  for (int e = 0; e < n_oe; e++) {
+    const int a = oe_src[e], b = oe_dst[e];
+    if (a < 0 || a >= num_ops || b < 0 || b >= num_ops) continue;
+    if (placed[a] && !placed[b]) {
+      // embedding output reaches b through the pooled exchange
+      for (int d = 0; d < n; d++) {
+        edge(a2a_f, fwd[(size_t)b * n + d]);
+        edge(bwd[(size_t)b * n + d], a2a_b);
+      }
+    } else if (!placed[a] && !placed[b]) {
+      // DP dataflow stays chip-local (each chip owns its batch shard)
+      for (int d = 0; d < n; d++) {
+        edge(fwd[(size_t)a * n + d], fwd[(size_t)b * n + d]);
+        edge(bwd[(size_t)b * n + d], bwd[(size_t)a * n + d]);
+      }
+    } else if (!placed[a] && placed[b]) {
+      // dense op feeding an embedding (rare: computed indices); every
+      // chip's gather then waits on its producer
+      for (int d = 0; d < n; d++) {
+        edge(fwd[(size_t)a * n + d], emb_f[d]);
+        edge(emb_u[d], bwd[(size_t)a * n + d]);
+      }
+    }  // placed->placed: both inside the gather/update tasks, no edge
+  }
+  // fwd-before-own-bwd (covers the loss turnaround at graph sinks too:
+  // a sink's bwd cannot start before its fwd, and the loss itself is
+  // modeled as part of the sink's cost)
+  for (int i = 0; i < num_ops; i++)
+    if (!placed[i])
+      for (int d = 0; d < n; d++)
+        edge(fwd[(size_t)i * n + d], bwd[(size_t)i * n + d]);
+  // dense-grad allreduce after the bwd of every op that owns dense params
+  // (incl. replicated one-hot tables), then the dense optimizer update
+  const int ar = add(c.allreduce_us, net);
+  for (int d = 0; d < n; d++) edge(ar, add(c.update_us, d));
+  {
+    int t = 0;
+    bool any_param = false;
+    for (int i = 0; i < num_ops; i++) {
+      bool owns = ops[i].kind == FFSIM_DENSE && ops[i].param_bytes > 0;
+      if (ops[i].kind == FFSIM_EMBED) {
+        const int ti = t++;
+        owns = mode && ti < num_tables && mode[ti] == 1;
+      }
+      if (owns && !placed[i]) {
+        for (int d = 0; d < n; d++) edge(bwd[(size_t)i * n + d], ar);
+        any_param = true;
+      }
+    }
+    if (!any_param)  // keep the collective ordered after the backward
+      for (int i = 0; i < num_ops; i++)
+        if (!placed[i])
+          for (int d = 0; d < n; d++) edge(bwd[(size_t)i * n + d], ar);
+  }
+  const double span = ffsim_schedule_dag(
+      n + 1, dur.data(), dev.data(), (int32_t)dur.size(), es.data(),
+      ed.data(), (int32_t)es.size());
+  return span + c.mem_penalty + c.host_us;
+}
+
+// Representative-chip collapse of the generic DAG (use_dag=2): one
+// compute device carries the per-op fwd/bwd tasks plus the max-over-chips
+// gather/update aggregates; device 1 is the network. An UPPER BOUND on
+// the per-chip schedule — exact when one chip carries both phase maxes,
+// pessimistic when the gather max and update max land on different chips
+// (see the perchip variant's note) — at n x fewer tasks per search eval.
+double dag_makespan_generic_rep(const FFSimMachine& m, const FFSimOp* ops,
+                                int32_t num_ops, const int32_t* mode,
+                                int32_t num_tables, const int32_t* oe_src,
+                                const int32_t* oe_dst, int32_t n_oe,
+                                const Costs2& c) {
   std::vector<double> dur;
   std::vector<int32_t> dev;
   auto add = [&](double d, int device) {
@@ -529,17 +704,17 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
         if (!mode || (ti < num_tables && mode[ti] != 1)) {
           placed[i] = 1;
           any_placed = true;
-          continue;
         }
       }
-      fwd[i] = add(c.op_fwd[i], 0);
     }
   }
-  // gathers first on each chip (they feed the exchange; ready-queue ties
-  // break by insertion order) — matching the staged DAG's ordering
+  // gathers first (they feed the exchange; ready-queue ties break by
+  // insertion order) — matching the staged DAG's and perchip ordering
   int emb_f = kNone, a2a_f = kNone, a2a_b = kNone, emb_u = kNone;
+  if (any_placed) emb_f = add(c.embed_fwd_max, 0);
+  for (int i = 0; i < num_ops; i++)
+    if (!placed[i]) fwd[i] = add(c.op_fwd[i], 0);
   if (any_placed) {
-    emb_f = add(c.embed_fwd_max, 0);
     a2a_f = add(c.a2a_us / 2.0, 1);
     edge(emb_f, a2a_f);
   }
@@ -567,14 +742,9 @@ double dag_makespan_generic(const FFSimMachine& m, const FFSimOp* ops,
       edge(emb_u, bwd[a]);
     }  // placed->placed: both inside the aggregate, no edge needed
   }
-  // fwd-before-own-bwd (covers the loss turnaround at graph sinks too:
-  // a sink's bwd cannot start before its fwd, and the loss itself is
-  // modeled as part of the sink's cost)
-  for (int i = 0; i < num_ops; i++) {
-    if (fwd[i] != kNone && bwd[i] != kNone) {
-      edge(fwd[i], bwd[i]);
-    }
-  }
+  // fwd-before-own-bwd (covers the loss turnaround at graph sinks too)
+  for (int i = 0; i < num_ops; i++)
+    if (fwd[i] != kNone && bwd[i] != kNone) edge(fwd[i], bwd[i]);
   // dense-grad allreduce after the bwd of every op that owns dense params
   // (incl. replicated one-hot tables), then the dense optimizer update
   const int ar = add(c.allreduce_us, 1);
@@ -608,9 +778,13 @@ double simulate2g_total(const FFSimMachine& m, const FFSimOp* ops,
                         int32_t num_ops, const int32_t* mode,
                         int32_t num_tables, const int32_t* oe_src,
                         const int32_t* oe_dst, int32_t n_oe, const Costs2& c) {
-  if (m.use_dag > 0 && n_oe > 0)
-    return dag_makespan_generic(m, ops, num_ops, mode, num_tables, oe_src,
-                                oe_dst, n_oe, c);
+  if (m.use_dag > 0 && n_oe > 0) {
+    if (m.use_dag >= 2)
+      return dag_makespan_generic_rep(m, ops, num_ops, mode, num_tables,
+                                      oe_src, oe_dst, n_oe, c);
+    return dag_makespan_generic_perchip(m, ops, num_ops, mode, num_tables,
+                                        oe_src, oe_dst, n_oe, c);
+  }
   return simulate2_total(m, c);
 }
 

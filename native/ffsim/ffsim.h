@@ -85,6 +85,17 @@ struct FFSimMachine {
   double pcie_gbps;
   double pcie_latency_us;
   double host_row_ns;
+  // dense-parameter sync mode comparison (reference: the simulator models
+  // BOTH parameter-server sync — barriers + pinned update + per-worker
+  // comm, simulator.cc:403-498 — and NCCL allreduce, :561-604).
+  // 0 = allreduce (what the runtime implements: XLA psum over ICI);
+  // 1 = parameter server: every chip ships dense grads to a host-pinned
+  // server over the host link and receives updated params back (2*n*P
+  // bytes through ONE link), with the optimizer update on the host.
+  // Kept for cost comparison only — ffsim2_breakdown under param_sync=1
+  // shows why allreduce wins on a torus (tests/test_autotune2.py).
+  int32_t param_sync;
+  double ps_gbps;  // server link + host update bandwidth; 0 => pcie_gbps
 };
 
 // ---- op kinds
@@ -127,6 +138,14 @@ struct FFSimOp {
   // (frequency-ordered ids make this small — Zipf estimate or measured)
   double tail_hot_rows;
   double tail_miss_frac;
+  // packed-table STORAGE bytes per row (config.table_dtype; bf16 = dim*2).
+  // 0 => row_bytes (f32). Halves the forward-gather and update-pass HBM
+  // terms without touching the f32 optimizer side pools.
+  double table_row_bytes;
+  // expected fraction of update-kernel chunks touched by one step's
+  // lookups (selective dispatch, ops/pallas/packed_update.py): the table
+  // read+write pass scales by this. 0 => 1.0 (full pass / unknown).
+  double upd_touched_frac;
 };
 
 // ---- simulate one training step under a table placement --------------------

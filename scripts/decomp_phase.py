@@ -37,8 +37,20 @@ from dlrm_flexflow_tpu.models.dlrm import kaggle_config
 from dlrm_flexflow_tpu.ops.pallas.packed_update import (
     _prep_streams, _packed_apply, pack_table, packed_gather,
     packed_num_packs, pick_chunk_packs, packed_row_update_batched,
+    set_selective,
 )
 from dlrm_flexflow_tpu.autotune.machine import measure_dispatch_latency
+
+
+def draw_rows(rng, v, k, zipf=0.0):
+    """Index stream: uniform or Zipf(a) over [0, v) (frequency-ordered ids,
+    the real-Criteo shape — skew concentrates updates into few chunks)."""
+    if zipf <= 0:
+        return rng.integers(0, v, size=(k,)).astype(np.int32)
+    r = rng.zipf(zipf, size=4 * k)
+    r = r[r <= v][:k] - 1
+    assert r.shape == (k,), "zipf draw underfilled; raise the oversample"
+    return r.astype(np.int32)
 
 
 def big_small_vocabs(thr=8192):
@@ -86,15 +98,15 @@ def phase_gathers(big, d, k, repeats, disp, dtype):
                  nbytes)
 
 
-def phase_update(big, d, k, repeats, disp, dtype, kernels_only):
+def phase_update(big, d, k, repeats, disp, dtype, kernels_only,
+                 zipf=0.0, label_extra=""):
     rng = np.random.default_rng(0)
     chunks = [pick_chunk_packs(v, d, k) for v in big]
     tables = [
         jnp.zeros((packed_num_packs(v, d, c)[0], 128), dtype)
         for v, c in zip(big, chunks)
     ]
-    rows = [jnp.asarray(rng.integers(0, v, size=(k,)), jnp.int32)
-            for v in big]
+    rows = [jnp.asarray(draw_rows(rng, v, k, zipf)) for v in big]
     g = [(jnp.ones((k, d), jnp.bfloat16), 1) for _ in big]
     tbytes = 2 * sum(t.size * t.dtype.itemsize for t in tables)
 
@@ -118,7 +130,7 @@ def phase_update(big, d, k, repeats, disp, dtype, kernels_only):
             return sum(t[0, 0].astype(jnp.float32) for t in c)
 
         return timed(run, (tables,), repeats, disp,
-                     f"pass[{jnp.dtype(dtype).name}]", tbytes)
+                     f"pass[{jnp.dtype(dtype).name}]" + label_extra, tbytes)
 
     @jax.jit
     def run(ts, rws):
@@ -131,7 +143,7 @@ def phase_update(big, d, k, repeats, disp, dtype, kernels_only):
         return sum(t[0, 0].astype(jnp.float32) for t in c)
 
     return timed(run, (tables, rows), repeats, disp,
-                 f"update[{jnp.dtype(dtype).name}]", tbytes)
+                 f"update[{jnp.dtype(dtype).name}]" + label_extra, tbytes)
 
 
 def phase_prep(big, d, k, repeats, disp):
@@ -239,6 +251,8 @@ def main():
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--repeats", type=int, default=30)
     ap.add_argument("--allow-cpu", action="store_true")
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="Zipf exponent for update indices (0 = uniform)")
     ap.add_argument("--phases", default="all")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
@@ -257,10 +271,28 @@ def main():
         phase_gathers(big, d, k, r, disp, jnp.float32)
         phase_gathers(big, d, k, r, disp, jnp.bfloat16)
     if "pass" in ph:
-        phase_update(big, d, k, r, disp, jnp.float32, kernels_only=True)
-        phase_update(big, d, k, r, disp, jnp.bfloat16, kernels_only=True)
+        phase_update(big, d, k, r, disp, jnp.float32, kernels_only=True,
+                     zipf=args.zipf)
+        phase_update(big, d, k, r, disp, jnp.bfloat16, kernels_only=True,
+                     zipf=args.zipf)
+    if "selective" in ph or "pass" in ph:
+        # touched-chunk dispatch A/B (round 5): under Zipf most chunks of
+        # a 10M-row table receive no entries — the selective grid parks the
+        # idle steps on one untouched chunk, so pass time tracks TOUCHED
+        # chunk bytes, not vocab. Uniform bs=65536 touches everything
+        # (selective ~= full); quote both.
+        for z in sorted({0.0, args.zipf, 1.05}):
+            for sel in (True, False):
+                set_selective(sel)
+                phase_update(
+                    big, d, k, r, disp, jnp.bfloat16, kernels_only=True,
+                    zipf=z,
+                    label_extra=f" sel={'on' if sel else 'off'} zipf={z}",
+                )
+        set_selective(True)
     if "update" in ph:
-        phase_update(big, d, k, r, disp, jnp.float32, kernels_only=False)
+        phase_update(big, d, k, r, disp, jnp.float32, kernels_only=False,
+                     zipf=args.zipf)
     if "prep" in ph:
         phase_prep(big, d, k, r, disp)
     if "mlp" in ph:

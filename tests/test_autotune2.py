@@ -460,3 +460,142 @@ def test_measured_op_costs_replace_conv_rooflines():
     # a second calibration is a no-op (cached, like dense_costs)
     spec2 = calibrate_graph_ops(spec, model.graph, repeats=2)
     assert spec2.op_costs == spec.op_costs
+
+
+def test_ps_sync_mode_loses_to_allreduce_on_torus():
+    """The reference's simulator models BOTH dense-parameter sync modes —
+    parameter-server (barriers + pinned update + per-worker comm,
+    src/runtime/simulator.cc:403-498) and NCCL allreduce (:561-604).
+    param_sync=1 keeps the PS branch as a comparison mode: every chip's
+    grads funnel through ONE host link (2*n*P bytes, no torus bisection),
+    so allreduce over ICI must win decisively on a v5e slice — which is
+    why the runtime implements only the XLA-psum path."""
+    ops = [
+        _emb(1_000_000, 8192 * 8),
+        _dense(1e12, stage=0, param_bytes=50e6),
+        _dense(2e12, stage=1, param_bytes=100e6),
+    ]
+    owner, split, mode, tp = [0], [1], [0], [1, 1]
+    m_ar = _machine(8).to_native()
+    m_ps = _machine(8, param_sync=1).to_native()
+    b_ar = bindings.breakdown2(m_ar, ops, owner, split, mode, tp)
+    b_ps = bindings.breakdown2(m_ps, ops, owner, split, mode, tp)
+    # 2*8*150MB over a 10 GB/s host link vs a ring over 45 GB/s ICI links
+    assert b_ps["allreduce_us"] > 10.0 * b_ar["allreduce_us"], (b_ps, b_ar)
+    assert b_ps["total_us"] > b_ar["total_us"]
+    # the PS host update is also slower than the on-chip HBM update
+    assert b_ps["update_us"] > b_ar["update_us"]
+
+
+def test_generic_dag_per_chip_bounded_by_representative_collapse():
+    """The default generic scoring (use_dag=1) runs PER-CHIP timelines
+    (the reference's per-device scheduling, src/runtime/simulator.cc:
+    500-560); use_dag=2 is the representative-chip collapse that charges
+    ONE device both max-over-chips(gather) and max-over-chips(update).
+    Property: the collapse is an UPPER bound on the per-chip schedule
+    (exact when one chip carries both maxes), across random asymmetric
+    placements, splits, and replicated modes."""
+    rng = np.random.RandomState(3)
+    diverged = 0
+    for trial in range(12):
+        nt = int(rng.randint(1, 6))
+        ops = [
+            _emb(int(rng.choice([5e4, 1e6, 3e7])),
+                 int(rng.choice([1e4, 3e5, 2e6])))
+            for _ in range(nt)
+        ] + [
+            _dense(float(rng.choice([1e10, 1e12])), stage=0,
+                   param_bytes=float(rng.choice([0.0, 5e7]))),
+            _dense(float(rng.choice([1e10, 2e12])), stage=1,
+                   param_bytes=1e6),
+        ]
+        op_edges = [(t, nt + 1) for t in range(nt)] + [(nt, nt + 1)]
+        owner = [int(rng.randint(0, 8)) for _ in range(nt)]
+        split = [int(rng.choice([1, 2, 4])) for _ in range(nt)]
+        mode = [int(rng.choice([0, 0, 0, 1])) for _ in range(nt)]
+        tp = [1, 1]
+        kw = dict(update_us_per_table=0.0, hbm_capacity_gb=64.0)
+        m_per = _machine(8, use_dag=1, **kw).to_native()
+        m_rep = _machine(8, use_dag=2, **kw).to_native()
+        c_per = bindings.simulate2(m_per, ops, owner, split, mode, tp,
+                                   op_edges=op_edges)
+        c_rep = bindings.simulate2(m_rep, ops, owner, split, mode, tp,
+                                   op_edges=op_edges)
+        assert c_per <= c_rep * (1 + 1e-9), (trial, c_per, c_rep)
+        if c_per < c_rep * 0.999:
+            diverged += 1
+    assert diverged > 0  # the bound is not vacuous on asymmetric draws
+
+
+def test_generic_dag_per_chip_timelines_flip_a_placement_decision():
+    """A lookup-heavy table and a huge-vocab (update-heavy) table with
+    chip-local independent dense work: the collapse charges one device
+    gather_max + upd_max regardless of placement, so spreading the two
+    tables scores ~the same as co-locating them; per-chip timelines see
+    that spreading puts each chip on its OWN chain —
+    max_d(own gather + chain + own update) — and strictly prefer it
+    (reference: per-device timelines, simulator.cc:500-560)."""
+    ops = [
+        _emb(100_000, 2_000_000),     # gather-heavy (lookup volume)
+        _emb(30_000_000, 10_000),     # update-heavy (full-table pass)
+        _dense(5e12, stage=0),        # big chip-local pre-exchange work
+        _dense(1e11, stage=1),
+    ]
+    op_edges = [(0, 3), (1, 3), (2, 3)]
+    split, mode, tp = [1, 1], [0, 0], [1, 1]
+    kw = dict(update_ns_per_row=0.0, update_us_per_table=0.0,
+              hbm_capacity_gb=64.0)
+
+    def cost(owner, use_dag):
+        m = _machine(8, use_dag=use_dag, **kw).to_native()
+        return bindings.simulate2(m, ops, owner, split, mode, tp,
+                                  op_edges=op_edges)
+
+    spread_per, coloc_per = cost([0, 1], 1), cost([0, 0], 1)
+    spread_rep, coloc_rep = cost([0, 1], 2), cost([0, 0], 2)
+    # the collapse is indifferent (same aggregates either way)...
+    assert spread_rep == pytest.approx(coloc_rep, rel=0.02)
+    # ...per-chip scheduling strictly prefers spreading
+    assert spread_per < 0.90 * coloc_per, (spread_per, coloc_per)
+    # and when co-located (both maxes on chip 0) the two models agree
+    assert coloc_per == pytest.approx(coloc_rep, rel=0.02)
+
+
+def test_cost_model_table_dtype_and_touched_frac():
+    """bf16 table storage halves the gather + table-pass terms; the
+    selective-dispatch touched fraction scales the pass with expected
+    touched chunks (ops/pallas/packed_update.py _selective_schedule)."""
+    base = _emb(10_000_000, 65536)
+    m = _machine(1, update_us_per_table=0.0).to_native()
+    split, mode, tp = [1], [0], []
+
+    def upd(extra):
+        return bindings.breakdown2(
+            m, [dict(base, **extra)], [0], split, mode, tp
+        )["embed_upd_max_us"]
+
+    full_f32 = upd({})
+    bf16 = upd({"table_row_bytes": 2.0 * 16})
+    sel = upd({"upd_touched_frac": 0.1})
+    both = upd({"table_row_bytes": 2.0 * 16, "upd_touched_frac": 0.1})
+    assert bf16 < 0.7 * full_f32
+    assert sel < 0.35 * full_f32
+    assert both < sel
+    # the v2 lowering populates both fields for packed-eligible tables
+    from dlrm_flexflow_tpu import FFConfig
+    from dlrm_flexflow_tpu.models.dlrm import DLRMConfig, make_dlrm_model
+
+    cfg = DLRMConfig(
+        sparse_feature_size=16, embedding_size=[1_000_000] * 3,
+        embedding_bag_size=1, mlp_bot=[13, 64, 16],
+        mlp_top=[64, 64, 1], batch_size=256,
+    )
+    model = make_dlrm_model(cfg, FFConfig(batch_size=256))
+    ops, *_ = graph_to_cost_spec_v2(
+        model.graph, 65536, table_dtype_bytes=2.0
+    )
+    embeds = [o for o in ops if o["kind"] == bindings.KIND_EMBED]
+    assert embeds and all(
+        o.get("table_row_bytes") == 2.0 * 16 for o in embeds
+    )
+    assert all(0 < o.get("upd_touched_frac", 0) <= 1.0 for o in embeds)

@@ -582,3 +582,133 @@ def test_bf16_table_adagrad_accumulators_stay_f32():
         for i in range(3)
     ]
     assert ls[-1] < ls[0] + 0.05  # training stays sane on bf16 storage
+
+
+# ---------------------------------------------------------------------------
+# touched-chunk selective dispatch (round 5)
+# ---------------------------------------------------------------------------
+
+def _zipf_rows(rng, v, k, a=1.05):
+    r = rng.zipf(a, size=4 * k)
+    r = r[r <= v][:k] - 1
+    assert r.shape == (k,)
+    return r.astype(np.int32)
+
+
+@pytest.mark.parametrize("table_dtype", ["float32", "bfloat16"])
+def test_selective_sparse_chunks_parity(table_dtype):
+    """A big table with a tiny, clustered batch leaves most chunks
+    untouched; selective dispatch must (a) preserve untouched chunks
+    bit-exactly via the aliased output and (b) match the full-grid pass on
+    touched chunks — for both the direct-f32 and the bf16-accumulator
+    kernel paths."""
+    rng = np.random.RandomState(11)
+    v, d, k, c = 200_000, 16, 64, 128  # 196 chunks, <= 64 touched
+    table = rng.randn(v, d).astype(np.float32)
+    packed = pu.pack_table(jnp.asarray(table), chunk_packs=c)
+    if table_dtype == "bfloat16":
+        packed = packed.astype(jnp.bfloat16)
+    rows = _zipf_rows(rng, v, k)
+    deltas = rng.randn(k, d).astype(np.float32)
+    outs = {}
+    for sel in (True, False):
+        pu.set_selective(sel)
+        try:
+            outs[sel] = np.array(
+                pu.packed_row_update(
+                    packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+                    chunk_packs=c, interpret=True,
+                    delta_dtype=jnp.float32,
+                ).astype(jnp.float32)
+            )
+        finally:
+            pu.set_selective(True)
+    np.testing.assert_array_equal(outs[True], outs[False])
+    expect_t = np.array(
+        pu.unpack_table(packed.astype(jnp.float32), v, d)
+    )
+    np.add.at(expect_t, rows, deltas)
+    got = np.asarray(
+        pu.unpack_table(jnp.asarray(outs[True]), v, d)
+    )
+    tol = 1e-4 if table_dtype == "float32" else 2e-2
+    np.testing.assert_allclose(got, expect_t, atol=tol, rtol=tol)
+    # untouched chunks must be IDENTICAL bits, not just close
+    rpp = pu.rows_per_pack(d)
+    touched_chunks = set((rows // rpp) // c)
+    base = np.asarray(packed.astype(jnp.float32))
+    n_chunks = packed.shape[0] // c
+    untouched = [i for i in range(n_chunks) if i not in touched_chunks]
+    assert len(untouched) > n_chunks // 2  # the premise: most chunks idle
+    for i in untouched[:: max(1, len(untouched) // 8)]:
+        np.testing.assert_array_equal(
+            outs[True][i * c: (i + 1) * c], base[i * c: (i + 1) * c]
+        )
+
+
+def test_selective_all_dropped_is_identity():
+    """Every entry out of range -> zero touched chunks -> the whole grid
+    parks on one untouched chunk and the table round-trips unchanged."""
+    rng = np.random.RandomState(12)
+    v, d, k, c = 10_000, 32, 128, 64
+    packed = pu.pack_table(
+        jnp.asarray(rng.randn(v, d).astype(np.float32)), chunk_packs=c
+    )
+    rows = np.full(k, v + 7, np.int32)  # all dropped
+    got = pu.packed_row_update(
+        packed, jnp.asarray(rows),
+        jnp.asarray(rng.randn(k, d).astype(np.float32)), v, d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(packed))
+
+
+def test_selective_lazy_adam_matches_full_grid():
+    """Lazy Adam's three pool passes under selective dispatch must equal
+    the full-grid result exactly on a mostly-untouched table."""
+    rng = np.random.RandomState(13)
+    v, d, k, c = 50_000, 16, 96, 64
+    table = pu.pack_table(
+        jnp.asarray(rng.randn(v, d).astype(np.float32)), chunk_packs=c
+    )
+    m = jnp.zeros_like(table)
+    vv = jnp.zeros_like(table)
+    rows = jnp.asarray(_zipf_rows(rng, v, k))
+    grads = jnp.asarray(rng.randn(k, d).astype(np.float32))
+    kw = dict(alpha_t=0.01, beta1=0.9, beta2=0.99, epsilon=1e-8,
+              chunk_packs=c, interpret=True)
+    res = {}
+    for sel in (True, False):
+        pu.set_selective(sel)
+        try:
+            res[sel] = pu.packed_lazy_adam_batched(
+                [table], [m], [vv], [rows], [grads], [v], d, **kw)
+        finally:
+            pu.set_selective(True)
+    for a, b in zip(res[True], res[False]):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_selective_host_routes_parity():
+    """Host-precomputed routes (order/enc/starts) feed the same selective
+    schedule: device-sort and host-route paths agree chunk-for-chunk."""
+    rng = np.random.RandomState(14)
+    v, d, k, c = 100_000, 16, 80, 128
+    table = pu.pack_table(
+        jnp.asarray(rng.randn(v, d).astype(np.float32)), chunk_packs=c
+    )
+    rows = _zipf_rows(rng, v, k)
+    deltas = rng.randn(k, d).astype(np.float32)
+    dev = pu.packed_row_update(
+        table, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+    )
+    routes = [pu.host_pack_routes(rows, v, d, c)]
+    routed = pu.packed_row_update_batched(
+        [table], [jnp.asarray(rows)], [jnp.asarray(deltas)], [v], d,
+        chunk_packs=c, interpret=True, delta_dtype=jnp.float32,
+        routes=[tuple(jnp.asarray(x) for x in routes[0])],
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(dev), np.asarray(routed), atol=1e-5
+    )

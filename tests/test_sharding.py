@@ -631,3 +631,61 @@ def test_sharded_mixed_sparse_optimizer_trains(mesh):
     # row-wise AdaGrad accumulator: one state pool shaped like the params
     # pool's rows (Adam would carry a stacked [2, ...] m/v state)
     assert st is not None and st.shape[0] != 2
+
+
+@pytest.mark.parametrize("exchange,opt", [
+    ("dense", "sgd"), ("routed", "sgd"), ("dense", "adam"),
+])
+def test_sharded_bf16_table_training_tracks_f32(mesh, exchange, opt):
+    """Round 5: config.table_dtype="bfloat16" extends to the SHARDED
+    collection — the packed pool stores bf16 (halving the local gather and
+    table-pass HBM on every chip), the local row update still accumulates
+    f32 through the packed kernel, optimizer side pools stay f32, and both
+    exchange modes ride it. Loss must track the f32-pool trajectory within
+    bf16 rounding (the single-chip analog:
+    test_packed_update.test_bf16_table_training_tracks_f32)."""
+    from dlrm_flexflow_tpu.ops.embedding_collection_op import (
+        EmbeddingCollection,
+    )
+
+    losses = {}
+    for td in ("float32", "bfloat16"):
+        cfg = _tiny_cfg()
+        model = make_dlrm_model(
+            cfg,
+            FFConfig(
+                batch_size=64, compute_dtype="float32", seed=11,
+                onehot_embedding_threshold=0, packed_tables="on",
+                exchange=exchange,
+            ),
+        )
+        model.config.table_dtype = td
+        optimizer = (
+            SGDOptimizer(lr=0.05) if opt == "sgd" else AdamOptimizer(alpha=0.01)
+        )
+        model.compile(
+            optimizer, LossType.LOSS_BINARY_CROSSENTROPY, [],
+            mesh=mesh, plan=dlrm_hybrid_plan(),
+        )
+        colls = [
+            op for op in model.graph.compute_ops
+            if type(op) is EmbeddingCollection
+        ]
+        assert colls and colls[0].layout.packed_pool
+        want = jnp.bfloat16 if td == "bfloat16" else jnp.float32
+        assert model._params[colls[0].name]["pool"].dtype == want
+        st = model._opt_state["sparse"].get(colls[0].name)
+        if st is not None:  # Adam m/v side pools stay f32
+            assert st.dtype == jnp.float32
+        feeds, labels = random_batches(cfg, 64 * 4, seed=7)
+        ls = [
+            float(model.train_batch(
+                {k: v[64 * i: 64 * (i + 1)] for k, v in feeds.items()},
+                labels[64 * i: 64 * (i + 1)],
+            ))
+            for i in range(4)
+        ]
+        losses[td] = ls
+    np.testing.assert_allclose(
+        losses["bfloat16"], losses["float32"], rtol=2e-2, atol=2e-2
+    )
