@@ -64,7 +64,7 @@ def _eff_under(config_name, per_chip_batch, budget, perturb=None):
             )
         owner, best_us, report = autotune_plan_joint(
             model.graph, spec, gb, budget=budget, allow_splits=True,
-            min_vocab=8192, exchange_dtype_bytes=2.0,
+            min_vocab=8192, exchange_dtype_bytes=2.0, table_dtype_bytes=2.0,
         )
         per[chips] = gb / (best_us / 1e6) / chips
     return per[64] / per[8]
@@ -112,6 +112,7 @@ def main():
         _, pred_us, _ = autotune_plan_joint(
             model.graph, machine_for(1), args.measured_batch, budget=1,
             min_vocab=8192, exchange_dtype_bytes=2.0,
+            table_dtype_bytes=2.0,
         )
         pred_exps = args.measured_batch / (pred_us / 1e6)
         anchor_ratio = args.measured_exps / pred_exps
@@ -129,6 +130,7 @@ def main():
             allow_splits=chips > 1,
             min_vocab=8192,  # seed mode matches the runtime one-hot default
             exchange_dtype_bytes=2.0,  # bench runs bf16 compute
+            table_dtype_bytes=2.0,  # bf16 table storage is the shipped default
         )
         exps = gb / (best_us / 1e6) * anchor_ratio
         per_chip = exps / chips

@@ -635,6 +635,7 @@ def test_sharded_mixed_sparse_optimizer_trains(mesh):
 
 @pytest.mark.parametrize("exchange,opt", [
     ("dense", "sgd"), ("routed", "sgd"), ("dense", "adam"),
+    ("dense", "rwa"),
 ])
 def test_sharded_bf16_table_training_tracks_f32(mesh, exchange, opt):
     """Round 5: config.table_dtype="bfloat16" extends to the SHARDED
@@ -660,9 +661,17 @@ def test_sharded_bf16_table_training_tracks_f32(mesh, exchange, opt):
             ),
         )
         model.config.table_dtype = td
-        optimizer = (
-            SGDOptimizer(lr=0.05) if opt == "sgd" else AdamOptimizer(alpha=0.01)
-        )
+        if opt == "rwa":
+            from dlrm_flexflow_tpu.training.optimizer import (
+                RowWiseAdagradOptimizer,
+            )
+
+            optimizer = RowWiseAdagradOptimizer(lr=0.05)
+        else:
+            optimizer = (
+                SGDOptimizer(lr=0.05) if opt == "sgd"
+                else AdamOptimizer(alpha=0.01)
+            )
         model.compile(
             optimizer, LossType.LOSS_BINARY_CROSSENTROPY, [],
             mesh=mesh, plan=dlrm_hybrid_plan(),
