@@ -505,7 +505,6 @@ def _update_kernel(
     compact: bool,
 ):
     c, u = chunk_packs, TILE
-    g_rows_tile = u // rpp if compact else u
     k = pl.program_id(0)
     s0 = lo_ref[k]
     s1 = hi_ref[k]
@@ -531,6 +530,26 @@ def _update_kernel(
     else:
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc = acc_ref
+
+    _stream_accumulate(
+        acc, s0, s1, s0a, nt, ps_hbm, g_hbm, ps_buf, g_buf, ps_sem, g_sem,
+        c=c, rpp=rpp, d=d, compact=compact,
+    )
+
+    if not direct:
+        out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
+
+
+def _stream_accumulate(
+    acc, s0, s1, s0a, nt, ps_hbm, g_hbm, ps_buf, g_buf, ps_sem, g_sem,
+    *, c: int, rpp: int, d: int, compact: bool,
+):
+    """Shared tile loop of the update kernels: stream the sorted entry
+    range [s0, s1) from HBM (double-buffered DMA) and accumulate the
+    one-hot matmul into `acc` (a [C, 128] f32 ref). `nt` = 0 skips
+    everything (untouched chunk)."""
+    u = TILE
+    g_rows_tile = u // rpp if compact else u
 
     def dmas(ti, slot):
         row0 = pl.multiple_of(
@@ -666,19 +685,81 @@ def _update_kernel(
 
         jax.lax.fori_loop(0, nt, body, 0)
 
-    if not direct:
-        out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
+
+def _update_kernel_manual(
+    lo_ref,      # SMEM [n_chunks] i32 entry-range starts (scalar prefetch)
+    hi_ref,      # SMEM [n_chunks] i32 entry-range ends
+    tp_hbm,      # ANY [Pp, 128] table (aliased to out_hbm)
+    ps_hbm,      # ANY encoded entry stream
+    g_hbm,       # ANY delta stream
+    out_hbm,     # ANY [Pp, 128] updated table (the same HBM buffer)
+    buf,         # VMEM [C, 128] chunk staging
+    acc_ref,     # VMEM f32 scratch (dummy 8 rows when table is f32)
+    ps_buf, g_buf,
+    chunk_sem, ps_sem, g_sem,
+    *,
+    chunk_packs: int,
+    rpp: int,
+    d: int,
+    compact: bool,
+):
+    """SPARSE-regime variant: the table stays in HBM and each grid step
+    DMAs its chunk in/out ONLY when the chunk received entries — untouched
+    chunks cost one grid tick, nothing else, so table HBM traffic is
+    ∝ touched chunks exactly (the reference backward's ∝-batch cost,
+    src/ops/embedding.cu:192-217). Measured round 5: the BlockSpec
+    pipeline re-copies blocks even for repeated indices (no revisiting
+    elision on this toolchain), so grid-schedule parking alone cannot
+    skip HBM traffic — manual DMA can. Serial in→compute→out per touched
+    chunk (no cross-chunk overlap), which loses ~1.5x to the pipelined
+    kernel when most chunks are touched — _packed_apply gates on the
+    expected touched fraction."""
+    c, u = chunk_packs, TILE
+    k = pl.program_id(0)
+    s0 = lo_ref[k]
+    s1 = hi_ref[k]
+
+    @pl.when(s1 > s0)
+    def _():
+        row0 = pl.multiple_of(k * c, c)
+        inc = pltpu.make_async_copy(
+            tp_hbm.at[pl.ds(row0, c), :], buf, chunk_sem
+        )
+        inc.start()
+        inc.wait()
+        direct = buf.dtype == jnp.float32
+        if direct:
+            acc = buf
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            acc = acc_ref
+        s0a = jax.lax.div(s0, u) * u
+        nt = jax.lax.div(s1 - s0a + u - 1, u)
+        _stream_accumulate(
+            acc, s0, s1, s0a, nt, ps_hbm, g_hbm, ps_buf, g_buf,
+            ps_sem, g_sem, c=c, rpp=rpp, d=d, compact=compact,
+        )
+        if not direct:
+            buf[:] = buf[:] + acc_ref[:].astype(buf.dtype)
+        outc = pltpu.make_async_copy(
+            buf, out_hbm.at[pl.ds(row0, c), :], chunk_sem
+        )
+        outc.start()
+        outc.wait()
 
 
 def _selective_schedule(starts: jax.Array, n_chunks: int):
     """starts [n_chunks+1] -> (cids, lo, hi), each [n_chunks] i32: a grid
     schedule that visits every TOUCHED chunk once (ascending) and parks the
     remaining grid steps on ONE untouched chunk with an empty entry range.
-    The Pallas pipeline elides block copies when consecutive grid steps map
-    to the same block index, so the parked tail costs one chunk read+write
-    total — table HBM traffic becomes ∝ touched chunks, matching the
-    reference backward's ∝-batch cost (src/ops/embedding.cu:192-217) while
-    keeping the static grid XLA needs."""
+    MEASURED round 5: this toolchain's BlockSpec pipeline does NOT elide
+    copies for repeated block indices (parked steps still cost a chunk
+    read+write each, ~6 us at C=4096), so parking alone cannot shrink
+    table HBM traffic — it only buys HBM-page locality (+24% at tiny K,
+    parity at bench batches). The real ∝-touched-chunks path is the
+    manual-DMA kernel (_update_kernel_manual), which _packed_apply gates
+    in for the sparse regime; this schedule remains the grid layout for
+    the pipelined kernel."""
     tch = starts[1:] > starts[:-1]                       # [n_chunks]
     n_t = jnp.sum(tch.astype(jnp.int32))
     iota = jnp.arange(n_chunks, dtype=jnp.int32)
@@ -704,12 +785,29 @@ def _packed_apply(
     d: int,
     compact: bool = False,
     interpret: bool = False,
+    k_entries=None,
 ) -> jax.Array:
     pp = packed.shape[0]
     rpp = rows_per_pack(d)
     compact = bool(compact and rpp > 1)
     n_chunks = pp // chunk_packs
     assert n_chunks * chunk_packs == pp and starts.shape[0] == n_chunks + 1
+    # SPARSE regime: when the stream cannot touch even ~40% of the chunks
+    # (uniform-draw upper bound; skew touches fewer), dispatch the
+    # manual-DMA kernel — untouched chunks are skipped entirely, so the
+    # table pass costs ∝ touched chunks (the reference backward's ∝-batch
+    # cost, src/ops/embedding.cu:192-217). Dense batches keep the
+    # pipelined BlockSpec kernel (its chunk copies overlap compute; the
+    # serial manual DMA would lose ~1.5x there).
+    k_e = int(k_entries) if k_entries else int(ps_pk.size)
+    exp_touched = n_chunks * (
+        1.0 - (1.0 - 1.0 / n_chunks) ** k_e
+    ) if n_chunks > 1 else 1.0
+    if get_selective() and exp_touched < 0.4 * n_chunks:
+        return _packed_apply_manual(
+            packed, starts, ps_pk, g_exp, chunk_packs=chunk_packs, d=d,
+            compact=compact, interpret=interpret,
+        )
     if get_selective():
         cids, lo, hi = _selective_schedule(starts, n_chunks)
     else:
@@ -770,6 +868,71 @@ def _packed_apply(
     )(cids, lo, hi, packed, ps_pk, g_exp)
 
 
+def _packed_apply_manual(
+    packed: jax.Array,
+    starts: jax.Array,
+    ps_pk: jax.Array,
+    g_exp: jax.Array,
+    *,
+    chunk_packs: int,
+    d: int,
+    compact: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sparse-regime dispatch: table stays in HBM (ANY), touched chunks
+    DMA in/out inside the kernel, untouched chunks cost one grid tick."""
+    pp = packed.shape[0]
+    rpp = rows_per_pack(d)
+    compact = bool(compact and rpp > 1)
+    n_chunks = pp // chunk_packs
+    kernel = functools.partial(
+        _update_kernel_manual, chunk_packs=chunk_packs, rpp=rpp, d=d,
+        compact=compact,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # table (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # ps stream
+            pl.BlockSpec(memory_space=pl.ANY),  # g stream
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_packs, LANES), packed.dtype),  # chunk staging
+            pltpu.VMEM(
+                (8 if packed.dtype == jnp.float32 else chunk_packs, LANES),
+                jnp.float32,
+            ),
+            pltpu.VMEM((2, _PS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM(
+                (2, TILE // rpp if compact else TILE, LANES), g_exp.dtype
+            ),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        input_output_aliases={2: 0},  # table updated in place in HBM
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * ps_pk.size * chunk_packs * LANES),
+            bytes_accessed=int(
+                # ∝ touched chunks; upper-bound with the entry count
+                min(pp, ps_pk.size * chunk_packs // max(1, TILE))
+                * LANES * packed.dtype.itemsize * 2
+                + ps_pk.size * 4
+                + g_exp.size * g_exp.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts[:-1], starts[1:], packed, ps_pk, g_exp)
+
+
 # --------------------------------------------------------------------------
 # public entry points
 # --------------------------------------------------------------------------
@@ -806,6 +969,7 @@ def packed_row_update_batched(
             _packed_apply(
                 packed, starts, ps_pk, g_stream,
                 chunk_packs=c, d=d, compact=compact, interpret=interpret,
+                k_entries=rows_tk.shape[1],
             )
         )
     return out
@@ -886,11 +1050,13 @@ def packed_lazy_adam_batched(
         m2 = _packed_apply(
             m_pools[i], starts, ps_pk, sm,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
+            k_entries=k,
         )
         sv, sc = _stream_for_kernel(dv, sub_s, k_pad, jnp.float32)
         v2 = _packed_apply(
             v_pools[i], starts, ps_pk, sv,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
+            k_entries=k,
         )
         m_new = gather_rows(m2, safe, d)
         v_new = gather_rows(v2, safe, d)
@@ -899,6 +1065,7 @@ def packed_lazy_adam_batched(
         w2 = _packed_apply(
             tables[i], starts, ps_pk, sw,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
+            k_entries=k,
         )
         new_t.append(w2)
         new_m.append(m2)
@@ -950,6 +1117,7 @@ def packed_lazy_momentum_batched(
         v2 = _packed_apply(
             vel_pools[i], starts, ps_pk, sv,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
+            k_entries=k,
         )
         v_new = gather_rows(v2, safe, d)
         if nesterov:
@@ -962,6 +1130,7 @@ def packed_lazy_momentum_batched(
         w2 = _packed_apply(
             tables[i], starts, ps_pk, sw,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
+            k_entries=k,
         )
         new_t.append(w2)
         new_v.append(v2)

@@ -121,7 +121,7 @@ def phase_update(big, d, k, repeats, disp, dtype, kernels_only,
             def body(c, j):
                 outs = [
                     _packed_apply(t, s[0], s[1], s[2], chunk_packs=cp, d=d,
-                                  compact=bool(s[3]))
+                                  compact=bool(s[3]), k_entries=k)
                     for t, s, cp in zip(c, streams, chunks)
                 ]
                 return outs, 0.0

