@@ -568,6 +568,7 @@ def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
     ]
     if not todo:
         return spec
+    dispatch_s = measure_dispatch_latency()
     for di, do in todo:
         x = jax.random.normal(jax.random.PRNGKey(0), (batch, di),
                               jnp.bfloat16)
@@ -601,7 +602,13 @@ def calibrate_dense(spec: MachineSpec, shapes, batch: int = 16384,
         _ = float(loop(x, w, b))
         t0 = time.perf_counter()
         _ = float(loop(x, w, b))
-        t_fb = (time.perf_counter() - t0) / repeats
+        # the timed region carries exactly ONE dispatch+readback round
+        # trip; through a remote tunnel that is ~2.5-26 ms and would
+        # swamp small layers at low repeat counts (round-5 fix: the
+        # un-subtracted term inflated dense costs ~100x at repeats=8)
+        t_fb = max(
+            (time.perf_counter() - t0 - dispatch_s) / repeats, 1e-7
+        )
         costs[f"{di}x{do}"] = t_fb / 3.0 / batch * 1e6  # us per example
     return dataclasses.replace(spec, dense_costs=costs)
 
@@ -650,6 +657,7 @@ def calibrate_graph_ops(spec: MachineSpec, graph, repeats: int = 20,
     if not todo:
         return spec
     cdt = compute_dtype or jnp.bfloat16
+    dispatch_s = measure_dispatch_latency()
     for op in todo:
         key = jax.random.PRNGKey(0)
         xs = [
@@ -689,7 +697,9 @@ def calibrate_graph_ops(spec: MachineSpec, graph, repeats: int = 20,
         _ = float(loop(params, xs))
         t0 = time.perf_counter()
         _ = float(loop(params, xs))
-        t_fb = (time.perf_counter() - t0) / repeats
+        t_fb = max(
+            (time.perf_counter() - t0 - dispatch_s) / repeats, 1e-7
+        )
         costs[op_cost_sig(op)] = t_fb / 3.0 / max(batch, 1) * 1e6
     return dataclasses.replace(spec, op_costs=costs)
 

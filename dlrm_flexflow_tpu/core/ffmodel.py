@@ -1857,9 +1857,17 @@ class FFModel:
             return (p, o, t)
 
         state = run(state)  # compile + warm
+        from ..autotune.machine import measure_dispatch_latency
+
+        # the timed region carries ONE dispatch+readback round trip
+        # (~2.5-26 ms through a remote tunnel) — subtract it or small
+        # step counts inflate the measured per-step time
+        dispatch_s = measure_dispatch_latency()
         t0 = _time.perf_counter()
         run(state)
-        measured_us = (_time.perf_counter() - t0) / steps * 1e6
+        measured_us = max(
+            (_time.perf_counter() - t0 - dispatch_s) / steps * 1e6, 1.0
+        )
         _, pred_us, _ = autotune_plan_joint(
             self.graph, machine, bs, budget=1,
             min_vocab=self.config.onehot_embedding_threshold,
