@@ -79,10 +79,11 @@ class FFConfig:
     packed_tables: str = "auto"
     # "auto" packs a table only when its per-step update stream has at
     # least this many rows (batch * bag): below it the stream-sort and
-    # whole-table kernel pass cost more than the XLA scatter they replace
-    # (measured on v5e: packed wins 1.36x at 16384 rows and loses at 8192;
-    # "on" ignores the threshold)
-    packed_min_rows: int = 16384
+    # table-pass fixed costs lose to the XLA scatter they replace. Round-5
+    # re-measurement (bf16 tables + selective/manual dispatch, Zipf 1.05):
+    # packed wins 1.45x at 8192 and ties at 4096 (round-2 crossover was
+    # 8k-16k); "on" ignores the threshold
+    packed_min_rows: int = 4096
     # pooled-embedding exchange mode for the sharded collection: "dense"
     # slot exchange or "routed" capacity buckets (scale-out mode; wire and
     # per-chip work independent of split degree). Plan-level setting wins.

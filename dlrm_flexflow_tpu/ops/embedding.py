@@ -197,13 +197,18 @@ class Embedding(Op):
                 )
             elif st.ndim == 2:  # per-element pool (velocity)
                 st = pack_table(st.astype(jnp.float32), self.chunk_packs)
-            else:  # stacked per-element pools (Adam m/v)
-                st = jnp.stack(
-                    [
-                        pack_table(s.astype(jnp.float32), self.chunk_packs)
-                        for s in st
-                    ]
-                )
+            else:  # Adam m/v: SEPARATE packed pools (round 5 — a stacked
+                # [2, Pp, 128] array forced a slice-copy per pool on the
+                # way into the donating update kernel and a stack-copy on
+                # the way out, ~8.6 GB/step of pure copies at kaggle scale)
+                st = {
+                    "m": pack_table(
+                        st[0].astype(jnp.float32), self.chunk_packs
+                    ),
+                    "v": pack_table(
+                        st[1].astype(jnp.float32), self.chunk_packs
+                    ),
+                }
         return st
 
     def pack_params(self, sub: dict) -> dict:
@@ -238,12 +243,14 @@ class Embedding(Op):
 def quantized_embedding_bag(q, scale, idx, aggr: AggrMode, out_dim: int,
                             packed: bool):
     """Pooled lookup from int8 rows + per-row f32 scales (the production
-    serving format; 4x less table HBM than f32). Gathers are
-    dtype-preserving slices (no arithmetic on int8 until the dequant
-    multiply). `packed`: q is [Pp, 128] int8 and scale a D=1 packed pool;
-    else q is [V, D] int8 and scale [V]."""
-    from .pallas.packed_update import packed_gather_subpack
-
+    serving format; 4x less table HBM than f32). `packed`: q is [Pp, 128]
+    int8 and scale a D=1 packed pool; else q is [V, D] int8 and scale [V].
+    Packed gathers ride the whole-pack fetch+mask path — the lane-sliced
+    lax.gather lowers to a ~1211 ns/row scalar-loop class on this
+    toolchain (PERF.md round 3; measured round 5: it put int8 serving at
+    82k ex/s vs 11.2M bf16). Packs are fetched in int8 (the table's HBM
+    reads stay 4x smaller than f32) and only the gathered [K, 128] batch
+    widens to f32 for the mask-sum row select (exact)."""
     idx = idx.astype(jnp.int32)
     squeeze_bag = idx.ndim == 1
     if squeeze_bag:
@@ -253,8 +260,22 @@ def quantized_embedding_bag(q, scale, idx, aggr: AggrMode, out_dim: int,
     if packed:
         rpp = 128 // out_dim
         safe = jnp.clip(idx, 0, q.shape[0] * rpp - 1).reshape(-1)
-        qr = packed_gather_subpack(q, safe, out_dim)          # [K, D] int8
-        sr = packed_gather_subpack(scale, safe, 1)            # [K, 1] f32
+        kk = safe.shape[0]
+
+        def _pack_select(tbl, d_sel, rows):
+            rp = 128 // d_sel
+            gpk = tbl.at[rows // rp].get(
+                mode="promise_in_bounds"
+            ).astype(jnp.float32)                        # [K, 128]
+            g3 = gpk.reshape(kk, rp, d_sel)
+            oh = (
+                (rows % rp)[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (kk, rp), 1)
+            )
+            return jnp.sum(g3 * oh[..., None].astype(g3.dtype), axis=1)
+
+        qr = _pack_select(q, out_dim, safe)              # [K, D] f32
+        sr = _pack_select(scale, 1, safe)                # [K, 1] f32
     else:
         safe = jnp.clip(idx, 0, q.shape[0] - 1).reshape(-1)
         qr = q.at[safe].get(mode="promise_in_bounds")

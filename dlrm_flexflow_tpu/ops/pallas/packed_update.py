@@ -495,6 +495,8 @@ def _update_kernel(
                  #            or [K_pad/rpp, 128] dense-packed (compact)
     out_ref,     # VMEM [C, 128] updated chunk
     acc_ref,     # VMEM [C, 128] f32 scratch
+    facc_ref,    # VMEM [C, 128] f32 first-flag mask (decay mode; dummy 8
+                 # rows otherwise)
     ps_buf,      # VMEM [2, TILE//128, 128] i32
     g_buf,       # VMEM [2, TILE(/rpp), 128] delta_dtype
     ps_sem, g_sem,
@@ -503,6 +505,7 @@ def _update_kernel(
     rpp: int,
     d: int,
     compact: bool,
+    decay: float = 0.0,
 ):
     c, u = chunk_packs, TILE
     k = pl.program_id(0)
@@ -523,31 +526,57 @@ def _update_kernel(
     # rounding class as sum-then-add. Narrower table dtypes (bf16) keep
     # the f32 scratch so a chunk's delta still sums in f32 and rounds to
     # storage ONCE.
-    direct = out_ref.dtype == jnp.float32
+    # lazy-decay mode keeps the separate f32 accumulators (the epilogue
+    # multiplies the ORIGINAL chunk, so direct in-place accumulation is
+    # out); facc shares acc_ref's trailing half — see _packed_apply's
+    # scratch shape (stacked [2C, 128] when decay > 0)
+    direct = out_ref.dtype == jnp.float32 and decay == 0.0
     if direct:
         out_ref[:] = tp_ref[:]
         acc = out_ref
+        facc = None
     else:
         acc_ref[:] = jnp.zeros_like(acc_ref)
         acc = acc_ref
+        facc = None
+        if decay > 0.0:
+            facc_ref[:] = jnp.zeros_like(facc_ref)
+            facc = facc_ref
 
     _stream_accumulate(
         acc, s0, s1, s0a, nt, ps_hbm, g_hbm, ps_buf, g_buf, ps_sem, g_sem,
-        c=c, rpp=rpp, d=d, compact=compact,
+        c=c, rpp=rpp, d=d, compact=compact, decay=decay, facc=facc,
     )
 
-    if not direct:
+    if decay > 0.0:
+        out_ref[:] = (
+            tp_ref[:].astype(jnp.float32)
+            * (1.0 - decay * facc_ref[:])
+            + acc_ref[:]
+        ).astype(out_ref.dtype)
+    elif not direct:
         out_ref[:] = tp_ref[:] + acc_ref[:].astype(tp_ref.dtype)
 
 
 def _stream_accumulate(
     acc, s0, s1, s0a, nt, ps_hbm, g_hbm, ps_buf, g_buf, ps_sem, g_sem,
-    *, c: int, rpp: int, d: int, compact: bool,
+    *, c: int, rpp: int, d: int, compact: bool, decay: float = 0.0,
+    facc=None,
 ):
     """Shared tile loop of the update kernels: stream the sorted entry
     range [s0, s1) from HBM (double-buffered DMA) and accumulate the
     one-hot matmul into `acc` (a [C, 128] f32 ref). `nt` = 0 skips
-    everything (untouched chunk)."""
+    everything (untouched chunk).
+
+    decay > 0 (the lazy-decay epilogue, round 5): the ps stream carries a
+    FIRST-OCCURRENCE flag in bit 16 of each encoded entry; the loop also
+    accumulates `facc` += onehot^T @ (first-flag lane indicator), which is
+    EXACTLY 1 on every touched (row, lane) and 0 elsewhere (the flag rides
+    only the first duplicate). The caller's epilogue
+    out = chunk * (1 - decay * facc) + acc then yields
+    b*old + (1-b)*G_r on touched rows and old elsewhere — the lazy
+    Adam/momentum decay WITHOUT gathering the old rows
+    (reference sparse-lazy convention: src/runtime/optimizer_kernel.cu)."""
     u = TILE
     g_rows_tile = u // rpp if compact else u
 
@@ -575,6 +604,11 @@ def _stream_accumulate(
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        if decay > 0.0 or (compact and rpp > 1):
+            eyed = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            ).astype(jnp.float32)
         if compact and rpp > 1:
             # constants for the in-kernel lane expansion: line replication
             # one-hot [128, L] (entry e reads stream line e // rpp), the
@@ -590,17 +624,20 @@ def _stream_accumulate(
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 0) // rpp
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, nl), 1)
             ).astype(g_hbm.dtype)
-            eyef = (
-                jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-            ).astype(jnp.float32)
+            eyef = eyed
             subl_mod = (
                 jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0) % rpp
             )
 
         def row_accum(ti, slot, j):
                 base = s0a + ti * u
-                cv = ps_buf[slot][j : j + 1, :]              # [1, 128]
+                cv_raw = ps_buf[slot][j : j + 1, :]          # [1, 128]
+                if decay > 0.0:
+                    # bit 16 carries the first-occurrence flag
+                    fb = jax.lax.shift_right_logical(cv_raw, 16)
+                    cv = jax.lax.bitwise_and(cv_raw, 0xFFFF)
+                else:
+                    cv = cv_raw
                 ps_row = cv // rpp                           # in-chunk pack
                 # keep only rows in [s0, s1): head/tail tiles over-read the
                 # neighbor chunks' sorted rows. The range mask applies to
@@ -655,6 +692,30 @@ def _stream_accumulate(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if decay > 0.0:
+                    # first-flag lane indicator: entry e contributes 1 to
+                    # its row's D-lane group iff it is the run's first
+                    # occurrence — facc lands exactly {0, 1} per (row,
+                    # lane). Transposes ride the identity matmul (the
+                    # compact path's sub_col trick).
+                    fb_col = jax.lax.dot_general(
+                        eyed, (fb * valid).astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                        # [128, 1]
+                    sub_e = cv - ps_row * rpp                # [1, 128]
+                    sub_ecol = jax.lax.dot_general(
+                        eyed, sub_e.astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.int32)                      # [128, 1]
+                    keep_f = (lane // d == sub_ecol).astype(jnp.float32)
+                    fm_tile = (fb_col * keep_f).astype(g_buf.dtype)
+                    facc[:] += jax.lax.dot_general(
+                        oh_t, fm_tile,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
         def body(ti, _):
             slot = jax.lax.rem(ti, 2)
@@ -786,6 +847,7 @@ def _packed_apply(
     compact: bool = False,
     interpret: bool = False,
     k_entries=None,
+    decay: float = 0.0,
 ) -> jax.Array:
     pp = packed.shape[0]
     rpp = rows_per_pack(d)
@@ -803,7 +865,7 @@ def _packed_apply(
     exp_touched = n_chunks * (
         1.0 - (1.0 - 1.0 / n_chunks) ** k_e
     ) if n_chunks > 1 else 1.0
-    if get_selective() and exp_touched < 0.4 * n_chunks:
+    if get_selective() and decay == 0.0 and exp_touched < 0.4 * n_chunks:
         return _packed_apply_manual(
             packed, starts, ps_pk, g_exp, chunk_packs=chunk_packs, d=d,
             compact=compact, interpret=interpret,
@@ -815,7 +877,7 @@ def _packed_apply(
         lo, hi = starts[:-1], starts[1:]
     kernel = functools.partial(
         _update_kernel, chunk_packs=chunk_packs, rpp=rpp, d=d,
-        compact=compact,
+        compact=compact, decay=decay,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -834,10 +896,19 @@ def _packed_apply(
         ),
         scratch_shapes=[
             # f32 tables accumulate into the output block (direct mode in
-            # _update_kernel); the f32 scratch shrinks to a dummy tile
+            # _update_kernel); the f32 scratch shrinks to a dummy tile.
+            # decay mode always uses the full accumulators (+ facc).
             pltpu.VMEM(
-                (8 if packed.dtype == jnp.float32 else chunk_packs, LANES),
+                (
+                    8
+                    if packed.dtype == jnp.float32 and decay == 0.0
+                    else chunk_packs,
+                    LANES,
+                ),
                 jnp.float32,
+            ),
+            pltpu.VMEM(
+                (chunk_packs if decay > 0.0 else 8, LANES), jnp.float32
             ),
             pltpu.VMEM((2, _PS_ROWS, LANES), jnp.int32),
             pltpu.VMEM(
@@ -1019,9 +1090,12 @@ def packed_lazy_adam_batched(
       m <- b1*m + (1-b1)*G_r          (G_r = summed duplicate grads)
       v <- b2*v + (1-b2)*sum(g_i^2)   (summed squares per occurrence)
       w <- w - alpha_t * m / (sqrt(v) + eps)
-    Streams are row-sorted so duplicates are adjacent; the decay terms ride
-    first-occurrence entries and the same one-hot MXU kernel maintains all
-    three pools (m/v deltas stream f32, weight deltas bf16).
+    Streams are row-sorted so duplicates are adjacent. Round 5: the m/v
+    decay rides the KERNEL's lazy-decay epilogue (first-occurrence flags
+    in bit 16 of the encoded stream; out = chunk*(1 - (1-b)*fmask) + acc)
+    — no m_old/v_old gathers, and the m/v passes consume the same raw
+    gradient payload scaled by (1-b), halving the gather count of the
+    round-4 formulation (measured: 4 of the step's 6 pool gathers gone).
     Returns (new_tables, new_m, new_v)."""
     t = len(tables)
     if isinstance(chunk_packs, int):
@@ -1039,29 +1113,33 @@ def packed_lazy_adam_batched(
         safe = jnp.minimum(rows_s, row_sent - 1)
         sub_s = rows_s % rpp
         first = _first_flags(rows_s, row_sent)[:, None]
+        ps_adam = _first_bit_stream(ps_pk, first[:, 0], k_pad)
         g_s = gather_payload(grads_list[i], order).astype(jnp.float32)
         if weight_decay != 0.0:
             g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
-        m_old = gather_rows(m_pools[i], safe, d)
-        v_old = gather_rows(v_pools[i], safe, d)
-        dm = (1.0 - beta1) * g_s + first * (beta1 - 1.0) * m_old
-        dv = (1.0 - beta2) * jnp.square(g_s) + first * (beta2 - 1.0) * v_old
-        sm, sc = _stream_for_kernel(dm, sub_s, k_pad, jnp.float32)
+        # streams ride bf16 (like the SGD path): the one-hot MXU matmuls
+        # run ~8x faster than with f32 operands (measured round 5: f32
+        # streams put the Adam step at 84 ms), and the m/v increments are
+        # EMA terms of grads that were computed in bf16 anyway — the f32
+        # POOLS and the kernel's f32 accumulate are what carry precision
+        sm, sc = _stream_for_kernel(
+            (1.0 - beta1) * g_s, sub_s, k_pad, jnp.bfloat16)
         m2 = _packed_apply(
-            m_pools[i], starts, ps_pk, sm,
+            m_pools[i], starts, ps_adam, sm,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
-            k_entries=k,
+            k_entries=k, decay=(1.0 - beta1),
         )
-        sv, sc = _stream_for_kernel(dv, sub_s, k_pad, jnp.float32)
+        sv, sc = _stream_for_kernel(
+            (1.0 - beta2) * jnp.square(g_s), sub_s, k_pad, jnp.bfloat16)
         v2 = _packed_apply(
-            v_pools[i], starts, ps_pk, sv,
+            v_pools[i], starts, ps_adam, sv,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
-            k_entries=k,
+            k_entries=k, decay=(1.0 - beta2),
         )
         m_new = gather_rows(m2, safe, d)
         v_new = gather_rows(v2, safe, d)
         dw = first * (-alpha_t) * m_new / (jnp.sqrt(v_new) + epsilon)
-        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.float32)
+        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.bfloat16)
         w2 = _packed_apply(
             tables[i], starts, ps_pk, sw,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
@@ -1071,6 +1149,14 @@ def packed_lazy_adam_batched(
         new_m.append(m2)
         new_v.append(v2)
     return new_t, new_m, new_v
+
+
+def _first_bit_stream(ps_pk, first, k_pad: int):
+    """Encode first-occurrence flags into bit 16 of the packed entry
+    stream (padding/sentinel entries keep flag 0)."""
+    k = first.shape[0]
+    fpad = jnp.pad(first.astype(jnp.int32), (0, k_pad - k))
+    return ps_pk + (fpad.reshape(k_pad // LANES, LANES) << 16)
 
 
 def packed_lazy_momentum_batched(
@@ -1111,13 +1197,17 @@ def packed_lazy_momentum_batched(
         g_s = gather_payload(grads_list[i], order).astype(jnp.float32)
         if weight_decay != 0.0:
             g_s = g_s + weight_decay * gather_rows(tables[i], safe, d)
-        v_old = gather_rows(vel_pools[i], safe, d)
-        dvel = g_s + first * (momentum - 1.0) * v_old
-        sv, sc = _stream_for_kernel(dvel, sub_s, k_pad, jnp.float32)
+        # velocity decay rides the kernel's lazy-decay epilogue (no v_old
+        # gather); nesterov still needs v_old for its look-ahead term
+        ps_mom = _first_bit_stream(ps_pk, first[:, 0], k_pad)
+        v_old = (
+            gather_rows(vel_pools[i], safe, d) if nesterov else None
+        )
+        sv, sc = _stream_for_kernel(g_s, sub_s, k_pad, jnp.bfloat16)
         v2 = _packed_apply(
-            vel_pools[i], starts, ps_pk, sv,
+            vel_pools[i], starts, ps_mom, sv,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,
-            k_entries=k,
+            k_entries=k, decay=(1.0 - momentum),
         )
         v_new = gather_rows(v2, safe, d)
         if nesterov:
@@ -1126,7 +1216,7 @@ def packed_lazy_momentum_batched(
         else:
             step = v_new
         dw = first * (-lr) * step
-        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.float32)
+        sw, sc = _stream_for_kernel(dw, sub_s, k_pad, jnp.bfloat16)
         w2 = _packed_apply(
             tables[i], starts, ps_pk, sw,
             chunk_packs=chunk_packs[i], d=d, compact=sc, interpret=interpret,

@@ -107,8 +107,8 @@ def apply_sparse_updates(
             # (lr here is the bias-corrected alpha_t from the engine caller)
             alpha_t = opt.alpha if lr is None else lr
             sts = [sstates[op.name] for op in ops_g]
-            m_pools = [s[0] for s in sts]
-            v_pools = [s[1] for s in sts]
+            m_pools = [s["m"] for s in sts]
+            v_pools = [s["v"] for s in sts]
             new_tables, new_m, new_v = packed_lazy_adam_batched(
                 tables, m_pools, v_pools, rows_l, grads_l, vocabs, d,
                 alpha_t=alpha_t, beta1=opt.beta1, beta2=opt.beta2,
@@ -118,7 +118,7 @@ def apply_sparse_updates(
             )
             for op, nt, m2, v2 in zip(ops_g, new_tables, new_m, new_v):
                 new_params[op.name] = {**params[op.name], "weight": nt}
-                new_sstates[op.name] = jnp.stack([m2, v2])
+                new_sstates[op.name] = {"m": m2, "v": v2}
         elif isinstance(opt, SGDOptimizer) and opt.momentum != 0.0:
             rate = opt.lr if lr is None else lr
             vels = [sstates[op.name] for op in ops_g]

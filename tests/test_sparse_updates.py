@@ -184,7 +184,11 @@ def test_sparse_adam_single_table_packed_matches_scatter():
         losses[packed] = ls
         params[packed] = m.get_weights("table_0")["weight"]
     np.testing.assert_allclose(losses["on"], losses["off"], rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(params["on"], params["off"], rtol=2e-4, atol=1e-5)
+    # the packed path streams bf16 deltas (round 5: f32 streams ran the
+    # one-hot matmuls at ~8x the cost and put the Adam step at 84 ms, the
+    # same convention as the SGD path), so weights track the f32 scatter
+    # oracle within bf16 per-update rounding, not bit-exactly
+    np.testing.assert_allclose(params["on"], params["off"], rtol=2e-3, atol=2e-4)
 
 
 def test_lazy_sparse_adam_matches_torch_sparseadam():
