@@ -1035,12 +1035,18 @@ class FFModel:
                 if st is not None and mesh is not None and hasattr(op, "layout"):
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
-                    st = jax.device_put(
-                        st,
-                        NamedSharding(
-                            mesh,
-                            P(plan.batch_axis, *([None] * (st.ndim - 1))),
+                    # st is a pytree (Adam carries {'m','v'} pool dicts);
+                    # every leaf shards on its leading (shard) axis
+                    st = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(
+                            x,
+                            NamedSharding(
+                                mesh,
+                                P(plan.batch_axis,
+                                  *([None] * (x.ndim - 1))),
+                            ),
                         ),
+                        st,
                     )
                 sstates[op.name] = st
             opt_state = {"dense": opt.init(dense_init), "sparse": sstates}

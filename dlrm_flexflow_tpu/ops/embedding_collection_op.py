@@ -137,8 +137,13 @@ class EmbeddingCollection(Op):
             return st.astype(jnp.float32).reshape(lay.param_shape())
         if st.ndim == 3:  # velocity [N, R, D]
             return st.astype(jnp.float32).reshape(lay.param_shape())
-        pp = lay.pool_packs  # [N, 2, R, D] -> [N, 2, Pp, 128]
-        return st.astype(jnp.float32).reshape(n, 2, pp, 128)
+        # Adam m/v: SEPARATE packed pools (round 5 — a stacked
+        # [N, 2, Pp, 128] array forced a slice-copy per pool into the
+        # donating update kernel and a stack-copy out on EVERY shard)
+        return {
+            "m": st[:, 0].astype(jnp.float32).reshape(lay.param_shape()),
+            "v": st[:, 1].astype(jnp.float32).reshape(lay.param_shape()),
+        }
 
     def sparse_update(self, params, inputs, g_out_list, optimizer, sstate, ctx, lr=None):
         idx = jnp.stack(
@@ -170,6 +175,10 @@ class EmbeddingCollection(Op):
         # unsharded fallback: one scatter over the flattened pool
         lay = self.layout
         assert not lay.has_splits, "row-split layout requires a mesh"
+        assert not lay.packed_pool, (
+            "packed pools require a sharded mesh (the flat fallback "
+            "operates on the [N, R, D] layout)"
+        )
         n, r, d = lay.num_shards, lay.r_pad, lay.dim
         b, t, h = idx.shape
         idx32 = lay.perm_rows(idx).astype(jnp.int32)

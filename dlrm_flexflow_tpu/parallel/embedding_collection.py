@@ -498,16 +498,19 @@ def local_pool_row_update(layout, pool_local2d, sstate2d, rows, grads,
         )
         if isinstance(optimizer, _Adam):
             # lazy Adam on packed m/v side pools (lr = bias-corrected
-            # alpha_t from the engine)
+            # alpha_t from the engine); state is a {'m','v'} dict of
+            # SEPARATE pools (round 5 — stacked state cost a slice/stack
+            # copy round-trip through the donation boundary per step)
             (new_pools, new_m, new_v) = packed_lazy_adam_batched(
-                [pool_local2d], [sstate2d[0]], [sstate2d[1]], [rows], [g],
+                [pool_local2d], [sstate2d["m"]], [sstate2d["v"]],
+                [rows], [g],
                 [layout.r_pad], layout.dim,
                 alpha_t=(optimizer.alpha if lr is None else lr),
                 beta1=optimizer.beta1, beta2=optimizer.beta2,
                 epsilon=optimizer.epsilon,
                 weight_decay=optimizer.weight_decay, **kw,
             )
-            return new_pools[0], jnp.stack([new_m[0], new_v[0]])
+            return new_pools[0], {"m": new_m[0], "v": new_v[0]}
         if isinstance(optimizer, _SGD) and optimizer.momentum != 0.0:
             new_pools, new_vel = packed_lazy_momentum_batched(
                 [pool_local2d], [sstate2d], [rows], [g],
@@ -751,16 +754,23 @@ def sharded_embedding_sparse_update(
         grads = jnp.broadcast_to(
             g[:, :, None, :], (nb, t_max, h, g.shape[-1])
         ).reshape(nb * t_max * h, -1)
-        st = sstate_local[0] if has_state else None
+        st = (
+            jax.tree_util.tree_map(lambda x: x[0], sstate_local)
+            if has_state else None
+        )
         table, st = local_pool_row_update(
             layout, pool_local[0], st, rows, grads, optimizer, lr=lr
         )
         if has_state:
-            return table[None], st[None]
+            return table[None], jax.tree_util.tree_map(
+                lambda x: x[None], st
+            )
         return table[None]
 
     if has_state:
-        st_spec = P(axis, *([None] * (sstate.ndim - 1)))
+        st_spec = jax.tree_util.tree_map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), sstate
+        )
         return jax.shard_map(
             local_fn,
             mesh=mesh,

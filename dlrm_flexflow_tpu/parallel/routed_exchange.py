@@ -370,7 +370,10 @@ def routed_update_local(plan: RoutedPlan, layout, pool_local, sstate_local,
     ).reshape(-1, d)
     from .embedding_collection import local_pool_row_update
 
-    st = sstate_local[0] if sstate_local is not None else None
+    st = (
+        jax.tree_util.tree_map(lambda x: x[0], sstate_local)
+        if sstate_local is not None else None
+    )
     table, st = local_pool_row_update(
         layout, pool_local[0], st, recv_rows, recv_g.astype(jnp.float32),
         optimizer, lr=lr,
@@ -479,11 +482,15 @@ def routed_embedding_sparse_update(layout, pool, sstate, indices, g_pooled,
             optimizer, axis, lr=lr,
         )
         if has_state:
-            return table[None], st[None]
+            return table[None], jax.tree_util.tree_map(
+                lambda x: x[None], st
+            )
         return table[None]
 
     if has_state:
-        st_spec = P(axis, *([None] * (sstate.ndim - 1)))
+        st_spec = jax.tree_util.tree_map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), sstate
+        )
         return jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(

@@ -684,8 +684,9 @@ def test_sharded_bf16_table_training_tracks_f32(mesh, exchange, opt):
         want = jnp.bfloat16 if td == "bfloat16" else jnp.float32
         assert model._params[colls[0].name]["pool"].dtype == want
         st = model._opt_state["sparse"].get(colls[0].name)
-        if st is not None:  # Adam m/v side pools stay f32
-            assert st.dtype == jnp.float32
+        if st is not None:  # Adam m/v side pools stay f32 (dict of pools)
+            for leaf in jax.tree_util.tree_leaves(st):
+                assert leaf.dtype == jnp.float32
         feeds, labels = random_batches(cfg, 64 * 4, seed=7)
         ls = [
             float(model.train_batch(
