@@ -768,3 +768,55 @@ def test_manual_gate_dense_batches_keep_pipelined_kernel():
     # probe the gate arithmetic directly (the uniform-draw expectation)
     exp = n_chunks * (1.0 - (1.0 - 1.0 / n_chunks) ** k)
     assert exp > 0.9 * n_chunks
+
+
+def test_packed_adam_checkpoint_roundtrip_and_host_routes(tmp_path):
+    """Round 5: the packed Adam state is a {'m','v'} dict of separate
+    pools — it must round-trip through the npz checkpoint (nested-dict
+    flatten) and resume training identically; and the host-routed stream
+    path must match the device-sort path under Adam (the first-occurrence
+    bit-16 stream is derived identically from host routes)."""
+    import jax.numpy as jnp
+
+    from dlrm_flexflow_tpu import AdamOptimizer, LossType
+    from dlrm_flexflow_tpu.data.synthetic import random_batches
+    from dlrm_flexflow_tpu.training.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    losses = {}
+    for routing in (False, True):
+        cfg, model = _small_dlrm("on")
+        model.config.host_routing = routing
+        model.compile(AdamOptimizer(alpha=0.02),
+                      LossType.LOSS_BINARY_CROSSENTROPY, [], donate=False)
+        st = model._opt_state["sparse"]["table_0"]
+        assert set(st) == {"m", "v"} and st["m"].dtype == jnp.float32
+        feeds, labels = random_batches(cfg, 32 * 4, seed=13)
+
+        def step(mdl, i):
+            sl = slice(32 * i, 32 * (i + 1))
+            return float(mdl.train_batch(
+                {k: v[sl] for k, v in feeds.items()}, labels[sl]))
+
+        ls = [step(model, 0), step(model, 1)]
+        if not routing:
+            path = str(tmp_path / "ck")
+            save_checkpoint(path, model)
+            # fresh model resumes from the checkpointed dict state
+            cfg2, model2 = _small_dlrm("on")
+            model2.compile(AdamOptimizer(alpha=0.02),
+                           LossType.LOSS_BINARY_CROSSENTROPY, [],
+                           donate=False)
+            restore_checkpoint(path, model2)
+            st2 = model2._opt_state["sparse"]["table_0"]
+            assert set(st2) == {"m", "v"}
+            l3a, l3b = step(model, 2), step(model2, 2)
+            np.testing.assert_allclose(l3a, l3b, rtol=1e-6, atol=1e-7)
+            ls.append(l3a)
+        else:
+            ls.append(step(model, 2))
+        losses[routing] = ls
+    np.testing.assert_allclose(
+        losses[True], losses[False], rtol=1e-5, atol=1e-6
+    )
